@@ -1,38 +1,101 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-10 on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB twins for everything SQL-expressible.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+import math  # noqa: E402
+
+from pke_spark.ops import core, dedup, keyphrase, similarity, textstats  # noqa: E402
+
+# Fixed reference query set (FIXTURES.md F2): multi-term, hot single
+# term, and a term absent from the corpus (empty result).
+BM25_QUERY = ["spark", "join", "window"]
+BM25_HOT_QUERY = ["table"]
+BM25_MISS_QUERY = ["zzqqxunseen"]
+
+# fixed ANN query vector (literal on both sides; embeddings are 64-dim)
+ANN_QUERY_VEC = [round(math.sin(i * 0.7 + 0.3), 6) for i in range(64)]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exhaustive BM25 top-10 over sf0.001 documents."""
+    return core.bm25_topk(_docs(spark, "/root/testdata/sf0.001"), BM25_QUERY, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "token_counts": lambda s, d: core.token_counts(_docs(s, d)),
+        "doc_lengths": lambda s, d: core.doc_lengths(_docs(s, d)),
+        "term_stats": lambda s, d: core.term_stats(_docs(s, d)),
+        "bm25_topk": lambda s, d: core.bm25_topk(_docs(s, d), BM25_QUERY, 10),
+        "bm25_hot": lambda s, d: core.bm25_topk(_docs(s, d), BM25_HOT_QUERY, 10),
+        "bm25_miss": lambda s, d: core.bm25_topk(_docs(s, d), BM25_MISS_QUERY, 10),
+        "candidate_runs": lambda s, d: keyphrase.candidate_runs(_docs(s, d)),
+        "ngram_candidates": lambda s, d: keyphrase.ngram_candidates(_docs(s, d)),
+        "firstphrases": lambda s, d: keyphrase.firstphrases(_docs(s, d), 5),
+        "tfidf_topk": lambda s, d: keyphrase.tfidf_topk(_docs(s, d), 3),
+        "kpminer": lambda s, d: keyphrase.kpminer(_docs(s, d), 5),
+        "bigrams": lambda s, d: keyphrase.bigrams(_docs(s, d)),
+        "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
+        "minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk(
+            _emb(s, d), ANN_QUERY_VEC, 10),
+        "embedding_dups": lambda s, d: similarity.embedding_cosine_pairs(
+            _emb(s, d), 0.45),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(
+            _emb(s, d), ANN_QUERY_VEC, 10),
+        "langid": lambda s, d: textstats.langid(_docs(s, d)),
+        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
+        "token_count_stats": lambda s, d: textstats.token_count_stats(_docs(s, d)),
+        "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_counts": core.token_counts_sql(),
+        "doc_lengths": core.doc_lengths_sql(),
+        "term_stats": core.term_stats_sql(),
+        "bm25_topk": core.bm25_topk_sql(BM25_QUERY, 10),
+        "bm25_hot": core.bm25_topk_sql(BM25_HOT_QUERY, 10),
+        "bm25_miss": core.bm25_topk_sql(BM25_MISS_QUERY, 10),
+        "candidate_runs": keyphrase.candidate_runs_sql(),
+        "ngram_candidates": keyphrase.ngram_candidates_sql(),
+        "firstphrases": keyphrase.firstphrases_sql(5),
+        "tfidf_topk": keyphrase.tfidf_topk_sql(3),
+        "kpminer": keyphrase.kpminer_sql(5),
+        "bigrams": keyphrase.bigrams_sql(),
+        "dedup_exact": dedup.dedup_exact_sql(),
+        "minhash_lsh": dedup.minhash_lsh_pairs_sql(),
+        "simhash": dedup.simhash_sql(),
+        "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "ann_cosine_topk": similarity.ann_cosine_topk_sql(ANN_QUERY_VEC, 10),
+        "embedding_dups": similarity.embedding_cosine_pairs_sql(0.45),
+        # ann_lsh_topk: bucketing not SQL-expressible -> rows-only check;
+        # recall vs brute force asserted in tests/test_similarity.py
+        "langid": textstats.langid_sql(),
+        "quality_score": textstats.quality_score_sql(),
+        "token_count_stats": textstats.token_count_stats_sql(),
+        "fingerprint": textstats.fingerprint_sql(),
+    }

@@ -1,0 +1,123 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline numbers:
+- index_build_docs_per_sec: full inverted-index build (stage + segments
+  + salted encode) over the deterministic synthetic source-code corpus
+  (input_hint shape) at ~200k docs/SF.
+- bm25_p50_sec: median Block-Max WAND top-10 latency over a fixed
+  21-query set against that index.
+- per-query wall times for the main __spark_entry__.queries() entries
+  at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+If benchmarks/scaling.json exists (written by scripts/scaling.py: the
+same build at local[8] vs local[32]), its numbers are embedded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from pke_spark.corpus import synth_corpus, with_doc_ids  # noqa: E402
+from pke_spark.index.build import IndexReader, build_index  # noqa: E402
+from pke_spark.index.wand import wand_topk  # noqa: E402
+from pke_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    ["build", "index"], ["def"], ["return"], ["import"],
+    ["uniq", "tok", "7"], ["uniq", "tok", "777"], ["decode", "varint"],
+    ["pack", "probe", "cursor"], ["rank", "shard"], ["flush", "buffer"],
+    ["emit", "stream"], ["scan", "block", "delta"], ["lexer"],
+    ["parser", "cache"], ["seek", "codec"], ["core", "lib", "42"],
+    ["encode", "posting"], ["split", "token"], ["fetch", "writer"],
+    ["nosuchterm"], ["def", "build", "index", "token"],
+]
+
+SUITE = ["token_counts", "term_stats", "bm25_topk", "bm25_hot",
+         "candidate_runs", "ngram_candidates", "tfidf_topk", "firstphrases",
+         "kpminer", "bigrams", "dedup_exact", "simhash", "ngram_jaccard",
+         "minhash_lsh", "ann_cosine_topk", "ann_lsh_topk", "embedding_dups",
+         "langid", "quality_score", "token_count_stats", "fingerprint"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_synth = max(2000, int(200_000 * sf))
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t_start = time.time()
+    results: dict[str, float] = {}
+
+    # ---- headline 1: index build throughput (synthetic corpus) ----
+    corpus = with_doc_ids(synth_corpus(spark, n_synth, partitions=cpus))
+    docs = corpus.select("doc_id", corpus.content.alias("text"))
+    ix_dir = tempfile.mkdtemp(prefix="pke_spark_bench_ix_")
+    t0 = time.time()
+    build_index(docs, ix_dir, n_parts=8, n_salts=8)
+    build_sec = time.time() - t0
+    results["index_build"] = round(build_sec, 3)
+    docs_per_sec = n_synth / build_sec
+
+    # ---- headline 2: WAND top-10 latency p50 ----
+    ix = IndexReader(spark, ix_dir)
+    lat = []
+    for q in BENCH_QUERIES:
+        t0 = time.time()
+        wand_topk(ix, q, 10).collect()
+        lat.append(time.time() - t0)
+    p50 = statistics.median(lat)
+    results["bm25_wand_p50"] = round(p50, 4)
+
+    # ---- per-query suite at sf_dir ----
+    qs = entry.queries()
+    for name in SUITE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        results[name] = round(time.time() - t0, 3)
+
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    total = round(time.time() - t_start, 3)
+
+    extras = {
+        "index_build_docs_per_sec": round(docs_per_sec, 1),
+        "index_build_n_docs": n_synth,
+        "bm25_wand_p50_sec": round(p50, 4),
+        "bm25_wand_mean_sec": round(sum(lat) / len(lat), 4),
+        "cpus": cpus,
+    }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            extras["scaling"] = json.load(f)
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

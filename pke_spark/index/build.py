@@ -1,0 +1,242 @@
+"""Inverted-index build: staged, per-partition-checkpointed, salted.
+
+Distributed generalization of the reference's corpus batch job
+``compute_document_frequency`` (pke/utils.py:63-139): scan -> tokenize ->
+per-doc term counts -> global term aggregation -> index sink, with the
+``--NB_DOC--`` corpus-size row generalized into a stats/manifest table.
+
+Layout under ``index_dir``:
+  staged/part=K/     input docs repartitioned once by doc-hash (one full
+                     input pass; later phases read single partitions via
+                     partition pruning — no input rescans)
+  segments/part=K/   (term, doc_id, tf) + doclen/part=K (doc_id, dl)
+                     per-partition checkpoint units
+  manifest/          lineage rows (build_id, phase, part, status,
+                     doc_count, term_count, bytes, input_snapshot)
+  postings/          final index (term, shard, df, cf, blocks[...])
+  stats/             single row (n_docs, avgdl, n_terms, hot_threshold)
+
+Skew (SURVEY §4.3): terms with df >= hot_threshold are salted into
+``n_salts`` doc-hash shards at the groupBy so no single task ever holds a
+full hot-term posting list ('def'/'import' class terms). ``compact()``
+then hierarchically merges shards per term with bounded fan-in; mega
+terms may stay sharded — the query side is shard-agnostic because a doc
+lands in exactly one shard per term.
+
+Resumability (north rule): each phase-A partition is a checkpoint unit;
+``build_index(..., resume=True)`` anti-joins completed parts from the
+manifest and processes only the rest. Tested by killing after m of M
+parts and asserting the resumed index equals a single-run build.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from ..tokenizer import tokens_array
+from . import codec
+
+BLOCK_STRUCT = StructType([
+    StructField("first_doc", LongType()),
+    StructField("last_doc", LongType()),
+    StructField("n", IntegerType()),
+    StructField("max_tf", IntegerType()),
+    StructField("docs", BinaryType()),
+    StructField("tfs", BinaryType()),
+    StructField("dls", BinaryType()),
+])
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("shard", IntegerType()),
+    StructField("df", LongType()),
+    StructField("cf", LongType()),
+    StructField("blocks", ArrayType(BLOCK_STRUCT)),
+])
+
+MANIFEST_SCHEMA = ("build_id string, phase string, part int, status string, "
+                   "doc_count long, term_count long, bytes long, "
+                   "input_snapshot string, ts double")
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]):
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(f"{index_dir}/manifest")
+
+
+def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{index_dir}/manifest")
+
+
+def _encode_partition(pdf_iter, block_size: int):
+    """mapInPandas over (term, shard)-sorted partitions: encode each
+    group's postings into varint blocks. One Python call per Arrow
+    batch, vectorized codec inside."""
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        out = []
+        pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
+        for (term, shard), g in pdf.groupby(["term", "shard"], sort=False):
+            docs = g["doc_id"].to_numpy()
+            tfs = g["tf"].to_numpy()
+            dls = g["dl"].to_numpy()
+            out.append((term, int(shard), len(docs), int(tfs.sum()),
+                        codec.encode_blocks(docs, tfs, dls, block_size)))
+        yield pd.DataFrame(out, columns=["term", "shard", "df", "cf", "blocks"])
+
+
+def build_index(docs: DataFrame, index_dir: str, *,
+                n_parts: int = 8, n_salts: int = 8,
+                hot_threshold: int | None = None,
+                block_size: int = codec.BLOCK_SIZE,
+                resume: bool = False,
+                fail_after_parts: int | None = None,
+                input_snapshot: str = "",
+                id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Build the index at ``index_dir``. ``fail_after_parts`` simulates a
+    crash mid-build for resumability tests."""
+    spark = docs.sparkSession
+    build_id = uuid.uuid4().hex[:12]
+
+    # ---- phase 0: stage input once, hash-partitioned by doc ----
+    staged_path = f"{index_dir}/staged"
+    if not (resume and os.path.exists(staged_path)):
+        (docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+             .withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
+             .repartition(n_parts, "part")
+             .write.partitionBy("part").mode("overwrite").parquet(staged_path))
+        _append_manifest(spark, index_dir,
+                         [(build_id, "stage", -1, "done", docs.count(), 0,
+                           _dir_bytes(staged_path), input_snapshot, time.time())])
+
+    # ---- phase A: per-partition segment build (checkpoint unit) ----
+    done: set[int] = set()
+    if resume and os.path.exists(f"{index_dir}/manifest"):
+        m = read_manifest(spark, index_dir)
+        done = {r.part for r in
+                m.filter((m.phase == "segment") & (m.status == "done")).collect()}
+    pending = [p for p in range(n_parts) if p not in done]
+
+    for i, part in enumerate(pending):
+        if fail_after_parts is not None and i >= fail_after_parts:
+            raise RuntimeError(f"simulated crash after {i} parts")
+        part_docs = spark.read.parquet(staged_path).filter(F.col("part") == part)
+        toks = part_docs.select(
+            "doc_id", F.explode(tokens_array("text")).alias("term"))
+        tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        tc.write.mode("overwrite").parquet(f"{index_dir}/segments/part={part}")
+        dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(f"{index_dir}/doclen/part={part}")
+        seg_bytes = _dir_bytes(f"{index_dir}/segments/part={part}")
+        _append_manifest(spark, index_dir, [(
+            build_id, "segment", part, "done",
+            dl.count(), tc.select("term").distinct().count(),
+            seg_bytes, input_snapshot, time.time())])
+
+    # ---- phase B: global stats + salted posting encode ----
+    tc = spark.read.parquet(f"{index_dir}/segments")
+    dl = spark.read.parquet(f"{index_dir}/doclen").select("doc_id", "dl")
+    stats = tc.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = dl.count()
+    avgdl = dl.agg(F.avg("dl")).first()[0]
+    if hot_threshold is None:
+        hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
+    hot_terms = stats.filter(F.col("df") >= hot_threshold).select("term")
+
+    salted = (tc.join(dl, "doc_id")
+              .join(F.broadcast(hot_terms.withColumn("__hot", F.lit(1))),
+                    "term", "left")
+              .withColumn("shard",
+                          F.when(F.col("__hot").isNotNull(),
+                                 F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
+                          .otherwise(F.lit(0)).cast("int"))
+              .select("term", "shard", "doc_id", "tf", "dl"))
+    postings = (salted.repartition("term", "shard")
+                .sortWithinPartitions("term", "shard", "doc_id")
+                .mapInPandas(lambda it: _encode_partition(it, block_size),
+                             POSTINGS_SCHEMA))
+    postings.write.mode("overwrite").parquet(f"{index_dir}/postings")
+
+    dl.write.mode("overwrite").parquet(f"{index_dir}/docstats")
+    spark.createDataFrame(
+        [(int(n_docs), float(avgdl), int(hot_threshold), int(block_size))],
+        "n_docs long, avgdl double, hot_threshold long, block_size int"
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    _append_manifest(spark, index_dir, [(
+        build_id, "postings", -1, "done", n_docs,
+        stats.count(), _dir_bytes(f"{index_dir}/postings"),
+        input_snapshot, time.time())])
+
+
+def compact(spark: SparkSession, index_dir: str, *,
+            max_merge_docs: int = 5_000_000,
+            block_size: int = codec.BLOCK_SIZE) -> None:
+    """Hierarchical bounded-fan-in merge of hot-term shards: decode the
+    <= n_salts sorted runs per term, k-way merge, re-encode. Terms whose
+    total df exceeds ``max_merge_docs`` stay sharded (a 10^12-scale 'def'
+    never needs to live in one task)."""
+    p = spark.read.parquet(f"{index_dir}/postings")
+    sizes = p.groupBy("term").agg(F.sum("df").alias("df_total"),
+                                  F.count("*").alias("n_shards"))
+    todo = sizes.filter((F.col("n_shards") > 1) &
+                        (F.col("df_total") <= max_merge_docs)).select("term")
+    keep = p.join(F.broadcast(todo), "term", "left_anti")
+
+    def _merge(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for term, g in pdf.groupby("term", sort=False):
+                runs = [codec.decode_blocks(b) for b in g["blocks"]]
+                docs, tfs, dls = codec.merge_sorted_runs(runs)
+                out.append((term, 0, len(docs), int(tfs.sum()),
+                            codec.encode_blocks(docs, tfs, dls, block_size)))
+            yield pd.DataFrame(out, columns=["term", "shard", "df", "cf", "blocks"])
+
+    merged = (p.join(F.broadcast(todo), "term")
+              .repartition("term")
+              .mapInPandas(_merge, POSTINGS_SCHEMA))
+    merged.unionByName(keep).write.mode("overwrite") \
+        .parquet(f"{index_dir}/postings_compacted")
+    # atomic-ish swap
+    os.rename(f"{index_dir}/postings", f"{index_dir}/postings_old")
+    os.rename(f"{index_dir}/postings_compacted", f"{index_dir}/postings")
+    import shutil
+    shutil.rmtree(f"{index_dir}/postings_old")
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        st = spark.read.parquet(f"{index_dir}/stats").first()
+        self.n_docs = st.n_docs
+        self.avgdl = st.avgdl
+        self.block_size = st.block_size
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/postings")
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docstats")
+
+    def term_postings(self, terms: list[str]) -> DataFrame:
+        # predicate pushdown on `term` prunes row groups at the scan
+        return self.postings().filter(F.col("term").isin(terms))

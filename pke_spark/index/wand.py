@@ -1,0 +1,211 @@
+"""Query-time BM25 over the compressed index, with Block-Max pruning.
+
+Two scorers, both score-EXACT (identical to the exhaustive DataFrame
+scorer ops/core.bm25_topk — asserted in tests):
+
+- ``bm25_indexed``: decode postings of the query terms (doc lengths are
+  embedded in the blocks, so no doc-stats join), pure-DataFrame scoring.
+  Plan: term-pruned parquet scan -> mapInPandas decode -> hash agg on
+  doc_id -> TakeOrderedAndProject global top-k.
+
+- ``wand_topk``: Block-Max pruned top-k. Query-term blocks are
+  range-partitioned over the docID space into buckets (a block
+  overlapping two buckets goes to both and is clipped at decode), then
+  each bucket runs a block-max term-at-a-time scorer in numpy:
+  terms processed in descending upper-bound order; blocks whose
+  block-max upper bound plus the remaining terms' upper bounds cannot
+  beat the bucket's current k-th best score are never decoded;
+  accumulated docs that provably cannot reach the k-th best are dropped.
+  Per-bucket exact top-k, then one global TakeOrderedAndProject merge.
+  OR-semantics BM25; pruning only discards provably-losing work, so the
+  result is exact (a safety epsilon protects the 6-decimal rounding of
+  final scores).
+
+Block upper bound: tf_part(tf, dl) = tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))
+is increasing in tf and decreasing in dl, so
+ub = idf · max_tf(k1+1)/(max_tf + k1(1-b)) (dl->0 limit) is valid.
+
+At 10^12 scale the bucket fan-out is the parallelism knob: each bucket
+sees only the query terms' blocks overlapping its doc range (hot terms'
+lists are spread across all buckets — the read-side analog of the
+build-side salting).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import codec
+from .build import IndexReader
+
+K1 = 1.2
+B = 0.75
+_EPS = 1e-6  # pruning safety margin vs 6-decimal score rounding
+
+
+def _idf(n: int, df: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
+              .select("rank", "doc_id", "score")
+
+
+def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
+                 k1: float = K1, b: float = B) -> DataFrame:
+    """Exhaustive BM25 from the index (decode + DataFrame scoring)."""
+    terms = sorted(set(query_terms))
+    post = ix.term_postings(terms)
+    stats = post.groupBy("term").agg(F.sum("df").alias("df"))
+
+    def _decode(pdf_iter):
+        for pdf in pdf_iter:
+            frames = []
+            for _, r in pdf.iterrows():
+                docs, tfs, dls = codec.decode_blocks(r["blocks"])
+                frames.append(pd.DataFrame(
+                    {"term": r["term"], "doc_id": docs, "tf": tfs, "dl": dls}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    tc = post.select("term", "blocks").mapInPandas(
+        _decode, "term string, doc_id long, tf long, dl long")
+    n, avgdl = float(ix.n_docs), float(ix.avgdl)
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (tc.join(F.broadcast(stats), "term")
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+    return _rank_topk(scored, k)
+
+
+def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
+              k1: float = K1, b: float = B, n_buckets: int = 64) -> DataFrame:
+    """Block-Max pruned BM25 top-k (see module docstring)."""
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    shift = 64 - int(math.log2(n_buckets))
+    terms = sorted(set(query_terms))
+    post = ix.term_postings(terms)
+    term_df = {r["term"]: int(r["df"]) for r in
+               post.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+    if not term_df:
+        return _rank_topk(
+            ix.spark.createDataFrame([], "doc_id long, score double"), k)
+    n_docs, avgdl = int(ix.n_docs), float(ix.avgdl)
+
+    sign = F.lit(-(1 << 63)).cast("long")
+    blocks = post.select("term", F.explode("blocks").alias("b")).select(
+        "term", "b.*",
+        F.shiftrightunsigned(F.col("b.first_doc").bitwiseXOR(sign), shift).alias("b1"),
+        F.shiftrightunsigned(F.col("b.last_doc").bitwiseXOR(sign), shift).alias("b2"),
+    )
+    u64_max = np.uint64(0xFFFFFFFFFFFFFFFF)
+    bucketed = (blocks
+                .withColumn("bucket", F.explode(F.sequence("b1", "b2")))
+                .drop("b1", "b2"))
+
+    idfs = {t: _idf(n_docs, df) for t, df in term_df.items()}
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Exact two-pass block-max top-k for one docID-range bucket.
+
+        Pass 1 (threshold discovery): pruned term-at-a-time sweep in
+        descending upper-bound order; its k-th best accumulated score is
+        a LOWER bound theta on the true k-th best score (accumulations
+        only ever understate).
+
+        Pass 2 (exact): decode exactly the blocks that could contain a
+        doc scoring >= theta. Proof a true top-k doc d is fully covered:
+        for any term t with a block s containing d,
+        ub(s) + sum_{t' != t} maxub(t') >= score(d) >= theta, so s is a
+        candidate block. Exhaustive vectorized scoring over candidate
+        blocks therefore yields exact scores for every true top-k doc;
+        other docs may be understated, which cannot perturb the top-k
+        selection (their true scores are below the k-th).
+        """
+        bkt = np.uint64(pdf["bucket"].iloc[0])
+        lo = codec.from_u64(np.array([bkt << np.uint64(shift)], np.uint64))[0]
+        hi_u = (bkt << np.uint64(shift)) | (u64_max >> np.uint64(64 - shift))
+        hi = codec.from_u64(np.array([hi_u], np.uint64))[0]
+        groups = []
+        for t, g in pdf.groupby("term", sort=True):
+            mt = g["max_tf"].to_numpy(np.float64)
+            ubs = idfs[t] * (mt * (k1 + 1.0)) / (mt + k1 * (1.0 - b))
+            groups.append((float(ubs.max()), t, g, ubs))
+        groups.sort(key=lambda x: (-x[0], x[1]))
+        term_maxub = [g[0] for g in groups]
+        total_ub = float(sum(term_maxub))
+
+        cache: dict[tuple[str, int], tuple] = {}
+
+        def decode(t, g, j):
+            key = (t, j)
+            if key not in cache:
+                row = g.iloc[j]
+                d, tf, dl = codec.decode_block(row)
+                m = (d >= lo) & (d <= hi)
+                cache[key] = (d[m], tf[m], dl[m])
+            return cache[key]
+
+        def contrib_of(t, tf, dl):
+            return idfs[t] * (tf * (k1 + 1.0)) / \
+                (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+        # ---- pass 1: theta ----
+        acc = pd.Series(dtype=np.float64)
+        theta = -np.inf
+        for i, (tub, t, g, ubs) in enumerate(groups):
+            rem_after = float(sum(term_maxub[i + 1:]))
+            if np.isfinite(theta) and tub + rem_after < theta - _EPS:
+                break
+            parts = []
+            for j, ub in enumerate(ubs):
+                if np.isfinite(theta) and ub + rem_after < theta - _EPS:
+                    continue
+                d, tf, dl = decode(t, g, j)
+                if len(d):
+                    parts.append((d, tf, dl))
+            if parts:
+                d = np.concatenate([p[0] for p in parts])
+                tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
+                dl = np.concatenate([p[2] for p in parts]).astype(np.float64)
+                acc = acc.add(pd.Series(contrib_of(t, tf, dl), index=d),
+                              fill_value=0.0)
+            if len(acc) >= k:
+                kth = float(np.partition(acc.to_numpy(), -k)[-k])
+                theta = max(theta, kth)
+
+        # ---- pass 2: exact over candidate blocks ----
+        frames = []
+        for i, (tub, t, g, ubs) in enumerate(groups):
+            other_ub = total_ub - term_maxub[i]
+            for j, ub in enumerate(ubs):
+                if np.isfinite(theta) and ub + other_ub < theta - _EPS:
+                    continue
+                d, tf, dl = decode(t, g, j)
+                if len(d):
+                    frames.append(pd.DataFrame({
+                        "doc_id": d,
+                        "c": contrib_of(t, tf.astype(np.float64),
+                                        dl.astype(np.float64))}))
+        if not frames:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        exact = pd.concat(frames, ignore_index=True).groupby("doc_id")["c"].sum()
+        docs = exact.index.to_numpy(np.int64)
+        scores = np.round(exact.to_numpy(), 6)
+        order = np.lexsort((docs, -scores))[:k]
+        return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
+
+    local = bucketed.groupBy("bucket").applyInPandas(
+        score_bucket, "doc_id long, score double")
+    return _rank_topk(local, k)

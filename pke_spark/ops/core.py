@@ -1,0 +1,126 @@
+"""Core engine: token counts, document stats, term stats (the DF table),
+and exhaustive BM25 top-k — the generalization of the reference's
+``compute_document_frequency`` (pke/utils.py:63-139) +
+``TfIdf.candidate_weighting`` + ``get_n_best`` (pke/base.py:159-206).
+
+Every builder has a DuckDB oracle twin (``*_SQL``) that MUST compute the
+same result; column names/types are aliased identically on both sides.
+
+BM25: k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+(Lucene/Robertson variant). Scores rounded to 6 decimals on BOTH sides
+and ordering is on the ROUNDED score (score DESC, doc_id ASC) so ranks
+are engine-independent (SURVEY §7.3 deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import duckdb_toks_cte, tokens_exploded
+
+K1 = 1.2
+B = 0.75
+
+
+# ---------------------------------------------------------------- Spark
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — pke's Candidate.surface_forms TF (A3)."""
+    return (tokens_exploded(docs)
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl) — pke's maximum_offset analog (kea.py:119)."""
+    return tokens_exploded(docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+def term_stats(docs: DataFrame) -> DataFrame:
+    """(term, df, cf) — the corpus DF table (pke/utils.py:63-139, A1).
+
+    df = #docs containing term; cf = total occurrences. Two-phase hash
+    aggregation (partial per partition + final merge) is exactly the
+    per-partition-index + merge of the reference's batch job, done by
+    Catalyst automatically.
+    """
+    return (token_counts(docs)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = K1, b: float = B) -> DataFrame:
+    """Exhaustive BM25 top-k as pure DataFrame ops (the M1 scorer).
+
+    Plan shape at scale: query terms are broadcast; per-term stats are
+    broadcast (tiny after the semi-join on query terms); the only big
+    shuffle is tc⋈dl on doc_id, then a partial-aggregated groupBy(doc_id)
+    and a TakeOrderedAndProject global top-k.
+    """
+    spark = docs.sparkSession
+    toks = tokens_exploded(docs)
+    tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    stats_q = (tc.groupBy("term").agg(F.count("*").alias("df"))
+               .join(F.broadcast(q), "term"))
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (tc.join(F.broadcast(stats_q), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(g))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
+              .select("rank", "doc_id", "score")
+
+
+# --------------------------------------------------------------- DuckDB
+
+def token_counts_sql() -> str:
+    return f"""WITH {duckdb_toks_cte()}
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term"""
+
+
+def doc_lengths_sql() -> str:
+    return f"""WITH {duckdb_toks_cte()}
+SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id"""
+
+
+def term_stats_sql() -> str:
+    return f"""WITH {duckdb_toks_cte()},
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tc GROUP BY term"""
+
+
+def bm25_topk_sql(query_terms: list[str], k: int = 10,
+                  k1: float = K1, b: float = B) -> str:
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"""WITH {duckdb_toks_cte()},
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+q AS (SELECT unnest([{qlist}]) AS term),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term),
+scored AS (
+  SELECT tc.doc_id,
+         round(sum( ln(1 + (g.n - s.df + 0.5)/(s.df + 0.5))
+              * (tc.tf * ({k1} + 1.0))
+              / (tc.tf + {k1} * (1.0 - {b} + {b} * dl.dl / g.avgdl)) ), 6) AS score
+  FROM tc
+  JOIN q USING (term)
+  JOIN stats s USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+  GROUP BY tc.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""

@@ -1,0 +1,221 @@
+"""Deduplication operators over the documents table — the
+training-data-pipeline extensions (exact, MinHash+LSH, SimHash,
+n-gram Jaccard; embedding near-dup lives in ops/similarity.py).
+
+All hashing is expressed with md5 (identical in Spark and DuckDB) so
+every operator has an oracle twin:
+- 64-bit-ish hashes: first 15 hex chars of md5 -> BIGINT (60 bits),
+  Spark ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+  ``('0x'||substr(md5(x),1,15))::BIGINT``.
+
+Scale notes: exact dedup is a hash-groupBy (one shuffle, AQE-skew
+safe). MinHash-LSH is the scale path for near-dup: signatures are a
+groupBy over (doc, hash_i); candidate pairs come from equi-joins on
+band keys (no cross join anywhere). SimHash emits one fingerprint per
+doc; banding on simhash prefixes gives near-dup candidates without a
+cross join. n-gram Jaccard is exact pairwise over shingle-share pairs
+(equi-join on shingle), suitable as a verifier behind LSH at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import duckdb_toks_cte, tokens_exploded
+
+N_MINHASH = 16
+N_BANDS = 2          # 2 bands x 8 rows: P(candidate) = 1-(1-J^8)^2
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.5
+
+
+def _h64(col) -> F.Column:
+    """First 15 hex chars of md5 -> non-negative BIGINT (60 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H64_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+# ------------------------------------------------------------ exact
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_md5, group_size, canonical_doc_id) for every doc;
+    group_size > 1 marks exact duplicates, canonical = min doc_id."""
+    h = docs.select("doc_id", F.md5("text").alias("text_md5"))
+    w = Window.partitionBy("text_md5")
+    return (h.withColumn("group_size", F.count("*").over(w))
+            .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+            .select("doc_id", "text_md5", "group_size", "canonical_doc_id"))
+
+
+def dedup_exact_sql() -> str:
+    return """SELECT doc_id, md5(text) AS text_md5,
+       count(*) OVER (PARTITION BY md5(text))::BIGINT AS group_size,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+FROM documents"""
+
+
+# ------------------------------------------------------------ minhash
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, i, sig): sig_i = min over distinct tokens of h64(i:token)."""
+    toks = tokens_exploded(docs).select("doc_id", "term").distinct()
+    hashes = docs.sparkSession.range(n_hashes).select(F.col("id").alias("i"))
+    return (toks.crossJoin(F.broadcast(hashes))
+            .select("doc_id", "i",
+                    _h64(F.concat(F.col("i").cast("string"), F.lit(":"),
+                                  F.col("term"))).alias("h"))
+            .groupBy("doc_id", "i").agg(F.min("h").alias("sig")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
+                      n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for pairs sharing >= 1 LSH band.
+    est_jaccard = fraction of matching minhash signatures."""
+    sigs = minhash_signatures(docs, n_hashes).cache()
+    rows = n_hashes // n_bands
+    bands = sigs.groupBy("doc_id", (F.col("i") / rows).cast("int").alias("band")) \
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sig"))),
+            lambda s: s.sig.cast("string")), ",").alias("key"))
+    pairs = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+    est = (pairs
+           .join(sigs.withColumnRenamed("doc_id", "doc_a")
+                     .withColumnRenamed("sig", "sig_a"), ["doc_a"])
+           .join(sigs.withColumnRenamed("doc_id", "doc_b")
+                     .withColumnRenamed("sig", "sig_b"), ["doc_b", "i"])
+           .groupBy("doc_a", "doc_b")
+           .agg(F.round(F.sum((F.col("sig_a") == F.col("sig_b")).cast("int"))
+                        / float(n_hashes), 6).alias("est_jaccard")))
+    return est
+
+
+def minhash_lsh_pairs_sql(n_hashes: int = N_MINHASH,
+                          n_bands: int = N_BANDS) -> str:
+    rows = n_hashes // n_bands
+    h = _H64_SQL.format(x="i::VARCHAR || ':' || term")
+    return f"""WITH {duckdb_toks_cte()},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+sigs AS (
+  SELECT doc_id, i, min({h}) AS sig
+  FROM dt CROSS JOIN (SELECT unnest(range({n_hashes})) AS i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, (i // {rows})::INTEGER AS band,
+         string_agg(sig::VARCHAR, ',' ORDER BY i) AS key
+  FROM sigs GROUP BY doc_id, i // {rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b,
+       round(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / {float(n_hashes)}, 6)
+         AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b AND sa.i = sb.i
+GROUP BY p.doc_a, p.doc_b"""
+
+
+# ------------------------------------------------------------ simhash
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): tf-weighted majority vote over md5-derived
+    per-token bit vectors (16 bits: first 4 md5 hex chars)."""
+    tc = (tokens_exploded(docs)
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+          .withColumn("val", F.conv(F.substring(F.md5("term"), 1, 4), 16, 10)
+                      .cast("long")))
+    b = docs.sparkSession.range(bits).select(F.col("id").alias("b"))
+    bitsum = (tc.crossJoin(F.broadcast(b))
+              .withColumn("bit",
+                          (F.floor(F.col("val") / F.pow(F.lit(2.0), F.col("b")))
+                           % 2).cast("long"))
+              .groupBy("doc_id", "b")
+              .agg(F.sum(F.col("tf") * (2 * F.col("bit") - 1)).alias("s")))
+    return (bitsum.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("s") > 0,
+                              F.pow(F.lit(2.0), F.col("b")).cast("long"))
+                       .otherwise(F.lit(0))).alias("simhash")))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    return f"""WITH {duckdb_toks_cte()},
+tc AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(term), 1, 4))::BIGINT AS val
+  FROM toks GROUP BY doc_id, term),
+bitsum AS (
+  SELECT doc_id, b, sum(tf * (2 * ((val // (2 ** b)::BIGINT) % 2) - 1)) AS s
+  FROM tc CROSS JOIN (SELECT unnest(range({bits})) AS b)
+  GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY doc_id"""
+
+
+# ----------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over distinct token n-gram shingles,
+    exact, via equi-join on shingle (no cross join)."""
+    toks = tokens_exploded(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks
+    cols = [F.col("term")]
+    for j in range(1, n):
+        sh = sh.withColumn(f"t{j}", F.lead("term", j).over(w))
+        cols.append(F.col(f"t{j}"))
+    shingles = (sh.filter(F.col(f"t{n-1}").isNotNull())
+                .select("doc_id", F.concat_ws(" ", *cols).alias("shingle"))
+                .distinct())
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (shingles.alias("a").join(
+        shingles.alias("b"),
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                       .withColumnRenamed("sz", "sz_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                       .withColumnRenamed("sz", "sz_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def ngram_jaccard_pairs_sql(n: int = 3,
+                            threshold: float = JACCARD_THRESHOLD) -> str:
+    leads = " || ' ' || ".join(
+        ["term"] + [f"lead(term, {j}) OVER (PARTITION BY doc_id ORDER BY pos)"
+                    for j in range(1, n)])
+    return f"""WITH {duckdb_toks_cte()},
+sh0 AS (SELECT doc_id, {leads} AS shingle FROM toks),
+shingles AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}"""

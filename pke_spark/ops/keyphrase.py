@@ -1,0 +1,309 @@
+"""pke-parity keyphrase operators, re-expressed as Spark DataFrame plans
+with DuckDB oracle twins.
+
+- candidate_runs: maximal runs of non-stopword tokens (the run-id trick)
+  = longest_sequence_selection (pke/base.py:274-314, C2/C4) + grouping
+  (add_candidate, pke/base.py:208-235, C5) + the candidate_filtering
+  predicate chain (pke/base.py:383-451, F1).
+- firstphrases: weight = -min(offset) ranking (firstphrases.py:55-64).
+- tfidf_topk: unigram TF x IDF with pke's +1 smoothing
+  idf = log2((N+1)/(df+1)) (tfidf.py:63-90; N+1/df+1 per tfidf.py:78,84).
+- kpminer: lasf/cutoff filtering (kpminer.py:60-91) + boosted weighting
+  (kpminer.py:93-151): unigram w = tf*log2(N'/(1+df)), multiword
+  w = tf*B*log2(N'/1) with B = min(N_d/(P_d*alpha), sigma), N' = N+1.
+- bigrams: n=2 slice of ngram_selection (pke/base.py:237-264, C1) via
+  window lead() (no self-join shuffle).
+
+Deterministic ordering everywhere: score DESC then candidate/term ASC
+(SURVEY §2.7 W4 — Spark sort is not stable, ties must be explicit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import (TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list,
+                         tokens_exploded)
+
+KP_LASF = 2       # pke default 3, scaled to the short testdata docs
+KP_CUTOFF = 40    # pke default 400, scaled likewise
+KP_ALPHA = 2.3
+KP_SIGMA = 3.0
+MAX_WORDS = 5     # F1: > 5 words -> drop
+MIN_CHARS = 3     # F1: total chars < 3 -> drop
+MIN_WORD_LEN = 2  # F1: any word < 2 chars -> drop
+
+
+# ---------------------------------------------------------------- Spark
+
+def candidate_runs(docs: DataFrame,
+                   stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    """(doc_id, candidate, tf, first_offset, n_words) — maximal
+    non-stopword runs, grouped by phrase, filtered per F1.
+
+    Run-id trick: run_id = running count of *stopword* tokens; within a
+    doc, consecutive non-stop tokens share a run_id. One shuffle
+    (doc_id) for the window, then two hash aggs.
+    """
+    toks = tokens_exploded(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    runs = (toks
+            .withColumn("flag", (~F.col("term").isin(*stoplist)).cast("int"))
+            .withColumn("run_id", F.sum(1 - F.col("flag")).over(w))
+            .filter(F.col("flag") == 1))
+    phrases = runs.groupBy("doc_id", "run_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                        lambda s: s.term), " ").alias("candidate"),
+        F.min("pos").cast("long").alias("start_pos"),
+        F.count("*").alias("n_words"))
+    cands = phrases.groupBy("doc_id", "candidate").agg(
+        F.count("*").alias("tf"),
+        F.min("start_pos").alias("first_offset"),
+        F.max("n_words").alias("n_words"))
+    return cands.filter(
+        (F.col("n_words") <= MAX_WORDS)
+        & (F.length(F.replace(F.col("candidate"), F.lit(" "), F.lit(""))) >= MIN_CHARS)
+        & (F.size(F.filter(F.split("candidate", " "),
+                           lambda x: F.length(x) < MIN_WORD_LEN)) == 0))
+
+
+def ngram_candidates(docs: DataFrame, n: int = 3,
+                     stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    """(doc_id, candidate, n_words, tf, first_offset) — all 1..n-grams
+    per doc (ngram_selection, pke/base.py:237-264) filtered per F1:
+    no stopword member, every word >= 2 chars, >= 3 total chars."""
+    toks = tokens_exploded(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    base = toks
+    for j in range(1, n):
+        base = base.withColumn(f"t{j}", F.lead("term", j).over(w))
+    frames = []
+    for size in range(1, n + 1):
+        cols = [F.col("term")] + [F.col(f"t{j}") for j in range(1, size)]
+        sel = base
+        if size > 1:
+            sel = sel.filter(F.col(f"t{size-1}").isNotNull())
+        frames.append(sel.select(
+            "doc_id", "pos",
+            F.concat_ws(" ", *cols).alias("candidate"),
+            F.array(*cols).alias("words"),
+            F.lit(size).cast("long").alias("n_words")))
+    allg = frames[0]
+    for f2 in frames[1:]:
+        allg = allg.unionByName(f2)
+    stop_arr = F.array(*[F.lit(s) for s in stoplist])
+    kept = allg.filter(
+        (~F.arrays_overlap("words", stop_arr))
+        & (F.size(F.filter("words", lambda x: F.length(x) < MIN_WORD_LEN)) == 0)
+        & (F.length(F.replace(F.col("candidate"), F.lit(" "), F.lit(""))) >= MIN_CHARS))
+    return kept.groupBy("doc_id", "candidate").agg(
+        F.count("*").alias("tf"),
+        F.min("pos").cast("long").alias("first_offset"),
+        F.max("n_words").alias("n_words"))
+
+
+def _ngrams_cte(n: int = 3, stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> str:
+    selects = []
+    for size in range(1, n + 1):
+        parts = ["term"] + [
+            f"lead(term, {j}) OVER (PARTITION BY doc_id ORDER BY pos)"
+            for j in range(1, size)]
+        cand = " || ' ' || ".join(parts)
+        selects.append(
+            f"SELECT doc_id, pos, {cand} AS candidate, {size}::BIGINT AS n_words "
+            "FROM toks")
+    union = " UNION ALL ".join(f"({s})" for s in selects)
+    return f"""allg AS ({union}),
+kept AS (
+  SELECT doc_id, pos, candidate, n_words
+  FROM allg
+  WHERE candidate IS NOT NULL
+    AND len(list_filter(string_split(candidate, ' '),
+            w -> w IN {sql_str_list(stoplist)})) = 0
+    AND len(list_filter(string_split(candidate, ' '),
+            w -> length(w) < {MIN_WORD_LEN})) = 0
+    AND length(replace(candidate, ' ', '')) >= {MIN_CHARS}),
+ngrams AS (
+  SELECT doc_id, candidate, count(*)::BIGINT AS tf,
+         min(pos)::BIGINT AS first_offset, max(n_words)::BIGINT AS n_words
+  FROM kept GROUP BY doc_id, candidate)"""
+
+
+def firstphrases(docs: DataFrame, k: int = 5,
+                 stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    """Per-doc top-k candidates by first occurrence (FirstPhrases)."""
+    c = candidate_runs(docs, stoplist)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.asc("first_offset"), F.asc("candidate"))
+    return (c.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "candidate", "first_offset"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc top-k unigram terms by TF x IDF (pke +1 smoothing)."""
+    toks = tokens_exploded(docs)
+    tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = tc.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.count()
+    weight = F.round(
+        F.col("tf") * F.log2((F.lit(float(n)) + 1.0) / (F.col("df") + 1.0)), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (tc.join(stats, "term")
+            .withColumn("weight", weight)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "term", "tf", "weight"))
+
+
+def kpminer(docs: DataFrame, k: int = 5,
+            stoplist: tuple[str, ...] = TEXT_STOPWORDS,
+            lasf: int = KP_LASF, cutoff: int = KP_CUTOFF,
+            alpha: float = KP_ALPHA, sigma: float = KP_SIGMA) -> DataFrame:
+    """Per-doc top-k KPMiner-weighted candidates (see module docstring).
+    Candidates are 1..3-grams (pke uses ngram_selection(n=5),
+    kpminer.py:73) filtered by lasf/cutoff."""
+    n = docs.count()
+    c = (ngram_candidates(docs, 3, stoplist)
+         .filter((F.col("first_offset") <= cutoff) & (F.col("tf") >= lasf)))
+    # per-doc scalars N_d, P_d (A4) joined back
+    scal = c.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_d"),
+        F.greatest(F.lit(1), F.sum(F.when(F.col("n_words") > 1, F.col("tf"))
+                                   .otherwise(F.lit(0)))).alias("p_d"))
+    # df stats over single-word candidates only (kpminer df lookup is
+    # unigram-only; multiword candidate_df = 1)
+    uni_df = (c.filter(F.col("n_words") == 1)
+              .groupBy("candidate").agg(F.count("*").alias("df")))
+    boost = F.least(F.col("n_d") / (F.col("p_d") * alpha), F.lit(sigma))
+    n1 = float(n) + 1.0
+    idf = F.when(F.col("n_words") == 1,
+                 F.log2(F.lit(n1) / (1.0 + F.coalesce(F.col("df"), F.lit(0))))) \
+           .otherwise(F.log2(F.lit(n1)))
+    weight = F.round(
+        F.when(F.col("n_words") == 1, F.col("tf") * idf)
+        .otherwise(F.col("tf") * boost * idf), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("candidate"))
+    return (c.join(scal, "doc_id")
+            .join(uni_df, "candidate", "left")
+            .withColumn("weight", weight)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "candidate", "tf", "weight"))
+
+
+def bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, bigram, tf) via lead() — one shuffle, no self-join."""
+    toks = tokens_exploded(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (toks.withColumn("nxt", F.lead("term").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .select("doc_id",
+                    F.concat_ws(" ", "term", "nxt").alias("bigram"))
+            .groupBy("doc_id", "bigram").agg(F.count("*").alias("tf")))
+
+
+# --------------------------------------------------------------- DuckDB
+
+def _cands_cte(stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> str:
+    return f"""{duckdb_toks_cte()},
+flagged AS (
+  SELECT doc_id, pos, term,
+         CASE WHEN term IN {sql_str_list(stoplist)} THEN 0 ELSE 1 END AS flag
+  FROM toks),
+runs AS (
+  SELECT *, sum(1 - flag) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged),
+phrases AS (
+  SELECT doc_id, run_id, string_agg(term, ' ' ORDER BY pos) AS candidate,
+         min(pos)::BIGINT AS start_pos, count(*)::BIGINT AS n_words
+  FROM runs WHERE flag = 1 GROUP BY doc_id, run_id),
+cands AS (
+  SELECT doc_id, candidate, count(*)::BIGINT AS tf,
+         min(start_pos)::BIGINT AS first_offset,
+         max(n_words)::BIGINT AS n_words
+  FROM phrases GROUP BY doc_id, candidate
+  HAVING max(n_words) <= {MAX_WORDS}
+     AND length(replace(candidate, ' ', '')) >= {MIN_CHARS}
+     AND len(list_filter(string_split(candidate, ' '),
+             w -> length(w) < {MIN_WORD_LEN})) = 0)"""
+
+
+def ngram_candidates_sql(n: int = 3) -> str:
+    return f"""WITH {duckdb_toks_cte()},
+{_ngrams_cte(n)}
+SELECT doc_id, candidate, tf, first_offset, n_words FROM ngrams"""
+
+
+def candidate_runs_sql() -> str:
+    return f"""WITH {_cands_cte()}
+SELECT doc_id, candidate, tf, first_offset, n_words FROM cands"""
+
+
+def firstphrases_sql(k: int = 5) -> str:
+    return f"""WITH {_cands_cte()},
+ranked AS (
+  SELECT doc_id, candidate, first_offset,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY first_offset ASC, candidate ASC) AS INTEGER) AS rank
+  FROM cands)
+SELECT doc_id, rank, candidate, first_offset FROM ranked WHERE rank <= {k}"""
+
+
+def tfidf_topk_sql(k: int = 3) -> str:
+    return f"""WITH {duckdb_toks_cte()},
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ranked AS (
+  SELECT tc.doc_id, tc.term, tc.tf,
+         round(tc.tf * log2((n.n + 1.0) / (s.df + 1.0)), 6) AS weight,
+         CAST(row_number() OVER (PARTITION BY tc.doc_id
+              ORDER BY round(tc.tf * log2((n.n + 1.0) / (s.df + 1.0)), 6) DESC,
+                       tc.term ASC) AS INTEGER) AS rank
+  FROM tc JOIN stats s USING (term) CROSS JOIN n)
+SELECT doc_id, rank, term, tf, weight FROM ranked WHERE rank <= {k}"""
+
+
+def kpminer_sql(k: int = 5, lasf: int = KP_LASF, cutoff: int = KP_CUTOFF,
+                alpha: float = KP_ALPHA, sigma: float = KP_SIGMA) -> str:
+    return f"""WITH {duckdb_toks_cte()},
+{_ngrams_cte()},
+filtered AS (SELECT * FROM ngrams WHERE first_offset <= {cutoff} AND tf >= {lasf}),
+scal AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_d,
+         greatest(1, sum(CASE WHEN n_words > 1 THEN tf ELSE 0 END))::BIGINT AS p_d
+  FROM filtered GROUP BY doc_id),
+uni_df AS (
+  SELECT candidate, count(*)::BIGINT AS df FROM filtered
+  WHERE n_words = 1 GROUP BY candidate),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+weighted AS (
+  SELECT c.doc_id, c.candidate, c.tf,
+         round(CASE WHEN c.n_words = 1
+               THEN c.tf * log2((n.n + 1.0) / (1.0 + coalesce(u.df, 0)))
+               ELSE c.tf * least(s.n_d / (s.p_d * {alpha}), {sigma})
+                    * log2(n.n + 1.0) END, 6) AS weight
+  FROM filtered c
+  JOIN scal s USING (doc_id)
+  LEFT JOIN uni_df u ON c.candidate = u.candidate
+  CROSS JOIN n),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY weight DESC, candidate ASC) AS INTEGER) AS rank
+  FROM weighted)
+SELECT doc_id, rank, candidate, tf, weight FROM ranked WHERE rank <= {k}"""
+
+
+def bigrams_sql() -> str:
+    return f"""WITH {duckdb_toks_cte()},
+pairs AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM toks)
+SELECT doc_id, bigram, count(*)::BIGINT AS tf
+FROM pairs WHERE bigram IS NOT NULL GROUP BY doc_id, bigram"""

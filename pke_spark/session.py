@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults match the sandbox (local[32], 32 shuffle partitions) but every
+knob is parameterized so the same code runs on a multi-executor cluster
+via ``spark-submit --py-files`` (the builder config is additive — on a
+real cluster the master/partitions come from spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pke_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    - Arrow on (every Python boundary is pandas/Arrow-batched, never
+      per-row Python — per BASELINE input_hint).
+    - AQE on (post-shuffle coalescing + skew-join split); explicit
+      salting in the index build still handles hot-term skew because AQE
+      cannot split a single hot *group* (SURVEY §4.3).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,152 @@
+"""Code-aware tokenizer — ONE spec, THREE synchronized implementations.
+
+Spec (replaces the reference's spaCy tokenizer, pke/readers.py:60-116,
+with a code-aware equivalent per BASELINE.json input_hint):
+
+1. split camelCase boundaries:  ``([a-z0-9])([A-Z])``  -> "w1 W2"
+2. split acronym boundaries:    ``([A-Z]+)([A-Z][a-z])`` -> "HTML Parser"
+3. lowercase
+4. every non-[a-z0-9] run becomes a single space (splits snake_case,
+   dots, operators, punctuation — analog of pke's ``_is_alphanum``
+   filter, pke/base.py:369-381, applied at the lexical level)
+5. split on single spaces; drop empties
+
+Token positions are 1-based everywhere (Spark ``posexplode`` is 0-based,
+DuckDB ``generate_subscripts`` is 1-based — we standardize on 1-based).
+
+The three implementations MUST stay in lockstep; ``tests/test_tokenizer.py``
+asserts Spark == pandas == DuckDB on fixture strings and on real tables,
+and invariance to batch size / partition count (reader-equivalence analog
+of the reference's tests/test_reading.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---- the regex spec (plain ASCII, identical semantics in java.util.regex,
+# Python re, and DuckDB's RE2) ----
+CAMEL1 = r"([a-z0-9])([A-Z])"
+CAMEL2 = r"([A-Z]+)([A-Z][a-z])"
+NON_ALNUM = r"[^a-z0-9]+"
+
+_RE_CAMEL1 = re.compile(CAMEL1)
+_RE_CAMEL2 = re.compile(CAMEL2)
+_RE_NON_ALNUM = re.compile(NON_ALNUM)
+
+# ---- language-gated stoplists (analog of pke/lang.py:23-47 per-language
+# stoplists + the POS gate F6 of SURVEY §2.4; for code langs these are the
+# language keywords — the "stopwords of code") ----
+CODE_STOPLISTS: dict[str, tuple[str, ...]] = {
+    "python": ("def", "class", "import", "from", "return", "if", "else",
+               "elif", "for", "while", "in", "not", "and", "or", "is",
+               "none", "true", "false", "self", "pass", "with", "as",
+               "try", "except", "raise", "lambda", "yield"),
+    "java": ("public", "private", "protected", "static", "void", "class",
+             "import", "package", "return", "if", "else", "for", "while",
+             "new", "this", "final", "int", "long", "string", "boolean",
+             "null", "true", "false", "try", "catch", "throws"),
+    "js": ("function", "var", "let", "const", "return", "if", "else",
+           "for", "while", "new", "this", "null", "undefined", "true",
+           "false", "import", "export", "from", "async", "await", "class"),
+    "go": ("func", "package", "import", "return", "if", "else", "for",
+           "range", "var", "const", "type", "struct", "interface", "map",
+           "chan", "go", "defer", "nil", "true", "false", "err"),
+}
+
+# natural-language stoplist used for the driver `documents` table
+# (langs en/de/zh/es/fr share synthetic English-ish text)
+TEXT_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "the", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "be", "as", "at", "by", "it", "this",
+    "that", "from",
+)
+
+
+def stoplist_for(lang: str) -> tuple[str, ...]:
+    return CODE_STOPLISTS.get(lang, TEXT_STOPWORDS)
+
+
+# =====================================================================
+# 1) Spark Column implementation (JVM-side, whole-stage codegen — the
+#    hot path; no Python involved)
+# =====================================================================
+
+def tokens_array(col: Column | str) -> Column:
+    """content -> array<string> of tokens (Catalyst-native)."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(c, CAMEL1, r"$1 $2")
+    x = F.regexp_replace(x, CAMEL2, r"$1 $2")
+    x = F.lower(x)
+    x = F.regexp_replace(x, NON_ALNUM, " ")
+    x = F.trim(x)
+    return F.filter(F.split(x, " "), lambda t: t != F.lit(""))
+
+
+def tokens_exploded(df, text_col: str = "text", id_col: str = "doc_id"):
+    """documents -> (doc_id, pos [1-based], term), one row per token."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(tokens_array(text_col)).alias("pos0", "term"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+
+
+# =====================================================================
+# 2) pandas-vectorized implementation (used inside mapInPandas readers
+#    and by the single-node oracle; .str ops are C-vectorized)
+# =====================================================================
+
+def tokenize_series(s: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[str]] (vectorized, no per-row Python)."""
+    x = s.fillna("").astype(str)
+    x = x.str.replace(CAMEL1, r"\1 \2", regex=True)
+    x = x.str.replace(CAMEL2, r"\1 \2", regex=True)
+    x = x.str.lower()
+    x = x.str.replace(NON_ALNUM, " ", regex=True)
+    x = x.str.strip()
+    return x.str.split(" ").map(lambda toks: [t for t in toks if t])
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Single-string convenience (tests / oracle)."""
+    x = _RE_CAMEL1.sub(r"\1 \2", text)
+    x = _RE_CAMEL2.sub(r"\1 \2", x)
+    x = _RE_NON_ALNUM.sub(" ", x.lower()).strip()
+    return [t for t in x.split(" ") if t]
+
+
+# =====================================================================
+# 3) DuckDB SQL implementation (the oracle twin; RE2 regex, \1 backrefs,
+#    'g' global flag)
+# =====================================================================
+
+def duckdb_tokens_expr(text_col: str) -> str:
+    """SQL expression: text column -> LIST of tokens."""
+    return (
+        "list_filter(string_split(trim(regexp_replace(lower("
+        f"regexp_replace(regexp_replace({text_col}, "
+        "'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
+        "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), "
+        "'[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+    )
+
+
+def duckdb_toks_cte(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """CTE body: `tl` (token lists) and `toks` (doc_id, pos, term)."""
+    return (
+        f"tl AS (SELECT {id_col} AS doc_id, "
+        f"{duckdb_tokens_expr(text_col)} AS toks FROM {table}),\n"
+        "toks AS (SELECT doc_id, unnest(toks) AS term, "
+        "generate_subscripts(toks, 1) AS pos FROM tl)"
+    )
+
+
+def sql_str_list(items) -> str:
+    """('a','b') -> "('a','b')" for IN clauses (items must be sql-safe)."""
+    return "(" + ", ".join("'" + i.replace("'", "''") + "'" for i in items) + ")"

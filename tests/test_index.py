@@ -1,0 +1,173 @@
+"""Index round-trip (FIXTURES.md F5), codec property tests,
+resumability (F7), salted-merge invariance, and WAND score-exactness
+vs the exhaustive scorer (SURVEY §7.2 M2/M3)."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pke_spark import oracle
+from pke_spark.corpus import synth_corpus, with_doc_ids
+from pke_spark.index import codec
+from pke_spark.index.build import IndexReader, build_index, compact
+from pke_spark.index.wand import bm25_indexed, wand_topk
+from pke_spark.ops import core
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    c = with_doc_ids(synth_corpus(spark, N_DOCS, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    pdf = docs.toPandas()
+    return docs, dict(zip(pdf.doc_id, pdf.text))
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ix"))
+    docs, _ = corpus
+    build_index(docs, d, n_parts=4, n_salts=4, hot_threshold=50,
+                block_size=32)
+    return d
+
+
+def test_codec_roundtrip_random():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        docs = np.unique(rng.integers(-2**62, 2**62, 300).astype(np.int64))
+        tfs = rng.integers(1, 99, len(docs)).astype(np.int64)
+        dls = rng.integers(1, 9999, len(docs)).astype(np.int64)
+        blocks = codec.encode_blocks(docs, tfs, dls, block_size=17)
+        d2, t2, l2 = codec.decode_blocks(blocks)
+        assert np.array_equal(d2, docs)
+        assert np.array_equal(t2, tfs)
+        assert np.array_equal(l2, dls)
+
+
+def test_index_postings_equal_bruteforce(corpus, spark, index_dir):
+    """Index build -> decode -> equals brute-force oracle postings."""
+    _, texts = corpus
+    ix = IndexReader(spark, index_dir)
+    rows = ix.postings().collect()
+    got = []
+    for r in rows:
+        docs, tfs, _ = codec.decode_blocks(r.blocks)
+        got += [(r.term, int(d), int(t)) for d, t in zip(docs, tfs)]
+    got_df = pd.DataFrame(sorted(got), columns=["term", "doc_id", "tf"])
+    want = oracle.postings(texts)
+    pd.testing.assert_frame_equal(got_df.reset_index(drop=True), want)
+
+
+def test_index_stats(corpus, spark, index_dir):
+    _, texts = corpus
+    ix = IndexReader(spark, index_dir)
+    assert ix.n_docs == len(texts)
+    _, _, dls, _, avgdl = oracle.build_stats(texts)
+    assert abs(ix.avgdl - avgdl) < 1e-9
+
+
+def test_hot_terms_salted(spark, index_dir):
+    """Hot terms ('def'-class, df >= threshold) must be sharded."""
+    ix = IndexReader(spark, index_dir)
+    p = ix.postings().toPandas()
+    hot = p.groupby("term")["df"].sum()
+    assert (p[p.term == "return"]["shard"].nunique() > 1), \
+        f"'return' df={hot.get('return')} should be salted"
+    # shards of a term are doc-disjoint
+    seen = {}
+    for _, r in p[p.term == "return"].iterrows():
+        docs, _, _ = codec.decode_blocks(r.blocks)
+        for d in docs:
+            assert d not in seen
+            seen[d] = True
+
+
+QUERIES = [["build", "index"], ["def"], ["return"], ["uniq", "tok", "7"],
+           ["decode", "varint", "cursor"], ["pack", "probe"],
+           ["nosuchtermxyz"], ["def", "nosuchtermxyz"]]
+
+
+def test_bm25_indexed_matches_oracle(corpus, spark, index_dir):
+    _, texts = corpus
+    ix = IndexReader(spark, index_dir)
+    for q in QUERIES:
+        got = bm25_indexed(ix, q, 10).toPandas()
+        want = oracle.bm25_topk(texts, q, 10)
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9, obj=f"q={q}")
+
+
+def test_wand_matches_oracle(corpus, spark, index_dir):
+    _, texts = corpus
+    ix = IndexReader(spark, index_dir)
+    for q in QUERIES:
+        got = wand_topk(ix, q, 10, n_buckets=8).toPandas()
+        want = oracle.bm25_topk(texts, q, 10)
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9, obj=f"q={q}")
+
+
+def test_compact_preserves_results(corpus, spark, index_dir, tmp_path):
+    _, texts = corpus
+    d2 = str(tmp_path / "ix2")
+    shutil.copytree(index_dir, d2)
+    compact(spark, d2)
+    ix = IndexReader(spark, d2)
+    p = ix.postings().toPandas()
+    # all small-enough terms merged to one row
+    assert (p.groupby("term").size() == 1).all()
+    for q in QUERIES[:4]:
+        got = wand_topk(ix, q, 10, n_buckets=8).toPandas()
+        want = oracle.bm25_topk(texts, q, 10)
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9, obj=f"q={q}")
+
+
+def test_resume_equals_single_run(corpus, spark, tmp_path):
+    """Kill after 2 of 4 parts, resume, final index equals full build."""
+    docs, texts = corpus
+    d = str(tmp_path / "ix_resume")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_index(docs, d, n_parts=4, n_salts=4, hot_threshold=50,
+                    block_size=32, fail_after_parts=2)
+    # resume completes the remaining parts only
+    build_index(docs, d, n_parts=4, n_salts=4, hot_threshold=50,
+                block_size=32, resume=True)
+    ix = IndexReader(spark, d)
+    rows = ix.postings().collect()
+    got = []
+    for r in rows:
+        ds, ts, _ = codec.decode_blocks(r.blocks)
+        got += [(r.term, int(a), int(b)) for a, b in zip(ds, ts)]
+    want = oracle.postings(texts)
+    pd.testing.assert_frame_equal(
+        pd.DataFrame(sorted(got), columns=["term", "doc_id", "tf"]), want)
+    # manifest recorded exactly 4 segment completions
+    from pke_spark.index.build import read_manifest
+    m = read_manifest(spark, d).toPandas()
+    segs = m[(m.phase == "segment") & (m.status == "done")]
+    assert sorted(segs.part.tolist()) == [0, 1, 2, 3]
+
+
+def test_salting_invariance(corpus, spark, tmp_path):
+    """Scores identical with salting effectively on vs off (SURVEY §5)."""
+    docs, texts = corpus
+    d1 = str(tmp_path / "ix_salt")
+    build_index(docs, d1, n_parts=2, n_salts=8, hot_threshold=10,
+                block_size=16)
+    ix = IndexReader(spark, d1)
+    for q in (["def"], ["build", "index"]):
+        got = wand_topk(ix, q, 10, n_buckets=4).toPandas()
+        want = oracle.bm25_topk(texts, q, 10)
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9, obj=f"q={q}")
