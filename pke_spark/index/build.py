@@ -75,8 +75,36 @@ def _dir_bytes(path: str) -> int:
 
 
 def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]):
-    spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1) \
-        .write.mode("append").parquet(f"{index_dir}/manifest")
+    """Append lineage rows as one small parquet file, written directly
+    with pyarrow — a driver-side metadata write must not cost a Spark
+    job (on a cluster this would be a metastore/Iceberg commit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    names = ["build_id", "phase", "part", "status", "doc_count",
+             "term_count", "bytes", "input_snapshot", "ts"]
+    cols = list(zip(*rows))
+    table = pa.table({
+        "build_id": pa.array(cols[0], pa.string()),
+        "phase": pa.array(cols[1], pa.string()),
+        "part": pa.array(cols[2], pa.int32()),
+        "status": pa.array(cols[3], pa.string()),
+        "doc_count": pa.array(cols[4], pa.int64()),
+        "term_count": pa.array(cols[5], pa.int64()),
+        "bytes": pa.array(cols[6], pa.int64()),
+        "input_snapshot": pa.array(cols[7], pa.string()),
+        "ts": pa.array(cols[8], pa.float64()),
+    })
+    assert table.column_names == names
+    os.makedirs(f"{index_dir}/manifest", exist_ok=True)
+    pq.write_table(table,
+                   f"{index_dir}/manifest/{uuid.uuid4().hex[:16]}.parquet")
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (no Spark job)."""
+    import pyarrow.dataset as ds
+    return sum(f.count_rows() for f in ds.dataset(path, format="parquet",
+                                                  partitioning="hive").get_fragments())
 
 
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -107,12 +135,20 @@ def build_index(docs: DataFrame, index_dir: str, *,
                 block_size: int = codec.BLOCK_SIZE,
                 resume: bool = False,
                 fail_after_parts: int | None = None,
+                parts_per_job: int | None = None,
                 input_snapshot: str = "",
                 id_col: str = "doc_id", text_col: str = "text") -> None:
-    """Build the index at ``index_dir``. ``fail_after_parts`` simulates a
-    crash mid-build for resumability tests."""
+    """Build the index at ``index_dir``.
+
+    ``parts_per_job`` controls the checkpoint-granularity / job-overhead
+    trade: each phase-A Spark job processes that many partitions (all
+    pending by default — minimal fixed overhead; manifest rows are still
+    per-part). Set to 1 for the finest resume granularity (tests do).
+    ``fail_after_parts`` simulates a crash for resumability tests.
+    """
     spark = docs.sparkSession
     build_id = uuid.uuid4().hex[:12]
+    dyn = {"partitionOverwriteMode": "dynamic"}
 
     # ---- phase 0: stage input once, hash-partitioned by doc ----
     staged_path = f"{index_dir}/staged"
@@ -122,7 +158,8 @@ def build_index(docs: DataFrame, index_dir: str, *,
              .repartition(n_parts, "part")
              .write.partitionBy("part").mode("overwrite").parquet(staged_path))
         _append_manifest(spark, index_dir,
-                         [(build_id, "stage", -1, "done", docs.count(), 0,
+                         [(build_id, "stage", -1, "done",
+                           _parquet_rows(staged_path), 0,
                            _dir_bytes(staged_path), input_snapshot, time.time())])
 
     # ---- phase A: per-partition segment build (checkpoint unit) ----
@@ -132,31 +169,58 @@ def build_index(docs: DataFrame, index_dir: str, *,
         done = {r.part for r in
                 m.filter((m.phase == "segment") & (m.status == "done")).collect()}
     pending = [p for p in range(n_parts) if p not in done]
+    ppj = parts_per_job if parts_per_job else max(len(pending), 1)
+    if fail_after_parts is not None:
+        ppj = 1  # crash simulation needs per-part granularity
 
-    for i, part in enumerate(pending):
-        if fail_after_parts is not None and i >= fail_after_parts:
-            raise RuntimeError(f"simulated crash after {i} parts")
-        part_docs = spark.read.parquet(staged_path).filter(F.col("part") == part)
+    processed = 0
+    for s in range(0, len(pending), ppj):
+        batch = pending[s:s + ppj]
+        if fail_after_parts is not None and processed >= fail_after_parts:
+            raise RuntimeError(f"simulated crash after {processed} parts")
+        part_docs = (spark.read.parquet(staged_path)
+                     .filter(F.col("part").isin(batch)))
         toks = part_docs.select(
-            "doc_id", F.explode(tokens_array("text")).alias("term"))
-        tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        tc.write.mode("overwrite").parquet(f"{index_dir}/segments/part={part}")
-        dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        dl.write.mode("overwrite").parquet(f"{index_dir}/doclen/part={part}")
-        seg_bytes = _dir_bytes(f"{index_dir}/segments/part={part}")
+            "part", "doc_id", F.explode(tokens_array("text")).alias("term"))
+        tc = toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
+        # repartition by part before the partitioned write: each task
+        # writes exactly ONE partition dir (one open parquet writer per
+        # task, n_parts output files) — writing from hash-partitioned
+        # data would open tasks x parts writers and thrash the parquet
+        # memory manager at high core counts
+        (tc.repartition(n_parts, "part")
+           .write.partitionBy("part").mode("overwrite").options(**dyn)
+           .parquet(f"{index_dir}/segments"))
+        # derive doc lengths + per-part stats from the just-written
+        # segments (one re-read, OS-cache-warm; no recompute of tokenize)
+        seg = (spark.read.parquet(f"{index_dir}/segments")
+               .filter(F.col("part").isin(batch)))
+        (seg.groupBy("part", "doc_id").agg(F.sum("tf").alias("dl"))
+            .repartition(n_parts, "part")
+            .write.partitionBy("part").mode("overwrite").options(**dyn)
+            .parquet(f"{index_dir}/doclen"))
+        stats_rows = (seg.groupBy("part")
+                      .agg(F.countDistinct("doc_id").alias("dc"),
+                           F.countDistinct("term").alias("tcnt"))
+                      .collect())
+        by_part = {r.part: r for r in stats_rows}
+        now = time.time()
         _append_manifest(spark, index_dir, [(
-            build_id, "segment", part, "done",
-            dl.count(), tc.select("term").distinct().count(),
-            seg_bytes, input_snapshot, time.time())])
+            build_id, "segment", p, "done",
+            by_part[p].dc if p in by_part else 0,
+            by_part[p].tcnt if p in by_part else 0,
+            _dir_bytes(f"{index_dir}/segments/part={p}"),
+            input_snapshot, now) for p in batch])
+        processed += len(batch)
 
     # ---- phase B: global stats + salted posting encode ----
-    tc = spark.read.parquet(f"{index_dir}/segments")
+    tc = spark.read.parquet(f"{index_dir}/segments").select("doc_id", "term", "tf")
     dl = spark.read.parquet(f"{index_dir}/doclen").select("doc_id", "dl")
-    stats = tc.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = dl.count()
-    avgdl = dl.agg(F.avg("dl")).first()[0]
+    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).first()
+    n_docs, avgdl = int(g["n"]), float(g["a"])
     if hot_threshold is None:
         hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
+    stats = tc.groupBy("term").agg(F.count("*").alias("df"))
     hot_terms = stats.filter(F.col("df") >= hot_threshold).select("term")
 
     salted = (tc.join(dl, "doc_id")
@@ -178,10 +242,11 @@ def build_index(docs: DataFrame, index_dir: str, *,
         [(int(n_docs), float(avgdl), int(hot_threshold), int(block_size))],
         "n_docs long, avgdl double, hot_threshold long, block_size int"
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    term_count = (spark.read.parquet(f"{index_dir}/postings")
+                  .select("term").distinct().count())
     _append_manifest(spark, index_dir, [(
-        build_id, "postings", -1, "done", n_docs,
-        stats.count(), _dir_bytes(f"{index_dir}/postings"),
-        input_snapshot, time.time())])
+        build_id, "postings", -1, "done", n_docs, term_count,
+        _dir_bytes(f"{index_dir}/postings"), input_snapshot, time.time())])
 
 
 def compact(spark: SparkSession, index_dir: str, *,
@@ -223,16 +288,25 @@ def compact(spark: SparkSession, index_dir: str, *,
 
 
 class IndexReader:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache: bool = True):
+        """``cache`` persists the postings DataFrame (MEMORY_AND_DISK,
+        spills gracefully) — right for repeated-query serving; a
+        one-shot scan at extreme scale can pass cache=False."""
         self.spark = spark
         self.index_dir = index_dir
+        self.cache = cache
+        self._post: DataFrame | None = None
         st = spark.read.parquet(f"{index_dir}/stats").first()
         self.n_docs = st.n_docs
         self.avgdl = st.avgdl
         self.block_size = st.block_size
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/postings")
+        if self._post is None:
+            p = self.spark.read.parquet(f"{self.index_dir}/postings")
+            self._post = p.persist() if self.cache else p
+        return self._post
 
     def doc_stats(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/docstats")

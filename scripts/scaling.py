@@ -1,59 +1,105 @@
 """Scaling-efficiency evidence (north rule: >= 0.8 between N and 4N).
 
-Runs the IDENTICAL index build (same input, same code) at local[8] and
-local[32], reports docs/sec at both plus efficiency
-  eff = (T_8 / T_32) / 4       (ideal linear scaling -> 1.0)
+Runs the IDENTICAL index build (same input, same code, same n_parts
+layout) at local[4] and local[16], each in a FRESH subprocess (own JVM),
+reports docs/sec at both plus
+  eff = (T_4 / T_16) / 4       (ideal linear scaling -> 1.0)
 and writes benchmarks/scaling.json (embedded by bench.py) — the sandbox
 proxy for an N- vs 4N-executor cluster run.
 
-Usage: python scripts/scaling.py [n_docs]
+Why 4 vs 16 and not 8 vs 32: this box has 16 physical cores; the 32
+hardware threads are SMT siblings (measured: 32 single-thread processes
+run at ~0.65x the per-core rate of 16). An 8-vs-32 comparison would
+conflate SMT with horizontal scaling; 4-vs-16 stays within physical
+cores (measured hardware ceiling for this pairing: ~0.97).
+
+The host also shows heavy intermittent CPU steal from co-tenants
+(historical steal ~ user time in /proc/stat), so each configuration is
+run ``repeat`` times and the MINIMUM is taken; per-run steal%% is
+recorded so a polluted measurement is visible.
+
+Usage: python scripts/scaling.py [n_docs] [repeat]
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
+import subprocess
 import sys
-import tempfile
-import time
 
+
+def _cpu_times() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    return sum(v), v[7]  # total, steal
+
+
+N_LOW, N_HIGH = 4, 16
+
+CHILD = r"""
+import shutil, sys, tempfile, time
 sys.path.insert(0, "/root/repo")
+from pke_spark.corpus import synth_corpus, with_doc_ids
+from pke_spark.index.build import build_index
+from pke_spark.session import get_spark
 
-from pke_spark.corpus import synth_corpus, with_doc_ids  # noqa: E402
-from pke_spark.index.build import build_index  # noqa: E402
-from pke_spark.session import get_spark  # noqa: E402
+cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
+spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = with_doc_ids(synth_corpus(spark, n_docs, partitions=cpus))
+docs = corpus.select("doc_id", corpus.content.alias("text"))
+docs.limit(100).count()  # warm JVM + python workers
+ix_dir = tempfile.mkdtemp(prefix=f"pke_spark_scale_{cpus}_")
+t0 = time.time()
+# n_parts fixed at 32 for BOTH cluster sizes: identical data layout and
+# job, only the parallelism differs (the N vs 4N comparison)
+build_index(docs, ix_dir, n_parts=32, n_salts=8)
+print("ELAPSED", time.time() - t0)
+shutil.rmtree(ix_dir, ignore_errors=True)
+spark.stop()
+"""
 
 
-def run_build(cpus: int, n_docs: int) -> float:
-    spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    corpus = with_doc_ids(synth_corpus(spark, n_docs, partitions=cpus))
-    docs = corpus.select("doc_id", corpus.content.alias("text"))
-    ix_dir = tempfile.mkdtemp(prefix=f"pke_spark_scale_{cpus}_")
-    # warm the JVM/Python workers so we measure the build, not startup
-    docs.limit(100).count()
-    t0 = time.time()
-    build_index(docs, ix_dir, n_parts=8, n_salts=8)
-    dt = time.time() - t0
-    shutil.rmtree(ix_dir, ignore_errors=True)
-    spark.stop()
-    return dt
+def run_build(cpus: int, n_docs: int) -> tuple[float, float]:
+    tot0, st0 = _cpu_times()
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus), str(n_docs)],
+        capture_output=True, text=True, timeout=2400)
+    tot1, st1 = _cpu_times()
+    steal_pct = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
+    for line in out.stdout.splitlines():
+        if line.startswith("ELAPSED"):
+            return float(line.split()[1]), steal_pct
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-2000:]}")
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-    t8 = run_build(8, n_docs)
-    t32 = run_build(32, n_docs)
-    eff = (t8 / t32) / 4.0
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # interleave configurations (ABAB...) so slow phases of the noisy
+    # host hit both configs equally; take per-config MIN
+    lo, hi = [], []
+    for _ in range(repeat):
+        lo.append(run_build(N_LOW, n_docs))
+        hi.append(run_build(N_HIGH, n_docs))
+    t_lo = min(t for t, _ in lo)
+    t_hi = min(t for t, _ in hi)
+    eff = (t_lo / t_hi) / (N_HIGH / N_LOW)
     out = {
         "n_docs": n_docs,
-        "local8_sec": round(t8, 2),
-        "local8_docs_per_sec": round(n_docs / t8, 1),
-        "local32_sec": round(t32, 2),
-        "local32_docs_per_sec": round(n_docs / t32, 1),
-        "speedup_8_to_32": round(t8 / t32, 3),
+        "n_low": N_LOW,
+        "n_high": N_HIGH,
+        f"local{N_LOW}_sec": round(t_lo, 2),
+        f"local{N_LOW}_docs_per_sec": round(n_docs / t_lo, 1),
+        f"local{N_HIGH}_sec": round(t_hi, 2),
+        f"local{N_HIGH}_docs_per_sec": round(n_docs / t_hi, 1),
+        "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
+        "runs": [{"cpus": N_LOW, "sec": round(t, 2), "steal_pct": round(s, 1)}
+                 for t, s in lo]
+                + [{"cpus": N_HIGH, "sec": round(t, 2), "steal_pct": round(s, 1)}
+                   for t, s in hi],
     }
     os.makedirs("/root/repo/benchmarks", exist_ok=True)
     with open("/root/repo/benchmarks/scaling.json", "w") as f:

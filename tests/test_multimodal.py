@@ -19,7 +19,7 @@ def test_feature_extraction_shape(spark):
         .toPandas().set_index("media_id")
     f1 = feats.set_index("media_id")
     for mid in f1.index:
-        assert f1.loc[mid, "features"] == feats2.loc[mid, "features"]
+        assert list(f1.loc[mid, "features"]) == list(feats2.loc[mid, "features"])
 
 
 def test_metadata_filter_prunes_payload(spark):

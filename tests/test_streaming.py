@@ -1,0 +1,61 @@
+"""Streaming incremental ingest: index(half A) + stream-append(half B)
++ refresh must equal a single-shot batch build over A+B."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pke_spark import oracle, streaming
+from pke_spark.corpus import synth_corpus, with_doc_ids
+from pke_spark.index import codec
+from pke_spark.index.build import IndexReader, build_index
+from pke_spark.index.wand import wand_topk
+
+
+def _decoded(spark, index_dir):
+    rows = IndexReader(spark, index_dir, cache=False).postings().collect()
+    got = []
+    for r in rows:
+        ds, ts, _ = codec.decode_blocks(r.blocks)
+        got += [(r.term, int(a), int(b)) for a, b in zip(ds, ts)]
+    return pd.DataFrame(sorted(got), columns=["term", "doc_id", "tf"])
+
+
+@pytest.mark.timeout(300)
+def test_stream_append_equals_batch_build(spark, tmp_path):
+    c = with_doc_ids(synth_corpus(spark, 120, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    half_a = docs.filter("pmod(doc_id, 2) = 0")
+    half_b = docs.filter("pmod(doc_id, 2) != 0")
+
+    ix_dir = str(tmp_path / "ix_stream")
+    build_index(half_a, ix_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+
+    # stage half B as a parquet dir and stream it in
+    src = str(tmp_path / "incoming")
+    half_b.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming.incremental_index(
+        stream, ix_dir, str(tmp_path / "ckpt"), n_parts=4)
+    q.awaitTermination(120)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32)
+
+    ref_dir = str(tmp_path / "ix_batch")
+    build_index(docs, ref_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
+                                  _decoded(spark, ref_dir))
+
+    # stats refreshed correctly -> identical query results
+    pdf = docs.toPandas()
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    ix = IndexReader(spark, ix_dir)
+    for qq in (["build", "index"], ["def"]):
+        got = wand_topk(ix, qq, 10, n_buckets=8).toPandas()
+        want = oracle.bm25_topk(texts, qq, 10)
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9)
