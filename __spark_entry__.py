@@ -16,7 +16,8 @@ sys.path.insert(0, "/root/repo")
 
 import math  # noqa: E402
 
-from pke_spark.ops import core, dedup, keyphrase, similarity, textstats  # noqa: E402
+from pke_spark.ops import (core, dedup, graph, keyphrase,  # noqa: E402
+                           similarity, textstats, yake)
 
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
@@ -55,6 +56,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": lambda s, d: keyphrase.tfidf_topk(_docs(s, d), 3),
         "kpminer": lambda s, d: keyphrase.kpminer(_docs(s, d), 5),
         "bigrams": lambda s, d: keyphrase.bigrams(_docs(s, d)),
+        # graph ranking + greedy redundancy: iterative/sequential per doc,
+        # not SQL-expressible -> rows-only driver check; parity asserted
+        # in tests/test_graph.py against driver-side networkx
+        "textrank": lambda s, d: graph.textrank_topk(_docs(s, d), 5),
+        "singlerank": lambda s, d: graph.singlerank_topk(_docs(s, d), 5),
+        "positionrank": lambda s, d: graph.positionrank_topk(_docs(s, d), 5),
+        "kpminer_dedup": lambda s, d: keyphrase.kpminer_dedup(_docs(s, d), 5),
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
@@ -69,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "token_count_stats": lambda s, d: textstats.token_count_stats(_docs(s, d)),
         "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        "yake_lite": lambda s, d: yake.yake_lite(_docs(s, d), 5),
     }
 
 
@@ -98,4 +107,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.quality_score_sql(),
         "token_count_stats": textstats.token_count_stats_sql(),
         "fingerprint": textstats.fingerprint_sql(),
+        "yake_lite": yake.yake_lite_sql(5),
     }

@@ -107,6 +107,85 @@ def _parquet_rows(path: str) -> int:
                                                   partitioning="hive").get_fragments())
 
 
+# driver-side stats shortcut bound: below this, corpus-level statistics
+# (n_docs, avgdl, hot terms, manifest counts) come from a DuckDB scan of
+# the local segment parquet instead of Spark jobs. On a real cluster the
+# segment table exceeds this and the Spark path runs.
+DRIVER_STATS_MAX_BYTES = 1 << 30
+
+
+def _write_segments(part_docs, index_dir: str, n_parts: int, dyn: dict):
+    """Tokenize + per-doc term counts -> hive-partitioned segment table.
+
+    Repartition by part before the partitioned write: each task writes
+    exactly ONE partition dir (one open parquet writer per task) —
+    writing from hash-partitioned data would open tasks x parts writers
+    and thrash the parquet memory manager at high core counts.
+    """
+    toks = part_docs.select(
+        "part", "doc_id", F.explode(tokens_array("text")).alias("term"))
+    tc = toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
+    (tc.repartition(n_parts, "part")
+       .write.partitionBy("part").mode("overwrite").options(**dyn)
+       .parquet(f"{index_dir}/segments"))
+
+
+def _manifest_segment_rows(spark, index_dir: str, parts: list[int],
+                           build_id: str, input_snapshot: str):
+    """Per-part lineage rows from the written segments (DuckDB scan when
+    small, Spark agg otherwise — no extra Spark job in the common case)."""
+    seg_path = f"{index_dir}/segments"
+    if _dir_bytes(seg_path) <= DRIVER_STATS_MAX_BYTES:
+        import duckdb
+        rows = duckdb.connect().execute(
+            f"SELECT part, count(DISTINCT doc_id), count(DISTINCT term) "
+            f"FROM read_parquet('{seg_path}/*/*.parquet', hive_partitioning=1) "
+            f"WHERE part IN ({', '.join(str(p) for p in parts)}) "
+            f"GROUP BY part").fetchall()
+        by_part = {int(p): (int(dc), int(tcnt)) for p, dc, tcnt in rows}
+    else:
+        got = (spark.read.parquet(seg_path)
+               .filter(F.col("part").isin(parts))
+               .groupBy("part")
+               .agg(F.countDistinct("doc_id").alias("dc"),
+                    F.countDistinct("term").alias("tcnt")).collect())
+        by_part = {int(r.part): (int(r.dc), int(r.tcnt)) for r in got}
+    now = time.time()
+    _append_manifest(spark, index_dir, [(
+        build_id, "segment", p, "done",
+        by_part.get(p, (0, 0))[0], by_part.get(p, (0, 0))[1],
+        _dir_bytes(f"{seg_path}/part={p}"), input_snapshot, now)
+        for p in parts])
+
+
+def write_stats(index_dir: str, n_docs: int, avgdl: float,
+                hot_threshold: int, block_size: int) -> None:
+    """Single-row stats table written directly with pyarrow."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    shutil.rmtree(f"{index_dir}/stats", ignore_errors=True)
+    os.makedirs(f"{index_dir}/stats", exist_ok=True)
+    pq.write_table(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "avgdl": pa.array([avgdl], pa.float64()),
+        "hot_threshold": pa.array([hot_threshold], pa.int64()),
+        "block_size": pa.array([block_size], pa.int32()),
+    }), f"{index_dir}/stats/stats.parquet")
+
+
+def _postings_term_count(index_dir: str) -> int:
+    """Distinct terms in the final postings (driver DuckDB when small)."""
+    p = f"{index_dir}/postings"
+    if _dir_bytes(p) <= DRIVER_STATS_MAX_BYTES:
+        import duckdb
+        return int(duckdb.connect().execute(
+            f"SELECT count(DISTINCT term) FROM read_parquet('{p}/*.parquet')"
+        ).fetchone()[0])
+    return -1  # unknown without a full scan; left to offline compaction
+
+
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/manifest")
 
@@ -149,80 +228,107 @@ def build_index(docs: DataFrame, index_dir: str, *,
     spark = docs.sparkSession
     build_id = uuid.uuid4().hex[:12]
     dyn = {"partitionOverwriteMode": "dynamic"}
+    prepared = (docs.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("text"))
+                .withColumn("part", F.pmod(F.xxhash64("doc_id"),
+                                           F.lit(n_parts)).cast("int")))
 
-    # ---- phase 0: stage input once, hash-partitioned by doc ----
-    staged_path = f"{index_dir}/staged"
-    if not (resume and os.path.exists(staged_path)):
-        (docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-             .withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
-             .repartition(n_parts, "part")
+    # checkpointed mode: stage the input once (hash-partitioned by doc)
+    # so per-part resume reads only its partition; one-shot mode (all
+    # parts in a single job, no resume) skips staging — the extra full
+    # write+read would be pure overhead
+    checkpointed = (resume or fail_after_parts is not None
+                    or (parts_per_job is not None and parts_per_job < n_parts))
+
+    if checkpointed:
+        staged_path = f"{index_dir}/staged"
+        if not (resume and os.path.exists(staged_path)):
+            (prepared.repartition(n_parts, "part")
              .write.partitionBy("part").mode("overwrite").parquet(staged_path))
-        _append_manifest(spark, index_dir,
-                         [(build_id, "stage", -1, "done",
-                           _parquet_rows(staged_path), 0,
-                           _dir_bytes(staged_path), input_snapshot, time.time())])
-
-    # ---- phase A: per-partition segment build (checkpoint unit) ----
-    done: set[int] = set()
-    if resume and os.path.exists(f"{index_dir}/manifest"):
-        m = read_manifest(spark, index_dir)
-        done = {r.part for r in
-                m.filter((m.phase == "segment") & (m.status == "done")).collect()}
-    pending = [p for p in range(n_parts) if p not in done]
-    ppj = parts_per_job if parts_per_job else max(len(pending), 1)
-    if fail_after_parts is not None:
-        ppj = 1  # crash simulation needs per-part granularity
-
-    processed = 0
-    for s in range(0, len(pending), ppj):
-        batch = pending[s:s + ppj]
-        if fail_after_parts is not None and processed >= fail_after_parts:
-            raise RuntimeError(f"simulated crash after {processed} parts")
-        part_docs = (spark.read.parquet(staged_path)
-                     .filter(F.col("part").isin(batch)))
-        toks = part_docs.select(
-            "part", "doc_id", F.explode(tokens_array("text")).alias("term"))
-        tc = toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
-        # repartition by part before the partitioned write: each task
-        # writes exactly ONE partition dir (one open parquet writer per
-        # task, n_parts output files) — writing from hash-partitioned
-        # data would open tasks x parts writers and thrash the parquet
-        # memory manager at high core counts
-        (tc.repartition(n_parts, "part")
-           .write.partitionBy("part").mode("overwrite").options(**dyn)
-           .parquet(f"{index_dir}/segments"))
-        # derive doc lengths + per-part stats from the just-written
-        # segments (one re-read, OS-cache-warm; no recompute of tokenize)
-        seg = (spark.read.parquet(f"{index_dir}/segments")
-               .filter(F.col("part").isin(batch)))
-        (seg.groupBy("part", "doc_id").agg(F.sum("tf").alias("dl"))
-            .repartition(n_parts, "part")
-            .write.partitionBy("part").mode("overwrite").options(**dyn)
-            .parquet(f"{index_dir}/doclen"))
-        stats_rows = (seg.groupBy("part")
-                      .agg(F.countDistinct("doc_id").alias("dc"),
-                           F.countDistinct("term").alias("tcnt"))
-                      .collect())
-        by_part = {r.part: r for r in stats_rows}
-        now = time.time()
-        _append_manifest(spark, index_dir, [(
-            build_id, "segment", p, "done",
-            by_part[p].dc if p in by_part else 0,
-            by_part[p].tcnt if p in by_part else 0,
-            _dir_bytes(f"{index_dir}/segments/part={p}"),
-            input_snapshot, now) for p in batch])
-        processed += len(batch)
+            _append_manifest(spark, index_dir,
+                             [(build_id, "stage", -1, "done",
+                               _parquet_rows(staged_path), 0,
+                               _dir_bytes(staged_path), input_snapshot, time.time())])
+        done: set[int] = set()
+        if resume and os.path.exists(f"{index_dir}/manifest"):
+            m = read_manifest(spark, index_dir)
+            done = {r.part for r in
+                    m.filter((m.phase == "segment") & (m.status == "done")).collect()}
+        pending = [p for p in range(n_parts) if p not in done]
+        ppj = parts_per_job if parts_per_job else max(len(pending), 1)
+        if fail_after_parts is not None:
+            ppj = 1  # crash simulation needs per-part granularity
+        processed = 0
+        for s in range(0, len(pending), ppj):
+            batch = pending[s:s + ppj]
+            if fail_after_parts is not None and processed >= fail_after_parts:
+                raise RuntimeError(f"simulated crash after {processed} parts")
+            part_docs = (spark.read.parquet(staged_path)
+                         .filter(F.col("part").isin(batch)))
+            _write_segments(part_docs, index_dir, n_parts, dyn)
+            _manifest_segment_rows(spark, index_dir, batch, build_id,
+                                   input_snapshot)
+            processed += len(batch)
+    else:
+        # ---- one-shot phase A: tokenize straight from the input ----
+        _write_segments(prepared, index_dir, n_parts, dyn)
+        _manifest_segment_rows(spark, index_dir, list(range(n_parts)),
+                               build_id, input_snapshot)
 
     # ---- phase B: global stats + salted posting encode ----
-    tc = spark.read.parquet(f"{index_dir}/segments").select("doc_id", "term", "tf")
-    dl = spark.read.parquet(f"{index_dir}/doclen").select("doc_id", "dl")
-    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).first()
-    n_docs, avgdl = int(g["n"]), float(g["a"])
-    if hot_threshold is None:
-        hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
-    stats = tc.groupBy("term").agg(F.count("*").alias("df"))
-    hot_terms = stats.filter(F.col("df") >= hot_threshold).select("term")
+    n_docs, avgdl, hot_threshold = encode_postings(
+        spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
+        block_size=block_size)
+    write_stats(index_dir, n_docs, avgdl, int(hot_threshold), block_size)
+    _append_manifest(spark, index_dir, [(
+        build_id, "postings", -1, "done", n_docs,
+        _postings_term_count(index_dir),
+        _dir_bytes(f"{index_dir}/postings"), input_snapshot, time.time())])
 
+
+def encode_postings(spark: SparkSession, index_dir: str, *,
+                    n_salts: int = 8, hot_threshold: int | None = None,
+                    block_size: int = codec.BLOCK_SIZE,
+                    out_name: str = "postings") -> tuple[int, float, int]:
+    """Phase B: corpus stats + hot-term detection + salted block encode
+    from ``index_dir``/segments into ``index_dir``/``out_name``.
+    Returns (n_docs, avgdl, hot_threshold). Shared by the batch builder
+    and the streaming refresh."""
+    seg_path = f"{index_dir}/segments"
+    tc = spark.read.parquet(seg_path).select("doc_id", "term", "tf")
+    if _dir_bytes(seg_path) <= DRIVER_STATS_MAX_BYTES:
+        # small corpus: global stats + hot-term list via a driver-side
+        # DuckDB scan of the segment parquet (zero Spark jobs)
+        import duckdb
+        con = duckdb.connect()
+        n_docs, total_tf = con.execute(
+            f"SELECT count(DISTINCT doc_id), sum(tf) FROM "
+            f"read_parquet('{seg_path}/*/*.parquet')").fetchone()
+        n_docs = int(n_docs)
+        avgdl = float(total_tf) / n_docs if n_docs else 0.0
+        if hot_threshold is None:
+            hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
+        hot = [r[0] for r in con.execute(
+            f"SELECT term FROM read_parquet('{seg_path}/*/*.parquet') "
+            f"GROUP BY term HAVING count(*) >= {hot_threshold}").fetchall()]
+        hot_terms = spark.createDataFrame([(t,) for t in hot] or
+                                          [("",)], "term string")
+        if not hot:
+            hot_terms = hot_terms.filter(F.lit(False))
+    else:
+        # big corpus: same stats via Spark aggregations
+        g = tc.agg(F.countDistinct("doc_id").alias("n"),
+                   F.sum("tf").alias("s")).first()
+        n_docs = int(g["n"])
+        avgdl = float(g["s"]) / n_docs if n_docs else 0.0
+        if hot_threshold is None:
+            hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
+        hot_terms = (tc.groupBy("term").agg(F.count("*").alias("df"))
+                     .filter(F.col("df") >= hot_threshold).select("term"))
+
+    # doc lengths derived inline (extra shuffle inside the encode job,
+    # no separate doclen artifact)
+    dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     salted = (tc.join(dl, "doc_id")
               .join(F.broadcast(hot_terms.withColumn("__hot", F.lit(1))),
                     "term", "left")
@@ -235,18 +341,8 @@ def build_index(docs: DataFrame, index_dir: str, *,
                 .sortWithinPartitions("term", "shard", "doc_id")
                 .mapInPandas(lambda it: _encode_partition(it, block_size),
                              POSTINGS_SCHEMA))
-    postings.write.mode("overwrite").parquet(f"{index_dir}/postings")
-
-    dl.write.mode("overwrite").parquet(f"{index_dir}/docstats")
-    spark.createDataFrame(
-        [(int(n_docs), float(avgdl), int(hot_threshold), int(block_size))],
-        "n_docs long, avgdl double, hot_threshold long, block_size int"
-    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
-    term_count = (spark.read.parquet(f"{index_dir}/postings")
-                  .select("term").distinct().count())
-    _append_manifest(spark, index_dir, [(
-        build_id, "postings", -1, "done", n_docs, term_count,
-        _dir_bytes(f"{index_dir}/postings"), input_snapshot, time.time())])
+    postings.write.mode("overwrite").parquet(f"{index_dir}/{out_name}")
+    return n_docs, avgdl, int(hot_threshold)
 
 
 def compact(spark: SparkSession, index_dir: str, *,
@@ -309,7 +405,10 @@ class IndexReader:
         return self._post
 
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docstats")
+        """(doc_id, dl) derived from segments (norms are embedded in the
+        posting blocks, so this is for diagnostics only)."""
+        return (self.spark.read.parquet(f"{self.index_dir}/segments")
+                .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
 
     def term_postings(self, terms: list[str]) -> DataFrame:
         # predicate pushdown on `term` prunes row groups at the scan

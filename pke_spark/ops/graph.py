@@ -1,0 +1,154 @@
+"""Graph-based keyphrase ranking (TextRank / SingleRank / PositionRank),
+re-expressed for Spark: the corpus stays distributed, each document's
+tiny word graph + PageRank runs inside ``applyInPandas`` grouped by
+doc_id (SURVEY §4.3: per-document graphs -> networkx in the UDF is the
+correct physical plan; a corpus-scale DataFrame PageRank loop would pay
+a shuffle per iteration for graphs of ~100 nodes).
+
+Parity with the reference (semantics adapted to the no-POS corpus —
+the POS gate {NOUN,PROPN,ADJ} becomes the non-stopword gate, F6):
+- TextRank  (textrank.py):   unweighted co-occurrence graph, window 2
+- SingleRank (singlerank.py): count-weighted graph, window 10
+- PositionRank (positionrank.py): weighted graph, window 10,
+  personalization p(w) = sum 1/(pos) over w's occurrences, normalized
+- candidate score = sum of word scores over the candidate's words (J2),
+  candidates = maximal non-stopword runs (C2), score normalized by the
+  pke convention (sum, with SingleRank/TextRank using raw sums)
+- pagerank: alpha=0.85, max_iter=100, tol=1e-6 (networkx defaults,
+  matching pke's calls)
+
+Determinism: scores rounded to 6 decimals; ordering (score DESC,
+candidate ASC); node iteration order = sorted token order.
+
+No SQL oracle (iterative fixpoint) -> rows-only driver check; parity is
+asserted in tests against a driver-side networkx recomputation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import TEXT_STOPWORDS, tokens_exploded
+
+ALPHA = 0.85
+
+
+def _pagerank_dense(adj, pers, alpha: float = ALPHA,
+                    max_iter: int = 100, tol: float = 1e-6):
+    """Standard damped PageRank by dense power iteration (numpy).
+    ``adj[i, j]`` = weight of edge j->i (symmetric for our undirected
+    graphs). Dangling mass and teleport follow the personalization
+    vector; convergence when L1 error < n * tol (the networkx
+    convention pke relies on)."""
+    import numpy as np
+    n = adj.shape[0]
+    out = adj.sum(axis=0)  # out-weight of each source column
+    dangling = out == 0
+    safe_out = np.where(dangling, 1.0, out)
+    m = adj / safe_out  # column-stochastic (except dangling columns)
+    x = pers.copy()
+    for _ in range(max_iter):
+        x_new = alpha * (m @ x + x[dangling].sum() * pers) + (1 - alpha) * pers
+        if np.abs(x_new - x).sum() < n * tol:
+            return x_new
+        x = x_new
+    return x
+
+
+def _pagerank_scores(terms: list[str], positions: list[int],
+                     stopset: set, window: int, weighted: bool,
+                     personalize: bool) -> dict[str, float]:
+    """Word scores for one document (numpy, tiny dense graph)."""
+    import numpy as np
+
+    valid = [(p, t) for p, t in zip(positions, terms) if t not in stopset]
+    nodes = sorted({t for _, t in valid})
+    if not nodes:
+        return {}
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n), dtype=np.float64)
+    for i, (pi, ti) in enumerate(valid):
+        for j in range(i + 1, len(valid)):
+            pj, tj = valid[j]
+            if pj - pi >= window:
+                break
+            if ti == tj:
+                continue
+            a, b = idx[ti], idx[tj]
+            w = 1.0
+            if weighted:
+                adj[a, b] += w
+                adj[b, a] += w
+            else:
+                adj[a, b] = w
+                adj[b, a] = w
+    if personalize:
+        acc = np.zeros(n)
+        for p, t in valid:
+            acc[idx[t]] += 1.0 / p  # pos is 1-based
+        pers = acc / acc.sum()
+    else:
+        pers = np.full(n, 1.0 / n)
+    scores = _pagerank_dense(adj, pers)
+    return {t: float(scores[idx[t]]) for t in nodes}
+
+
+def _rank_doc(pdf: pd.DataFrame, stopset: set, window: int, weighted: bool,
+              personalize: bool, k: int) -> pd.DataFrame:
+    pdf = pdf.sort_values("pos")
+    terms = pdf["term"].tolist()
+    positions = pdf["pos"].tolist()
+    doc_id = int(pdf["doc_id"].iloc[0])
+    scores = _pagerank_scores(terms, positions, stopset, window, weighted,
+                              personalize)
+    # candidates = maximal non-stopword runs (C2); score = sum word scores
+    # (token positions are dense, so runs break exactly at stopwords)
+    cands: dict[str, float] = {}
+    run: list[str] = []
+
+    def flush():
+        if run:
+            phrase = " ".join(run)
+            cands.setdefault(phrase, sum(scores.get(w, 0.0) for w in run))
+
+    for t in terms:
+        if t in stopset:
+            flush()
+            run = []
+        else:
+            run.append(t)
+    flush()
+    top = sorted(cands.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+    return pd.DataFrame({
+        "doc_id": doc_id,
+        "rank": pd.array(range(1, len(top) + 1), dtype="int32"),
+        "candidate": [t for t, _ in top],
+        "score": [round(s, 6) for _, s in top]})
+
+
+def _graph_topk(docs: DataFrame, k: int, window: int, weighted: bool,
+                personalize: bool,
+                stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    stopset = set(stoplist)
+    toks = tokens_exploded(docs)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _rank_doc(pdf, stopset, window, weighted, personalize, k)
+
+    return toks.groupBy("doc_id").applyInPandas(
+        fn, "doc_id long, rank int, candidate string, score double")
+
+
+def textrank_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    return _graph_topk(docs, k, window=2, weighted=False, personalize=False)
+
+
+def singlerank_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    return _graph_topk(docs, k, window=10, weighted=True, personalize=False)
+
+
+def positionrank_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    return _graph_topk(docs, k, window=10, weighted=True, personalize=True)

@@ -195,6 +195,48 @@ def kpminer(docs: DataFrame, k: int = 5,
             .select("doc_id", "rank", "candidate", "tf", "weight"))
 
 
+def redundancy_topk(ranked: DataFrame, k: int = 5,
+                    weight_col: str = "weight") -> DataFrame:
+    """pke ``get_n_best(redundancy_removal=True)`` (base.py:129-206):
+    per doc, walk candidates in (weight DESC, candidate ASC) order and
+    greedily drop any whose token sequence is a contiguous subsequence
+    of an already-SELECTED candidate; stop at k. Sequential greedy per
+    doc -> applyInPandas; the corpus stays parallel (SURVEY §7.3)."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([weight_col, "candidate"],
+                              ascending=[False, True], kind="mergesort")
+        kept: list[list[str]] = []
+        rows = []
+        for r in pdf.itertuples(index=False):
+            toks = r.candidate.split(" ")
+            n = len(toks)
+            redundant = any(
+                toks == prev[i:i + n]
+                for prev in kept for i in range(len(prev) - n + 1))
+            if redundant:
+                continue
+            kept.append(toks)
+            rows.append((int(r.doc_id), len(kept), r.candidate,
+                         float(getattr(r, weight_col))))
+            if len(kept) >= k:
+                break
+        return pd.DataFrame(rows, columns=["doc_id", "rank", "candidate",
+                                           "weight"])
+
+    return ranked.select("doc_id", "candidate", weight_col) \
+        .groupBy("doc_id").applyInPandas(
+            fn, "doc_id long, rank int, candidate string, weight double")
+
+
+def kpminer_dedup(docs: DataFrame, k: int = 5,
+                  stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    """KPMiner ranking with greedy redundancy removal (T1)."""
+    full = kpminer(docs, k=50, stoplist=stoplist)
+    return redundancy_topk(full, k)
+
+
 def bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, bigram, tf) via lead() — one shuffle, no self-join."""
     toks = tokens_exploded(docs)

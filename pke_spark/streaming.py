@@ -30,7 +30,7 @@ from .tokenizer import tokens_array
 def append_batch(batch_df: DataFrame, index_dir: str, epoch_id: int,
                  n_parts: int = 8, id_col: str = "doc_id",
                  text_col: str = "text") -> None:
-    """Append one micro-batch of documents as segment + doclen rows."""
+    """Append one micro-batch of documents as segment rows."""
     spark = batch_df.sparkSession
     docs = batch_df.select(F.col(id_col).alias("doc_id"),
                            F.col(text_col).alias("text"))
@@ -40,9 +40,6 @@ def append_batch(batch_df: DataFrame, index_dir: str, epoch_id: int,
     tc = toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
     (tc.repartition(n_parts, "part")
        .write.partitionBy("part").mode("append").parquet(f"{index_dir}/segments"))
-    (tc.groupBy("part", "doc_id").agg(F.sum("tf").alias("dl"))
-       .repartition(n_parts, "part")
-       .write.partitionBy("part").mode("append").parquet(f"{index_dir}/doclen"))
     _append_manifest(spark, index_dir, [(
         f"stream_{uuid.uuid4().hex[:8]}", "stream_append", int(epoch_id),
         "done", docs.count(), 0, 0, "", time.time())])
@@ -66,41 +63,18 @@ def refresh_postings(spark: SparkSession, index_dir: str, *,
                      block_size: int | None = None) -> None:
     """Rebuild postings/stats from all segments (batch compaction after
     stream appends). Reuses phase B of the batch builder."""
+    import os
+    import shutil
+
     from .index import codec
-    from .index.build import POSTINGS_SCHEMA, _encode_partition
+    from .index.build import encode_postings, write_stats
 
     if block_size is None:
         block_size = codec.BLOCK_SIZE
-    tc = spark.read.parquet(f"{index_dir}/segments").select("doc_id", "term", "tf")
-    dl = spark.read.parquet(f"{index_dir}/doclen").select("doc_id", "dl")
-    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).first()
-    n_docs, avgdl = int(g["n"]), float(g["a"])
-    if hot_threshold is None:
-        hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
-    stats = tc.groupBy("term").agg(F.count("*").alias("df"))
-    hot_terms = stats.filter(F.col("df") >= hot_threshold).select("term")
-    salted = (tc.join(dl, "doc_id")
-              .join(F.broadcast(hot_terms.withColumn("__hot", F.lit(1))),
-                    "term", "left")
-              .withColumn("shard",
-                          F.when(F.col("__hot").isNotNull(),
-                                 F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
-                          .otherwise(F.lit(0)).cast("int"))
-              .select("term", "shard", "doc_id", "tf", "dl"))
-    (salted.repartition("term", "shard")
-     .sortWithinPartitions("term", "shard", "doc_id")
-     .mapInPandas(lambda it: _encode_partition(it, block_size), POSTINGS_SCHEMA)
-     .write.mode("overwrite").parquet(f"{index_dir}/postings_refresh"))
-    import os
-    import shutil
+    n_docs, avgdl, hot_threshold = encode_postings(
+        spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
+        block_size=block_size, out_name="postings_refresh")
     if os.path.exists(f"{index_dir}/postings"):
         shutil.rmtree(f"{index_dir}/postings")
     os.rename(f"{index_dir}/postings_refresh", f"{index_dir}/postings")
-    dl.write.mode("overwrite").parquet(f"{index_dir}/docstats_refresh")
-    if os.path.exists(f"{index_dir}/docstats"):
-        shutil.rmtree(f"{index_dir}/docstats")
-    os.rename(f"{index_dir}/docstats_refresh", f"{index_dir}/docstats")
-    spark.createDataFrame(
-        [(n_docs, avgdl, int(hot_threshold), int(block_size))],
-        "n_docs long, avgdl double, hot_threshold long, block_size int"
-    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    write_stats(index_dir, n_docs, avgdl, hot_threshold, block_size)
