@@ -17,7 +17,7 @@ sys.path.insert(0, "/root/repo")
 import math  # noqa: E402
 
 from pke_spark.ops import (core, dedup, graph, keyphrase,  # noqa: E402
-                           similarity, textstats, yake)
+                           similarity, supervised, textstats, yake)
 
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_stats": lambda s, d: textstats.token_count_stats(_docs(s, d)),
         "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         "yake_lite": lambda s, d: yake.yake_lite(_docs(s, d), 5),
+        # Spark-ML NaiveBayes ranking: not SQL-expressible -> rows-only
+        "kea_predict": lambda s, d: supervised.kea_fit_predict(_docs(s, d), 5),
+        "eval_prf": lambda s, d: supervised.eval_prf(_docs(s, d), 5),
     }
 
 
@@ -108,4 +111,5 @@ def oracle_sql() -> dict[str, str]:
         "token_count_stats": textstats.token_count_stats_sql(),
         "fingerprint": textstats.fingerprint_sql(),
         "yake_lite": yake.yake_lite_sql(5),
+        "eval_prf": supervised.eval_prf_sql(5),
     }

@@ -190,22 +190,67 @@ def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/manifest")
 
 
+def _varint_each(values) -> list[bytes]:
+    """Per-value LEB128 bytes for an array (one vectorized encode, then
+    C-level slicing)."""
+    import numpy as np
+    v = np.asarray(values, dtype=np.uint64)
+    buf = codec.varint_encode(v)
+    nb = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += (tmp > 0)
+        tmp >>= np.uint64(7)
+    offs = np.zeros(len(v) + 1, dtype=np.int64)
+    np.cumsum(nb, out=offs[1:])
+    return [buf[offs[i]:offs[i + 1]] for i in range(len(v))]
+
+
 def _encode_partition(pdf_iter, block_size: int):
-    """mapInPandas over (term, shard)-sorted partitions: encode each
-    group's postings into varint blocks. One Python call per Arrow
-    batch, vectorized codec inside."""
+    """mapInPandas over (term, shard)-hash partitions: encode each
+    group's postings into varint blocks.
+
+    Real corpora are long-tail: most terms have df == 1. Those are
+    encoded in one vectorized pass (empty gap stream + per-value varint
+    slices); only multi-posting groups take the per-group loop. This is
+    the difference between O(vocab) pandas-groupby overhead and O(hot
+    terms) python work per partition.
+    """
+    import numpy as np
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        out = []
-        pdf = pdf.sort_values(["term", "shard", "doc_id"], kind="mergesort")
-        for (term, shard), g in pdf.groupby(["term", "shard"], sort=False):
-            docs = g["doc_id"].to_numpy()
-            tfs = g["tf"].to_numpy()
-            dls = g["dl"].to_numpy()
-            out.append((term, int(shard), len(docs), int(tfs.sum()),
-                        codec.encode_blocks(docs, tfs, dls, block_size)))
-        yield pd.DataFrame(out, columns=["term", "shard", "df", "cf", "blocks"])
+        codes, uniq = pd.factorize(pdf["term"], sort=True)
+        shard = pdf["shard"].to_numpy(np.int64)
+        doc = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        order = np.lexsort((doc, shard, codes))
+        codes, shard, doc, tf, dl = (a[order] for a in
+                                     (codes, shard, doc, tf, dl))
+        change = np.empty(len(codes), dtype=bool)
+        change[0] = True
+        change[1:] = (codes[1:] != codes[:-1]) | (shard[1:] != shard[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(codes))
+        sizes = ends - starts
+
+        single = sizes == 1
+        s_idx = starts[single]
+        s_tf_b = _varint_each(tf[s_idx])
+        s_dl_b = _varint_each(dl[s_idx])
+        rows = [
+            (uniq[codes[i]], int(shard[i]), 1, int(tf[i]),
+             [{"first_doc": int(doc[i]), "last_doc": int(doc[i]), "n": 1,
+               "max_tf": int(tf[i]), "docs": b"", "tfs": tb, "dls": db}])
+            for i, tb, db in zip(s_idx, s_tf_b, s_dl_b)]
+
+        for s, e in zip(starts[~single], ends[~single]):
+            rows.append((uniq[codes[s]], int(shard[s]), int(e - s),
+                         int(tf[s:e].sum()),
+                         codec.encode_blocks(doc[s:e], tf[s:e], dl[s:e],
+                                             block_size)))
+        yield pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
 
 
 def build_index(docs: DataFrame, index_dir: str, *,
@@ -326,10 +371,17 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
         hot_terms = (tc.groupBy("term").agg(F.count("*").alias("df"))
                      .filter(F.col("df") >= hot_threshold).select("term"))
 
-    # doc lengths derived inline (extra shuffle inside the encode job,
-    # no separate doclen artifact)
-    dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    salted = (tc.join(dl, "doc_id")
+    # doc lengths: the per-doc length table is tiny relative to the
+    # token table (one row per doc after map-side combine) — broadcast
+    # it when it fits, avoiding a full sort/shuffle of the token table
+    # by doc_id; above the bound, a window over doc_id (one shuffle)
+    if n_docs <= 10_000_000:
+        dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        with_dl = tc.join(F.broadcast(dl), "doc_id")
+    else:
+        from pyspark.sql import Window as W
+        with_dl = tc.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+    salted = (with_dl
               .join(F.broadcast(hot_terms.withColumn("__hot", F.lit(1))),
                     "term", "left")
               .withColumn("shard",
@@ -337,6 +389,9 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
                                  F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
                           .otherwise(F.lit(0)).cast("int"))
               .select("term", "shard", "doc_id", "tf", "dl"))
+    # sortWithinPartitions keeps each (term, shard) group contiguous
+    # across Arrow batch boundaries (a split group just yields two
+    # non-overlapping runs; consumers treat rows per term additively)
     postings = (salted.repartition("term", "shard")
                 .sortWithinPartitions("term", "shard", "doc_id")
                 .mapInPandas(lambda it: _encode_partition(it, block_size),

@@ -208,4 +208,11 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
 
     local = bucketed.groupBy("bucket").applyInPandas(
         score_bucket, "doc_id long, score double")
-    return _rank_topk(local, k)
+    # per-bucket top-k lists are tiny (n_buckets * k rows); the final
+    # merge is a driver-side sort — one Spark job per query instead of
+    # an extra global sort + window stage
+    rows = local.collect()
+    rows.sort(key=lambda r: (-r.score, r.doc_id))
+    out = [(i + 1, int(r.doc_id), float(r.score))
+           for i, r in enumerate(rows[:k])]
+    return ix.spark.createDataFrame(out or [], "rank int, doc_id long, score double")

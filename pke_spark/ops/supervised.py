@@ -1,0 +1,135 @@
+"""Supervised keyphrase extraction (Kea) + evaluation, Spark-ML-native.
+
+Reference mapping (SURVEY §2.12):
+- M1 Kea features (kea.py:95-138): [tf*idf, first_offset / doc_len]
+- M3/M4 NB train + classify (kea.py:154-166, supervised/api.py:40-66):
+  ``pyspark.ml.classification.NaiveBayes`` (JVM-side; the reference
+  uses sklearn MultinomialNB)
+- M5 training harness (utils.py:142-231): labels = candidate in the
+  gold set; the sandbox has no gold keyphrases, so a deterministic weak
+  gold (top-3 TF-IDF unigrams per doc) stands in — the pipeline shape
+  (features ⋈ gold -> fit -> transform -> per-doc top-k) is the real
+  thing
+- M7 evaluation (examples/benchmarking-models.py:66-85): micro-averaged
+  P/R/F@k of predictions vs gold — SQL-expressible, has an oracle twin.
+
+Scale notes: features are column expressions over the candidate table;
+fit() aggregates sufficient statistics in one pass (NB is a trivially
+distributable aggregation); transform is a map. No driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list
+from .keyphrase import _cands_cte, candidate_runs
+
+
+def weak_gold(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Deterministic stand-in gold set: top-n TF-IDF unigrams per doc."""
+    from .keyphrase import tfidf_topk
+    return tfidf_topk(docs, n).select("doc_id", F.col("term").alias("gold"))
+
+
+def kea_features(docs: DataFrame,
+                 stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    """(doc_id, candidate, tfidf, pos_norm) — Kea's two features over
+    run candidates."""
+    c = candidate_runs(docs, stoplist)
+    n = docs.count()
+    cand_df = c.groupBy("candidate").agg(F.count("*").alias("df"))
+    from ..tokenizer import tokens_exploded
+    dl = tokens_exploded(docs).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    return (c.join(cand_df, "candidate").join(dl, "doc_id")
+            .select("doc_id", "candidate",
+                    (F.col("tf") * F.log2((F.lit(float(n)) + 1.0)
+                                          / (F.col("df") + 1.0))).alias("tfidf"),
+                    (F.col("first_offset") / F.col("doc_len")).alias("pos_norm")))
+
+
+def kea_fit_predict(docs: DataFrame, k: int = 5,
+                    stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    """Train NB on weak gold labels, rank candidates by P(keyphrase)."""
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = kea_features(docs, stoplist)
+    gold = weak_gold(docs)
+    labeled = (feats.join(gold, (feats.doc_id == gold.doc_id)
+                          & (feats.candidate == gold.gold), "left")
+               .select(feats.doc_id, feats.candidate, "tfidf", "pos_norm",
+                       F.when(gold.gold.isNotNull(), 1.0).otherwise(0.0)
+                       .alias("label")))
+    asm = VectorAssembler(inputCols=["tfidf", "pos_norm"],
+                          outputCol="features")
+    vec = asm.transform(labeled)
+    # multinomial NB needs non-negative features; both are >= 0
+    model = NaiveBayes(smoothing=1.0, modelType="multinomial",
+                       featuresCol="features", labelCol="label").fit(vec)
+    pred = model.transform(vec)
+    p1 = F.round(vector_elem(pred["probability"], 1), 6).alias("p_keyphrase")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("p_keyphrase"),
+                                             F.asc("candidate"))
+    return (pred.select("doc_id", "candidate", p1)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "candidate", "p_keyphrase"))
+
+
+def vector_elem(col, i: int):
+    """Extract element i of an ml Vector column."""
+    from pyspark.ml.functions import vector_to_array
+    return vector_to_array(col)[i]
+
+
+def eval_prf(docs: DataFrame, k: int = 5,
+             stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    """Micro-averaged P/R/F@k of FirstPhrases predictions vs the weak
+    gold set (M7) — one summary row."""
+    from .keyphrase import firstphrases
+    pred = firstphrases(docs, k, stoplist).select("doc_id", "candidate")
+    gold = weak_gold(docs)
+    tp = pred.join(gold, (pred.doc_id == gold.doc_id)
+                   & (pred.candidate == gold.gold)).count()
+    np_, ng = pred.count(), gold.count()
+    p = tp / np_ if np_ else 0.0
+    r = tp / ng if ng else 0.0
+    f = 2 * p * r / (p + r) if (p + r) else 0.0
+    return docs.sparkSession.createDataFrame(
+        [(tp, np_, ng, round(p, 6), round(r, 6), round(f, 6))],
+        "tp long, n_pred long, n_gold long, precision double, "
+        "recall double, f1 double")
+
+
+def eval_prf_sql(k: int = 5,
+                 stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> str:
+    return f"""WITH {_cands_cte(stoplist)},
+fp AS (
+  SELECT doc_id, candidate,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY first_offset ASC, candidate ASC) AS rnk
+  FROM cands),
+pred AS (SELECT doc_id, candidate FROM fp WHERE rnk <= {k}),
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+gold_r AS (
+  SELECT tc.doc_id, tc.term,
+         row_number() OVER (PARTITION BY tc.doc_id
+           ORDER BY round(tc.tf * log2((nn.n + 1.0) / (s.df + 1.0)), 6) DESC,
+                    tc.term ASC) AS rnk
+  FROM tc JOIN stats s USING (term) CROSS JOIN nn),
+gold AS (SELECT doc_id, term AS gold FROM gold_r WHERE rnk <= 3),
+tp AS (SELECT count(*)::BIGINT AS tp FROM pred p
+       JOIN gold g ON p.doc_id = g.doc_id AND p.candidate = g.gold),
+cnt AS (SELECT (SELECT count(*)::BIGINT FROM pred) AS n_pred,
+               (SELECT count(*)::BIGINT FROM gold) AS n_gold)
+SELECT tp.tp, cnt.n_pred, cnt.n_gold,
+       round(tp.tp / cnt.n_pred, 6) AS precision,
+       round(tp.tp / cnt.n_gold, 6) AS recall,
+       round(CASE WHEN tp.tp = 0 THEN 0.0
+             ELSE 2.0 * (tp.tp / cnt.n_pred) * (tp.tp / cnt.n_gold)
+                  / (tp.tp / cnt.n_pred + tp.tp / cnt.n_gold) END, 6) AS f1
+FROM tp CROSS JOIN cnt"""

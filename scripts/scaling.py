@@ -47,7 +47,8 @@ from pke_spark.session import get_spark
 cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
 spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-corpus = with_doc_ids(synth_corpus(spark, n_docs, partitions=cpus))
+# partitions fixed at 64 for BOTH cluster sizes: identical input layout
+corpus = with_doc_ids(synth_corpus(spark, n_docs, partitions=64))
 docs = corpus.select("doc_id", corpus.content.alias("text"))
 docs.limit(100).count()  # warm JVM + python workers
 ix_dir = tempfile.mkdtemp(prefix=f"pke_spark_scale_{cpus}_")
