@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tokenizer import TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list
+from ..tokenizer import TEXT_STOPWORDS
 from .keyphrase import _cands_cte, candidate_runs
 
 

@@ -1,0 +1,65 @@
+"""spark-submit entrypoint for the index build (north rule: driven
+end-to-end by ``spark-submit --py-files`` on a multi-executor cluster).
+
+Usage:
+  zip -r /tmp/pke_spark.zip pke_spark
+  spark-submit --py-files /tmp/pke_spark.zip scripts/build_index_submit.py \
+      --input  <parquet dir or 'synth:N'> \
+      --output <index dir> \
+      [--id-col doc_id --text-col text] \
+      [--n-parts 32 --n-salts 8 --parts-per-job 4 --resume]
+
+The session comes from ``SparkSession.builder.getOrCreate()`` — master,
+executor counts, and memory are spark-submit's business; nothing here
+assumes local mode. ``synth:N`` generates the deterministic corpus in
+the BASELINE input_hint shape (repo, path, commit, lang, content) and
+derives doc_id/content_sha.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet path, or synth:N for the synthetic corpus")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--n-parts", type=int, default=32)
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--parts-per-job", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--input-snapshot", default="")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("pke_spark_index_build").getOrCreate()
+
+    from pke_spark.corpus import synth_corpus, with_doc_ids
+    from pke_spark.index.build import build_index
+
+    if args.input.startswith("synth:"):
+        n = int(args.input.split(":", 1)[1])
+        corpus = with_doc_ids(synth_corpus(spark, n))
+        docs = corpus.select("doc_id", corpus.content.alias("text"))
+        id_col, text_col = "doc_id", "text"
+    else:
+        docs = spark.read.parquet(args.input)
+        id_col, text_col = args.id_col, args.text_col
+
+    t0 = time.time()
+    build_index(docs, args.output, n_parts=args.n_parts,
+                n_salts=args.n_salts, parts_per_job=args.parts_per_job,
+                resume=args.resume, input_snapshot=args.input_snapshot,
+                id_col=id_col, text_col=text_col)
+    print(f"index built at {args.output} in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

