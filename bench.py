@@ -56,7 +56,7 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = 0.1
-    n_synth = max(2000, int(200_000 * sf))
+    n_synth = max(5000, int(1_000_000 * sf))
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")

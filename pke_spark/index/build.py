@@ -131,11 +131,14 @@ def _write_segments(part_docs, index_dir: str, n_parts: int, dyn: dict):
 
 
 def _manifest_segment_rows(spark, index_dir: str, parts: list[int],
-                           build_id: str, input_snapshot: str):
+                           build_id: str, input_snapshot: str,
+                           driver_stats_max_bytes: int | None = None):
     """Per-part lineage rows from the written segments (DuckDB scan when
     small, Spark agg otherwise — no extra Spark job in the common case)."""
     seg_path = f"{index_dir}/segments"
-    if _dir_bytes(seg_path) <= DRIVER_STATS_MAX_BYTES:
+    if driver_stats_max_bytes is None:
+        driver_stats_max_bytes = DRIVER_STATS_MAX_BYTES
+    if _dir_bytes(seg_path) <= driver_stats_max_bytes:
         import duckdb
         rows = duckdb.connect().execute(
             f"SELECT part, count(DISTINCT doc_id), count(DISTINCT term) "
@@ -261,6 +264,7 @@ def build_index(docs: DataFrame, index_dir: str, *,
                 fail_after_parts: int | None = None,
                 parts_per_job: int | None = None,
                 input_snapshot: str = "",
+                driver_stats_max_bytes: int | None = None,
                 id_col: str = "doc_id", text_col: str = "text") -> None:
     """Build the index at ``index_dir``.
 
@@ -312,18 +316,19 @@ def build_index(docs: DataFrame, index_dir: str, *,
                          .filter(F.col("part").isin(batch)))
             _write_segments(part_docs, index_dir, n_parts, dyn)
             _manifest_segment_rows(spark, index_dir, batch, build_id,
-                                   input_snapshot)
+                                   input_snapshot, driver_stats_max_bytes)
             processed += len(batch)
     else:
         # ---- one-shot phase A: tokenize straight from the input ----
         _write_segments(prepared, index_dir, n_parts, dyn)
         _manifest_segment_rows(spark, index_dir, list(range(n_parts)),
-                               build_id, input_snapshot)
+                               build_id, input_snapshot,
+                               driver_stats_max_bytes)
 
     # ---- phase B: global stats + salted posting encode ----
     n_docs, avgdl, hot_threshold = encode_postings(
         spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
-        block_size=block_size)
+        block_size=block_size, driver_stats_max_bytes=driver_stats_max_bytes)
     write_stats(index_dir, n_docs, avgdl, int(hot_threshold), block_size)
     _append_manifest(spark, index_dir, [(
         build_id, "postings", -1, "done", n_docs,
@@ -334,14 +339,18 @@ def build_index(docs: DataFrame, index_dir: str, *,
 def encode_postings(spark: SparkSession, index_dir: str, *,
                     n_salts: int = 8, hot_threshold: int | None = None,
                     block_size: int = codec.BLOCK_SIZE,
-                    out_name: str = "postings") -> tuple[int, float, int]:
+                    out_name: str = "postings",
+                    driver_stats_max_bytes: int | None = None
+                    ) -> tuple[int, float, int]:
     """Phase B: corpus stats + hot-term detection + salted block encode
     from ``index_dir``/segments into ``index_dir``/``out_name``.
     Returns (n_docs, avgdl, hot_threshold). Shared by the batch builder
     and the streaming refresh."""
     seg_path = f"{index_dir}/segments"
     tc = spark.read.parquet(seg_path).select("doc_id", "term", "tf")
-    if _dir_bytes(seg_path) <= DRIVER_STATS_MAX_BYTES:
+    if driver_stats_max_bytes is None:
+        driver_stats_max_bytes = DRIVER_STATS_MAX_BYTES
+    if _dir_bytes(seg_path) <= driver_stats_max_bytes:
         # small corpus: global stats + hot-term list via a driver-side
         # DuckDB scan of the segment parquet (zero Spark jobs)
         import duckdb

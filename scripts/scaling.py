@@ -59,8 +59,11 @@ docs.limit(100).count()  # warm JVM + python workers
 ix_dir = tempfile.mkdtemp(prefix=f"pke_spark_scale_{cpus}_")
 t0 = time.time()
 # n_parts fixed at 32 for BOTH cluster sizes: identical data layout and
-# job, only the parallelism differs (the N vs 4N comparison)
-build_index(docs, ix_dir, n_parts=32, n_salts=8)
+# job, only the parallelism differs (the N vs 4N comparison).
+# driver_stats_max_bytes=0 forces the distributed stats path — the one a
+# 10^12-file corpus always takes (the DuckDB shortcut is a small-corpus
+# convenience and would serialize on the driver here)
+build_index(docs, ix_dir, n_parts=32, n_salts=8, driver_stats_max_bytes=0)
 print("ELAPSED", time.time() - t0)
 shutil.rmtree(ix_dir, ignore_errors=True)
 spark.stop()
