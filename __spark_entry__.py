@@ -17,7 +17,8 @@ sys.path.insert(0, "/root/repo")
 import math  # noqa: E402
 
 from pke_spark.ops import (core, dedup, graph, keyphrase,  # noqa: E402
-                           similarity, supervised, textstats, yake)
+                           similarity, supervised, textstats, topicrank,
+                           yake)
 
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
@@ -63,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "singlerank": lambda s, d: graph.singlerank_topk(_docs(s, d), 5),
         "positionrank": lambda s, d: graph.positionrank_topk(_docs(s, d), 5),
         "kpminer_dedup": lambda s, d: keyphrase.kpminer_dedup(_docs(s, d), 5),
+        "topicrank": lambda s, d: topicrank.topicrank_topk(_docs(s, d), 5),
+        "multipartiterank": lambda s, d: topicrank.multipartiterank_topk(
+            _docs(s, d), 5),
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
