@@ -18,7 +18,7 @@ import math  # noqa: E402
 
 from pke_spark.ops import (core, dedup, graph, keyphrase,  # noqa: E402
                            similarity, supervised, textstats, topicrank,
-                           yake)
+                           tpr, yake)
 
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpminer_dedup": lambda s, d: keyphrase.kpminer_dedup(_docs(s, d), 5),
         "topicrank": lambda s, d: topicrank.topicrank_topk(_docs(s, d), 5),
         "multipartiterank": lambda s, d: topicrank.multipartiterank_topk(
+            _docs(s, d), 5),
+        "topical_pagerank": lambda s, d: tpr.topical_pagerank_topk(
             _docs(s, d), 5),
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),

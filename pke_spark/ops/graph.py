@@ -57,16 +57,13 @@ def _pagerank_dense(adj, pers, alpha: float = ALPHA,
     return x
 
 
-def _pagerank_scores(terms: list[str], positions: list[int],
-                     stopset: set, window: int, weighted: bool,
-                     personalize: bool) -> dict[str, float]:
-    """Word scores for one document (numpy, tiny dense graph)."""
+def _build_word_graph(terms: list[str], positions: list[int],
+                      stopset: set, window: int, weighted: bool):
+    """Co-occurrence adjacency over non-stop words (tiny dense matrix)."""
     import numpy as np
 
     valid = [(p, t) for p, t in zip(positions, terms) if t not in stopset]
     nodes = sorted({t for _, t in valid})
-    if not nodes:
-        return {}
     idx = {t: i for i, t in enumerate(nodes)}
     n = len(nodes)
     adj = np.zeros((n, n), dtype=np.float64)
@@ -78,13 +75,26 @@ def _pagerank_scores(terms: list[str], positions: list[int],
             if ti == tj:
                 continue
             a, b = idx[ti], idx[tj]
-            w = 1.0
             if weighted:
-                adj[a, b] += w
-                adj[b, a] += w
+                adj[a, b] += 1.0
+                adj[b, a] += 1.0
             else:
-                adj[a, b] = w
-                adj[b, a] = w
+                adj[a, b] = 1.0
+                adj[b, a] = 1.0
+    return valid, nodes, idx, adj
+
+
+def _pagerank_scores(terms: list[str], positions: list[int],
+                     stopset: set, window: int, weighted: bool,
+                     personalize: bool) -> dict[str, float]:
+    """Word scores for one document (numpy, tiny dense graph)."""
+    import numpy as np
+
+    valid, nodes, idx, adj = _build_word_graph(terms, positions, stopset,
+                                               window, weighted)
+    if not nodes:
+        return {}
+    n = len(nodes)
     if personalize:
         acc = np.zeros(n)
         for p, t in valid:
@@ -92,6 +102,24 @@ def _pagerank_scores(terms: list[str], positions: list[int],
         pers = acc / acc.sum()
     else:
         pers = np.full(n, 1.0 / n)
+    scores = _pagerank_dense(adj, pers)
+    return {t: float(scores[idx[t]]) for t in nodes}
+
+
+def _pagerank_scores_custom(terms: list[str], positions: list[int],
+                            stopset: set, window: int, weighted: bool,
+                            pers_map: dict[str, float]) -> dict[str, float]:
+    """Like _pagerank_scores but with an explicit personalization map
+    (TopicalPageRank's topical word importance, single_tpr.py:186-191)."""
+    import numpy as np
+
+    _, nodes, idx, adj = _build_word_graph(terms, positions, stopset,
+                                           window, weighted)
+    if not nodes:
+        return {}
+    pers = np.array([pers_map.get(t, 0.0) for t in nodes], dtype=np.float64)
+    s = pers.sum()
+    pers = pers / s if s > 0 else np.full(len(nodes), 1.0 / len(nodes))
     scores = _pagerank_dense(adj, pers)
     return {t: float(scores[idx[t]]) for t in nodes}
 

@@ -1,0 +1,116 @@
+"""TopicalPageRank (pke/unsupervised/graph_based/single_tpr.py) with a
+Spark-ML LDA model instead of the reference's pickled sklearn artifact
+(utils.py:330-415 trains it; single_tpr.py:120-200 consumes it).
+
+Pipeline (faithful to single_tpr.py:153-200):
+1. corpus LDA: CountVectorizer over stop-filtered tokens +
+   ``pyspark.ml.clustering.LDA`` (EM, fixed seed) — distributed
+   training, the analog of M6.
+2. word-topic distributions: topicsMatrix normalized per topic (pke
+   normalizes components_ rows, :156-158).
+3. per word: W(w) = cosine similarity between its topic vector and the
+   document's topic distribution (:160-173); OOV words get min W
+   (:175-179); W normalized to sum 1 (:181-184).
+4. personalized PageRank over the window-10 weighted word graph
+   (:186-191), candidate score = sum of word scores (:193-200).
+
+Per-doc graphs run in applyInPandas with the (small) word-topic matrix
+in the UDF closure and the doc's topic distribution joined in as a
+column. Rows-only driver check (LDA fixpoint is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import TEXT_STOPWORDS, tokens_array, tokens_exploded
+from .graph import _pagerank_scores_custom
+
+N_TOPICS = 10
+WINDOW = 10
+
+
+def topical_pagerank_topk(docs: DataFrame, k: int = 5,
+                          n_topics: int = N_TOPICS,
+                          stoplist: tuple[str, ...] = TEXT_STOPWORDS
+                          ) -> DataFrame:
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.functions import vector_to_array
+
+    stopset = set(stoplist)
+    stop_arr = F.array(*[F.lit(s) for s in stoplist])
+    toks_arr = docs.select(
+        "doc_id",
+        F.array_except(tokens_array("text"), stop_arr).alias("words"))
+    cv = CountVectorizer(inputCol="words", outputCol="tf", minDF=1.0)
+    cvm = cv.fit(toks_arr)
+    tfdf = cvm.transform(toks_arr)
+    lda = LDA(k=n_topics, seed=0, maxIter=20, optimizer="em",
+              featuresCol="tf")
+    model = lda.fit(tfdf)
+    # vocab x k, normalized per topic column -> P(w | t)
+    tm = model.topicsMatrix().toArray()
+    tm = tm / np.maximum(tm.sum(axis=0, keepdims=True), 1e-300)
+    vocab = cvm.vocabulary
+    word_topic = {w: tm[i, :].copy() for i, w in enumerate(vocab)}
+
+    docdist = (model.transform(tfdf)
+               .select("doc_id",
+                       vector_to_array("topicDistribution").alias("doc_topics")))
+    toks = tokens_exploded(docs).join(docdist, "doc_id")
+
+    def score_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        doc_id = int(pdf["doc_id"].iloc[0])
+        terms = pdf["term"].tolist()
+        positions = pdf["pos"].tolist()
+        doc_vec = np.asarray(pdf["doc_topics"].iloc[0], dtype=np.float64)
+        dn = np.linalg.norm(doc_vec)
+        nodes = sorted({t for t in terms if t not in stopset})
+        w_map: dict[str, float] = {}
+        for t in nodes:
+            v = word_topic.get(t)
+            if v is not None:
+                vn = np.linalg.norm(v)
+                if vn > 0 and dn > 0:
+                    w_map[t] = float(v @ doc_vec / (vn * dn))
+        if w_map:
+            default = min(w_map.values())
+        else:
+            default = 1.0
+        pers = {t: w_map.get(t, default) for t in nodes}
+        s = sum(pers.values())
+        if s > 0:
+            pers = {t: v / s for t, v in pers.items()}
+        else:
+            pers = {t: 1.0 / max(len(nodes), 1) for t in nodes}
+        scores = _pagerank_scores_custom(terms, positions, stopset,
+                                         WINDOW, True, pers)
+        # candidates = non-stop runs; score = sum of word scores
+        cands: dict[str, float] = {}
+        run: list[str] = []
+
+        def flush():
+            if run:
+                cands.setdefault(" ".join(run),
+                                 sum(scores.get(w, 0.0) for w in run))
+
+        for t in terms:
+            if t in stopset:
+                flush(); run = []
+            else:
+                run.append(t)
+        flush()
+        top = sorted(cands.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+        return pd.DataFrame({
+            "doc_id": doc_id,
+            "rank": pd.array(range(1, len(top) + 1), dtype="int32"),
+            "candidate": [t for t, _ in top],
+            "score": [round(v, 6) for _, v in top]})
+
+    return toks.groupBy("doc_id").applyInPandas(
+        score_doc, "doc_id long, rank int, candidate string, score double")
