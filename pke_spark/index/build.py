@@ -457,6 +457,7 @@ class IndexReader:
         self.index_dir = index_dir
         self.cache = cache
         self._post: DataFrame | None = None
+        self._term_df: dict[str, int] | None = None
         st = spark.read.parquet(f"{index_dir}/stats").first()
         self.n_docs = st.n_docs
         self.avgdl = st.avgdl
@@ -467,6 +468,20 @@ class IndexReader:
             p = self.spark.read.parquet(f"{self.index_dir}/postings")
             self._post = p.persist() if self.cache else p
         return self._post
+
+    def term_df_map(self) -> dict[str, int]:
+        """term -> df dictionary, loaded once from the postings metadata
+        columns (the in-memory term dictionary of a classical engine;
+        one driver-side scan of (term, df), no blocks touched thanks to
+        parquet column pruning). Gated by the same cache flag."""
+        if self._term_df is None:
+            import duckdb
+            rows = duckdb.connect().execute(
+                f"SELECT term, sum(df) FROM "
+                f"read_parquet('{self.index_dir}/postings/*.parquet') "
+                f"GROUP BY term").fetchall()
+            self._term_df = {t: int(d) for t, d in rows}
+        return self._term_df
 
     def doc_stats(self) -> DataFrame:
         """(doc_id, dl) derived from segments (norms are embedded in the

@@ -64,7 +64,12 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
     """Exhaustive BM25 from the index (decode + DataFrame scoring)."""
     terms = sorted(set(query_terms))
     post = ix.term_postings(terms)
-    stats = post.groupBy("term").agg(F.sum("df").alias("df"))
+    full_map = ix.term_df_map()
+    stats_rows = [(t, full_map[t]) for t in terms if t in full_map]
+    stats = ix.spark.createDataFrame(stats_rows or [("", 0)],
+                                     "term string, df long")
+    if not stats_rows:
+        stats = stats.filter(F.lit(False))
 
     def _decode(pdf_iter):
         for pdf in pdf_iter:
@@ -95,8 +100,8 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
     shift = 64 - int(math.log2(n_buckets))
     terms = sorted(set(query_terms))
     post = ix.term_postings(terms)
-    term_df = {r["term"]: int(r["df"]) for r in
-               post.groupBy("term").agg(F.sum("df").alias("df")).collect()}
+    full_map = ix.term_df_map()  # cached dictionary: no per-query stats job
+    term_df = {t: full_map[t] for t in terms if t in full_map}
     if not term_df:
         return _rank_topk(
             ix.spark.createDataFrame([], "doc_id long, score double"), k)
