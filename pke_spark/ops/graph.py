@@ -14,8 +14,10 @@ the POS gate {NOUN,PROPN,ADJ} becomes the non-stopword gate, F6):
 - candidate score = sum of word scores over the candidate's words (J2),
   candidates = maximal non-stopword runs (C2), score normalized by the
   pke convention (sum, with SingleRank/TextRank using raw sums)
-- pagerank: alpha=0.85, max_iter=100, tol=1e-6 (networkx defaults,
-  matching pke's calls)
+- pagerank: alpha=0.85, max_iter=100, tol=1e-4 per pke's explicit calls
+  (textrank.py:158, singlerank.py:128, positionrank.py:171 all pass
+  tol=0.0001); the iteration mirrors networkx's exactly (uniform start,
+  L1 < n*tol), verified against nx.pagerank in tests/test_graph_nx.py
 
 Determinism: scores rounded to 6 decimals; ordering (score DESC,
 candidate ASC); node iteration order = sorted token order.
@@ -37,18 +39,27 @@ ALPHA = 0.85
 
 def _pagerank_dense(adj, pers, alpha: float = ALPHA,
                     max_iter: int = 100, tol: float = 1e-6):
-    """Standard damped PageRank by dense power iteration (numpy).
-    ``adj[i, j]`` = weight of edge j->i (symmetric for our undirected
-    graphs). Dangling mass and teleport follow the personalization
-    vector; convergence when L1 error < n * tol (the networkx
-    convention pke relies on)."""
+    """networkx-faithful damped PageRank by dense power iteration.
+
+    Mirrors ``nx.pagerank``'s power iteration exactly: row-stochastic
+    transition on out-weights, UNIFORM start vector (not the
+    personalization), dangling mass redistributed by the
+    personalization vector, convergence when the L1 error < n * tol.
+    ``adj[i, j]`` = weight of edge j->i, so column j's sum is node j's
+    out-weight and ``m @ x`` equals networkx's ``x @ A_rownorm``.
+
+    ``tol`` is per-model: pke passes tol=0.0001 for TextRank/SingleRank/
+    PositionRank/TPR (textrank.py:158, singlerank.py:128,
+    positionrank.py:171, single_tpr.py:189) and the networkx default
+    1e-6 for TopicRank/MultipartiteRank (topicrank.py:219,
+    multipartiterank.py:223)."""
     import numpy as np
     n = adj.shape[0]
     out = adj.sum(axis=0)  # out-weight of each source column
     dangling = out == 0
     safe_out = np.where(dangling, 1.0, out)
     m = adj / safe_out  # column-stochastic (except dangling columns)
-    x = pers.copy()
+    x = np.full(n, 1.0 / n)
     for _ in range(max_iter):
         x_new = alpha * (m @ x + x[dangling].sum() * pers) + (1 - alpha) * pers
         if np.abs(x_new - x).sum() < n * tol:
@@ -84,6 +95,9 @@ def _build_word_graph(terms: list[str], positions: list[int],
     return valid, nodes, idx, adj
 
 
+PKE_TOL = 1e-4  # pke passes tol=0.0001 to nx.pagerank for G1-G4
+
+
 def _pagerank_scores(terms: list[str], positions: list[int],
                      stopset: set, window: int, weighted: bool,
                      personalize: bool) -> dict[str, float]:
@@ -102,7 +116,7 @@ def _pagerank_scores(terms: list[str], positions: list[int],
         pers = acc / acc.sum()
     else:
         pers = np.full(n, 1.0 / n)
-    scores = _pagerank_dense(adj, pers)
+    scores = _pagerank_dense(adj, pers, tol=PKE_TOL)
     return {t: float(scores[idx[t]]) for t in nodes}
 
 
@@ -120,7 +134,7 @@ def _pagerank_scores_custom(terms: list[str], positions: list[int],
     pers = np.array([pers_map.get(t, 0.0) for t in nodes], dtype=np.float64)
     s = pers.sum()
     pers = pers / s if s > 0 else np.full(len(nodes), 1.0 / len(nodes))
-    scores = _pagerank_dense(adj, pers)
+    scores = _pagerank_dense(adj, pers, tol=PKE_TOL)
     return {t: float(scores[idx[t]]) for t in nodes}
 
 

@@ -6,9 +6,10 @@ directly in numpy with the same cut semantics as
 ``fcluster(linkage(Y, 'average'), t, 'distance')``.
 
 Faithful pieces (file:line of the reference):
-- candidate vectorization: binary stem incidence (topicrank.py:97-124;
-  jaccard on counts treats nonzero as membership)
-- jaccard distance matrix (topicrank.py:145)
+- candidate vectorization: stem COUNT vectors (topicrank.py:97-124)
+- jaccard distance matrix with scipy's numeric-vector semantics — a
+  coordinate mismatches when values differ and either is nonzero
+  (topicrank.py:145)
 - HAC average linkage, cut at t=0.74 (topicrank.py:148-156)
 - topic-graph edges: sum over cross-topic candidate occurrence pairs of
   1/gap, gap shortened by the earlier candidate's length and floored at
@@ -53,6 +54,26 @@ def _runs_with_offsets(terms: list[str], stopset: set):
         p = " ".join(run)
         cands.setdefault(p, [run, []])[1].append(start)
     return cands
+
+
+def _jaccard_count_dist(names: list[str], cands: dict) -> np.ndarray:
+    """scipy-exact jaccard distance matrix over candidate COUNT vectors
+    (topicrank.py:97-124 builds counts via ``X[i, dim.index(w)] += 1``;
+    scipy's ``pdist(X, 'jaccard')`` on numeric vectors counts a
+    coordinate as a mismatch whenever the values differ and either is
+    nonzero — so 'big big data' vs 'big data' disagree on 'big')."""
+    vocab = sorted({w for n in names for w in cands[n][0]})
+    vi = {w: i for i, w in enumerate(vocab)}
+    X = np.zeros((len(names), len(vocab)), dtype=np.int64)
+    for i, n in enumerate(names):
+        for w in cands[n][0]:
+            X[i, vi[w]] += 1
+    a, b = X[:, None, :], X[None, :, :]
+    nz = (a != 0) | (b != 0)
+    num = ((a != b) & nz).sum(axis=2)
+    den = nz.sum(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(den > 0, num / den, 0.0)
 
 
 def _upgma_clusters(dist: np.ndarray, t: float) -> list[int]:
@@ -103,21 +124,12 @@ def _topicrank_doc(pdf: pd.DataFrame, stopset: set, k: int,
                           "score": pd.Series(dtype="float64")})
     if not names:
         return empty
-    # binary stem incidence + jaccard distances
-    vocab = sorted({w for n in names for w in cands[n][0]})
-    vi = {w: i for i, w in enumerate(vocab)}
-    X = np.zeros((len(names), len(vocab)), dtype=bool)
-    for i, n in enumerate(names):
-        for w in cands[n][0]:
-            X[i, vi[w]] = True
+    # count vectorization + scipy-exact jaccard distances (J5/L1-L2)
     if len(names) == 1:
         labels = [0]
     else:
-        inter = (X[:, None, :] & X[None, :, :]).sum(axis=2)
-        union = (X[:, None, :] | X[None, :, :]).sum(axis=2)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            dist = 1.0 - np.where(union > 0, inter / union, 0.0)
-        labels = _upgma_clusters(dist, threshold)
+        labels = _upgma_clusters(
+            _jaccard_count_dist(names, cands), threshold)
     topics: dict[int, list[str]] = {}
     for n, lab in zip(names, labels):
         topics.setdefault(lab, []).append(n)
@@ -195,20 +207,12 @@ def _multipartite_doc(pdf: pd.DataFrame, stopset: set, k: int,
                           "score": pd.Series(dtype="float64")})
     if not names:
         return empty
-    vocab = sorted({w for n in names for w in cands[n][0]})
-    vi = {w: i for i, w in enumerate(vocab)}
-    X = np.zeros((len(names), len(vocab)), dtype=bool)
-    for i, n in enumerate(names):
-        for w in cands[n][0]:
-            X[i, vi[w]] = True
     if len(names) == 1:
         labels = [0]
     else:
-        inter = (X[:, None, :] & X[None, :, :]).sum(axis=2)
-        union = (X[:, None, :] | X[None, :, :]).sum(axis=2)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            dist = 1.0 - np.where(union > 0, inter / union, 0.0)
-        labels = _upgma_clusters(np.nan_to_num(dist), threshold)
+        # multipartiterank.py:100-101 nan_to_num's the pdist output; our
+        # _jaccard_count_dist already maps empty-union pairs to 0
+        labels = _upgma_clusters(_jaccard_count_dist(names, cands), threshold)
     n = len(names)
     idx = {nm: i for i, nm in enumerate(names)}
     # adj[dst, src] = weight of edge src -> dst
@@ -231,10 +235,14 @@ def _multipartite_doc(pdf: pd.DataFrame, stopset: set, k: int,
                     w += 1.0 / gap
             adj[b, a] += w  # a -> b
             adj[a, b] += w  # b -> a
-    # first-variant boost
+    # first-variant boost: collect ALL boosts first, then apply — pke
+    # fills `weighted_edges` across every topic before mutating any
+    # weight (multipartiterank.py:157-194), so boosters always read
+    # unboosted weights
     topics: dict[int, list[str]] = {}
     for nm, lab in zip(names, labels):
         topics.setdefault(lab, []).append(nm)
+    boosts: dict[tuple[int, int], float] = {}
     for variants in topics.values():
         if len(variants) == 1:
             continue
@@ -248,7 +256,9 @@ def _multipartite_doc(pdf: pd.DataFrame, stopset: set, k: int,
             boosters = sum(adj[end, idx[v]] for v in variants
                            if v != first and adj[end, idx[v]] > 0.0)
             if boosters:
-                adj[fi, end] += boosters * boost_base  # end -> first
+                boosts[(fi, end)] = boosters * boost_base  # end -> first
+    for (fi, end), w in boosts.items():
+        adj[fi, end] += w
     pers = np.full(n, 1.0 / n)
     scores = _pagerank_dense(adj, pers, alpha=ALPHA)
     order = sorted(range(n), key=lambda i: (-round(float(scores[i]), 6),

@@ -1,5 +1,8 @@
-"""Graph ranking parity: Spark applyInPandas pipeline == driver-side
-networkx recomputation on the same tokens (G1-G3, SURVEY §2.11)."""
+"""Distribution invariance for graph ranking: the Spark applyInPandas
+pipeline equals a driver-side recomputation with the SAME engine code
+(`graph._rank_doc`) — this proves tokenize/partition/groupBy plumbing,
+NOT PageRank correctness. True correctness parity against networkx with
+pke's exact call signatures lives in tests/test_graph_nx.py."""
 
 from __future__ import annotations
 
