@@ -100,6 +100,33 @@ def _append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]):
                    f"{index_dir}/manifest/{uuid.uuid4().hex[:16]}.parquet")
 
 
+def postings_path(index_dir: str) -> str:
+    """Resolve the CURRENT postings directory. Fresh builds write
+    ``postings``; compaction/refresh write a new versioned directory and
+    atomically flip the ``POSTINGS_CURRENT`` pointer file (os.replace is
+    atomic on POSIX), so a crash mid-swap never leaves the index without
+    a readable postings dir. Readers resolve the pointer at construction
+    — recreate IndexReader instances after a compaction."""
+    cur = f"{index_dir}/POSTINGS_CURRENT"
+    if os.path.exists(cur):
+        with open(cur) as f:
+            return f"{index_dir}/{f.read().strip()}"
+    return f"{index_dir}/postings"
+
+
+def swap_postings(index_dir: str, new_name: str) -> None:
+    """Atomically point the index at ``index_dir/new_name`` and then
+    best-effort delete the previous postings directory."""
+    import shutil
+    old = postings_path(index_dir)
+    tmp = f"{index_dir}/POSTINGS_CURRENT.tmp"
+    with open(tmp, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, f"{index_dir}/POSTINGS_CURRENT")
+    if os.path.abspath(old) != os.path.abspath(f"{index_dir}/{new_name}"):
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers (no Spark job)."""
     import pyarrow.dataset as ds
@@ -180,7 +207,7 @@ def write_stats(index_dir: str, n_docs: int, avgdl: float,
 
 def _postings_term_count(index_dir: str) -> int:
     """Distinct terms in the final postings (driver DuckDB when small)."""
-    p = f"{index_dir}/postings"
+    p = postings_path(index_dir)
     if _dir_bytes(p) <= DRIVER_STATS_MAX_BYTES:
         import duckdb
         return int(duckdb.connect().execute(
@@ -333,7 +360,7 @@ def build_index(docs: DataFrame, index_dir: str, *,
     _append_manifest(spark, index_dir, [(
         build_id, "postings", -1, "done", n_docs,
         _postings_term_count(index_dir),
-        _dir_bytes(f"{index_dir}/postings"), input_snapshot, time.time())])
+        _dir_bytes(postings_path(index_dir)), input_snapshot, time.time())])
 
 
 def encode_postings(spark: SparkSession, index_dir: str, *,
@@ -343,27 +370,39 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
                     driver_stats_max_bytes: int | None = None
                     ) -> tuple[int, float, int]:
     """Phase B: corpus stats + hot-term detection + salted block encode
-    from ``index_dir``/segments into ``index_dir``/``out_name``.
+    from ``index_dir``/segments (plus ``segments_stream`` epoch dirs, if
+    a stream has appended) into ``index_dir``/``out_name``.
     Returns (n_docs, avgdl, hot_threshold). Shared by the batch builder
     and the streaming refresh."""
     seg_path = f"{index_dir}/segments"
+    stream_path = f"{index_dir}/segments_stream"
+    has_stream = os.path.exists(stream_path)
     tc = spark.read.parquet(seg_path).select("doc_id", "term", "tf")
+    if has_stream:
+        tc = tc.unionByName(spark.read.parquet(stream_path)
+                            .select("doc_id", "term", "tf"))
+    seg_globs = [f"{seg_path}/*/*.parquet"]
+    if has_stream:
+        seg_globs.append(f"{stream_path}/*/*/*.parquet")  # epoch=/part=
+    glob_sql = "[" + ", ".join(f"'{g}'" for g in seg_globs) + "]"
+    total_bytes = _dir_bytes(seg_path) + (_dir_bytes(stream_path)
+                                          if has_stream else 0)
     if driver_stats_max_bytes is None:
         driver_stats_max_bytes = DRIVER_STATS_MAX_BYTES
-    if _dir_bytes(seg_path) <= driver_stats_max_bytes:
+    if total_bytes <= driver_stats_max_bytes:
         # small corpus: global stats + hot-term list via a driver-side
         # DuckDB scan of the segment parquet (zero Spark jobs)
         import duckdb
         con = duckdb.connect()
         n_docs, total_tf = con.execute(
             f"SELECT count(DISTINCT doc_id), sum(tf) FROM "
-            f"read_parquet('{seg_path}/*/*.parquet')").fetchone()
+            f"read_parquet({glob_sql})").fetchone()
         n_docs = int(n_docs)
         avgdl = float(total_tf) / n_docs if n_docs else 0.0
         if hot_threshold is None:
             hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
         hot = [r[0] for r in con.execute(
-            f"SELECT term FROM read_parquet('{seg_path}/*/*.parquet') "
+            f"SELECT term FROM read_parquet({glob_sql}) "
             f"GROUP BY term HAVING count(*) >= {hot_threshold}").fetchall()]
         hot_terms = spark.createDataFrame([(t,) for t in hot] or
                                           [("",)], "term string")
@@ -415,8 +454,10 @@ def compact(spark: SparkSession, index_dir: str, *,
     """Hierarchical bounded-fan-in merge of hot-term shards: decode the
     <= n_salts sorted runs per term, k-way merge, re-encode. Terms whose
     total df exceeds ``max_merge_docs`` stay sharded (a 10^12-scale 'def'
-    never needs to live in one task)."""
-    p = spark.read.parquet(f"{index_dir}/postings")
+    never needs to live in one task). The swap is crash-safe: the new
+    directory is fully written, then the POSTINGS_CURRENT pointer flips
+    atomically (see postings_path)."""
+    p = spark.read.parquet(postings_path(index_dir))
     sizes = p.groupBy("term").agg(F.sum("df").alias("df_total"),
                                   F.count("*").alias("n_shards"))
     todo = sizes.filter((F.col("n_shards") > 1) &
@@ -438,13 +479,10 @@ def compact(spark: SparkSession, index_dir: str, *,
     merged = (p.join(F.broadcast(todo), "term")
               .repartition("term")
               .mapInPandas(_merge, POSTINGS_SCHEMA))
+    new_name = f"postings_{uuid.uuid4().hex[:12]}"
     merged.unionByName(keep).write.mode("overwrite") \
-        .parquet(f"{index_dir}/postings_compacted")
-    # atomic-ish swap
-    os.rename(f"{index_dir}/postings", f"{index_dir}/postings_old")
-    os.rename(f"{index_dir}/postings_compacted", f"{index_dir}/postings")
-    import shutil
-    shutil.rmtree(f"{index_dir}/postings_old")
+        .parquet(f"{index_dir}/{new_name}")
+    swap_postings(index_dir, new_name)
 
 
 class IndexReader:
@@ -455,6 +493,10 @@ class IndexReader:
         one-shot scan at extreme scale can pass cache=False."""
         self.spark = spark
         self.index_dir = index_dir
+        # resolved once at construction: a compaction that swaps the
+        # pointer mid-session requires a new reader (documented at
+        # postings_path)
+        self.postings_dir = postings_path(index_dir)
         self.cache = cache
         self._post: DataFrame | None = None
         self._term_df: dict[str, int] | None = None
@@ -465,23 +507,48 @@ class IndexReader:
 
     def postings(self) -> DataFrame:
         if self._post is None:
-            p = self.spark.read.parquet(f"{self.index_dir}/postings")
+            p = self.spark.read.parquet(self.postings_dir)
             self._post = p.persist() if self.cache else p
         return self._post
 
-    def term_df_map(self) -> dict[str, int]:
-        """term -> df dictionary, loaded once from the postings metadata
-        columns (the in-memory term dictionary of a classical engine;
-        one driver-side scan of (term, df), no blocks touched thanks to
-        parquet column pruning). Gated by the same cache flag."""
+    # per-term dictionary cache bound: ~100k entries is a few MB on the
+    # driver regardless of corpus vocabulary size
+    TERM_CACHE_MAX = 100_000
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """(term -> df) for EXACTLY the requested terms, via a
+        predicate-pushdown read of the postings metadata columns
+        (``WHERE term IN (...)`` hits the parquet min/max row-group
+        stats; the blocks column is never touched thanks to column
+        pruning). Results — including misses, stored as 0 — go into a
+        bounded LRU so repeated serving never re-reads, and the driver
+        NEVER materializes the full vocabulary (at code-corpus scale the
+        term dictionary is billions of entries)."""
+        from collections import OrderedDict
         if self._term_df is None:
+            self._term_df = OrderedDict()
+        cache = self._term_df
+        missing = [t for t in dict.fromkeys(terms) if t not in cache]
+        if missing:
             import duckdb
+            inlist = ", ".join("'" + t.replace("'", "''") + "'"
+                               for t in missing)
             rows = duckdb.connect().execute(
                 f"SELECT term, sum(df) FROM "
-                f"read_parquet('{self.index_dir}/postings/*.parquet') "
-                f"GROUP BY term").fetchall()
-            self._term_df = {t: int(d) for t, d in rows}
-        return self._term_df
+                f"read_parquet('{self.postings_dir}/*.parquet') "
+                f"WHERE term IN ({inlist}) GROUP BY term").fetchall()
+            got = {t: int(d) for t, d in rows}
+            for t in missing:
+                cache[t] = got.get(t, 0)
+            while len(cache) > self.TERM_CACHE_MAX:
+                cache.popitem(last=False)
+        out = {}
+        for t in dict.fromkeys(terms):
+            if t in cache:
+                cache.move_to_end(t)
+                if cache[t] > 0:
+                    out[t] = cache[t]
+        return out
 
     def doc_stats(self) -> DataFrame:
         """(doc_id, dl) derived from segments (norms are embedded in the

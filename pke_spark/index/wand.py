@@ -64,8 +64,7 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
     """Exhaustive BM25 from the index (decode + DataFrame scoring)."""
     terms = sorted(set(query_terms))
     post = ix.term_postings(terms)
-    full_map = ix.term_df_map()
-    stats_rows = [(t, full_map[t]) for t in terms if t in full_map]
+    stats_rows = sorted(ix.term_dfs(terms).items())
     stats = ix.spark.createDataFrame(stats_rows or [("", 0)],
                                      "term string, df long")
     if not stats_rows:
@@ -96,12 +95,17 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
 def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
               k1: float = K1, b: float = B, n_buckets: int = 64) -> DataFrame:
     """Block-Max pruned BM25 top-k (see module docstring)."""
-    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    # >= 2: shift must stay < 64 (JVM shiftrightunsigned shifts mod 64,
+    # so shift==64 would leave full 64-bit doc values as bucket bounds
+    # and explode F.sequence(b1, b2))
+    assert n_buckets >= 2 and n_buckets & (n_buckets - 1) == 0, \
+        "n_buckets must be a power of 2, >= 2"
     shift = 64 - int(math.log2(n_buckets))
     terms = sorted(set(query_terms))
     post = ix.term_postings(terms)
-    full_map = ix.term_df_map()  # cached dictionary: no per-query stats job
-    term_df = {t: full_map[t] for t in terms if t in full_map}
+    # pruned dictionary read: only the query's terms, LRU-cached — no
+    # full-vocab structure ever lands on the driver
+    term_df = ix.term_dfs(terms)
     if not term_df:
         return _rank_topk(
             ix.spark.createDataFrame([], "doc_id long, score double"), k)

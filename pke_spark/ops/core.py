@@ -61,16 +61,20 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     """
     spark = docs.sparkSession
     toks = tokens_exploded(docs)
-    tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    # push the query-term filter BELOW both term-side aggregations:
+    # Catalyst will not push a join under a groupBy, so filter the token
+    # stream first — df for a term only needs that term's rows. Only the
+    # doc-length table (n, avgdl) requires the full corpus pass.
+    tc_q = (toks.join(F.broadcast(q), "term")
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
-    stats_q = (tc.groupBy("term").agg(F.count("*").alias("df"))
-               .join(F.broadcast(q), "term"))
+    stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1.0)) / \
         (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-    scored = (tc.join(F.broadcast(stats_q), "term")
+    scored = (tc_q.join(F.broadcast(stats_q), "term")
               .join(dl, "doc_id")
               .crossJoin(F.broadcast(g))
               .groupBy("doc_id")

@@ -71,11 +71,20 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
             .groupBy("doc_id", "i").agg(F.min("h").alias("sig")))
 
 
+# the signature DataFrame of the most recent minhash_lsh_pairs call;
+# kept cached for that (lazy) result's lifetime and unpersisted on the
+# next call so a long-lived session holds at most ONE cached set
+_LAST_SIGS: list = []
+
+
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
                       n_bands: int = N_BANDS) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) for pairs sharing >= 1 LSH band.
     est_jaccard = fraction of matching minhash signatures."""
+    while _LAST_SIGS:
+        _LAST_SIGS.pop().unpersist()
     sigs = minhash_signatures(docs, n_hashes).cache()
+    _LAST_SIGS.append(sigs)
     rows = n_hashes // n_bands
     bands = sigs.groupBy("doc_id", (F.col("i") / rows).cast("int").alias("band")) \
         .agg(F.array_join(F.transform(

@@ -144,15 +144,20 @@ def firstphrases(docs: DataFrame, k: int = 5,
 
 
 def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Per-doc top-k unigram terms by TF x IDF (pke +1 smoothing)."""
+    """Per-doc top-k unigram terms by TF x IDF (pke +1 smoothing).
+
+    N comes from a broadcast 1-row aggregate inside the plan — no
+    separate ``docs.count()`` driver job per query (A2: in index-backed
+    deployments it reads from the manifest)."""
     toks = tokens_exploded(docs)
     tc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     stats = tc.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.count()
+    nrow = docs.agg(F.count("*").cast("double").alias("n"))
     weight = F.round(
-        F.col("tf") * F.log2((F.lit(float(n)) + 1.0) / (F.col("df") + 1.0)), 6)
+        F.col("tf") * F.log2((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
     return (tc.join(stats, "term")
+            .crossJoin(F.broadcast(nrow))
             .withColumn("weight", weight)
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
@@ -166,7 +171,7 @@ def kpminer(docs: DataFrame, k: int = 5,
     """Per-doc top-k KPMiner-weighted candidates (see module docstring).
     Candidates are 1..3-grams (pke uses ngram_selection(n=5),
     kpminer.py:73) filtered by lasf/cutoff."""
-    n = docs.count()
+    nrow = docs.agg(F.count("*").cast("double").alias("n"))
     c = (ngram_candidates(docs, 3, stoplist)
          .filter((F.col("first_offset") <= cutoff) & (F.col("tf") >= lasf)))
     # per-doc scalars N_d, P_d (A4) joined back
@@ -179,16 +184,17 @@ def kpminer(docs: DataFrame, k: int = 5,
     uni_df = (c.filter(F.col("n_words") == 1)
               .groupBy("candidate").agg(F.count("*").alias("df")))
     boost = F.least(F.col("n_d") / (F.col("p_d") * alpha), F.lit(sigma))
-    n1 = float(n) + 1.0
+    n1 = F.col("n") + 1.0
     idf = F.when(F.col("n_words") == 1,
-                 F.log2(F.lit(n1) / (1.0 + F.coalesce(F.col("df"), F.lit(0))))) \
-           .otherwise(F.log2(F.lit(n1)))
+                 F.log2(n1 / (1.0 + F.coalesce(F.col("df"), F.lit(0))))) \
+           .otherwise(F.log2(n1))
     weight = F.round(
         F.when(F.col("n_words") == 1, F.col("tf") * idf)
         .otherwise(F.col("tf") * boost * idf), 6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("candidate"))
     return (c.join(scal, "doc_id")
             .join(uni_df, "candidate", "left")
+            .crossJoin(F.broadcast(nrow))
             .withColumn("weight", weight)
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)

@@ -2,9 +2,11 @@
 
 The reference is strictly batch (SURVEY §2.13); the engine adds the
 natural streaming extension: new documents arrive on a stream, each
-micro-batch is tokenized and appended as new segment rows (the same
-(part, doc_id, term, tf) shape phase A writes), with lineage rows in
-the manifest (phase='stream_append', one per epoch). Postings are then
+micro-batch is tokenized and written as new segment rows under
+``segments_stream/epoch=<id>/part=K`` (same (doc_id, term, tf) shape
+phase A writes, plus the epoch key that makes replays idempotent),
+with lineage rows in the manifest (phase='stream_append', one per
+epoch). Postings are then
 refreshed by re-running the salted encode over all segments
 (``refresh_postings``) — segment appends are cheap and continuous,
 posting refresh is periodic compaction, the classic LSM-ish split.
@@ -30,16 +32,26 @@ from .tokenizer import tokens_array
 def append_batch(batch_df: DataFrame, index_dir: str, epoch_id: int,
                  n_parts: int = 8, id_col: str = "doc_id",
                  text_col: str = "text") -> None:
-    """Append one micro-batch of documents as segment rows."""
+    """Append one micro-batch of documents as segment rows.
+
+    IDEMPOTENT per epoch: foreachBatch gives at-least-once semantics, so
+    a batch replayed after a failure between the parquet write and the
+    checkpoint commit must not duplicate rows. Each epoch writes to its
+    own hive partition ``segments_stream/epoch=<id>/part=K`` with dynamic
+    partition overwrite — a replay overwrites exactly its own epoch dirs
+    instead of appending duplicates that would double-count tf/df."""
     spark = batch_df.sparkSession
     docs = batch_df.select(F.col(id_col).alias("doc_id"),
                            F.col(text_col).alias("text"))
     toks = docs.withColumn(
         "part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")) \
         .select("part", "doc_id", F.explode(tokens_array("text")).alias("term"))
-    tc = toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
+    tc = (toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
+          .withColumn("epoch", F.lit(int(epoch_id))))
     (tc.repartition(n_parts, "part")
-       .write.partitionBy("part").mode("append").parquet(f"{index_dir}/segments"))
+       .write.partitionBy("epoch", "part")
+       .option("partitionOverwriteMode", "dynamic")
+       .mode("overwrite").parquet(f"{index_dir}/segments_stream"))
     _append_manifest(spark, index_dir, [(
         f"stream_{uuid.uuid4().hex[:8]}", "stream_append", int(epoch_id),
         "done", docs.count(), 0, 0, "", time.time())])
@@ -61,20 +73,18 @@ def incremental_index(stream_docs: DataFrame, index_dir: str,
 def refresh_postings(spark: SparkSession, index_dir: str, *,
                      n_salts: int = 8, hot_threshold: int | None = None,
                      block_size: int | None = None) -> None:
-    """Rebuild postings/stats from all segments (batch compaction after
-    stream appends). Reuses phase B of the batch builder."""
-    import os
-    import shutil
-
+    """Rebuild postings/stats from all segments (batch + stream epochs
+    — the batch compaction after stream appends). Reuses phase B of the
+    batch builder; the swap is crash-safe via the POSTINGS_CURRENT
+    pointer flip (see index.build.postings_path)."""
     from .index import codec
-    from .index.build import encode_postings, write_stats
+    from .index.build import encode_postings, swap_postings, write_stats
 
     if block_size is None:
         block_size = codec.BLOCK_SIZE
+    new_name = f"postings_{uuid.uuid4().hex[:12]}"
     n_docs, avgdl, hot_threshold = encode_postings(
         spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
-        block_size=block_size, out_name="postings_refresh")
-    if os.path.exists(f"{index_dir}/postings"):
-        shutil.rmtree(f"{index_dir}/postings")
-    os.rename(f"{index_dir}/postings_refresh", f"{index_dir}/postings")
+        block_size=block_size, out_name=new_name)
+    swap_postings(index_dir, new_name)
     write_stats(index_dir, n_docs, avgdl, hot_threshold, block_size)

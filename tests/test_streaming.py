@@ -59,3 +59,11 @@ def test_stream_append_equals_batch_build(spark, tmp_path):
         pd.testing.assert_frame_equal(
             got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
             check_exact=False, atol=1e-9)
+
+    # at-least-once replay: re-appending an already-committed epoch must
+    # not change the index (epoch-keyed dynamic partition overwrite)
+    streaming.append_batch(half_b, ix_dir, epoch_id=0, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32)
+    pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
+                                  _decoded(spark, ref_dir))
