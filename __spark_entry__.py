@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), ANN_QUERY_VEC, 10),
         "embedding_dups": lambda s, d: similarity.embedding_cosine_pairs(
             _emb(s, d), 0.45),
+        "embedding_dups_lsh": lambda s, d: similarity.embedding_dup_pairs_lsh(
+            _emb(s, d), 0.45),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(
             _emb(s, d), ANN_QUERY_VEC, 10),
         "langid": lambda s, d: textstats.langid(_docs(s, d)),
@@ -110,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "ann_cosine_topk": similarity.ann_cosine_topk_sql(ANN_QUERY_VEC, 10),
         "embedding_dups": similarity.embedding_cosine_pairs_sql(0.45),
+        "embedding_dups_lsh": similarity.embedding_dup_pairs_lsh_sql(0.45),
         # ann_lsh_topk: bucketing not SQL-expressible -> rows-only check;
         # recall vs brute force asserted in tests/test_similarity.py
         "langid": textstats.langid_sql(),

@@ -72,8 +72,76 @@ SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS ran
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
 
 
-def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
-    """(vec_a, vec_b, cos) exact pairs with cosine >= threshold."""
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.45,
+                           n_blocks: int = 8) -> DataFrame:
+    """(vec_a, vec_b, cos) EXACT pairs with cosine >= threshold, as a
+    blocked similarity join — recall 1.0 with NO cartesian product in
+    the plan.
+
+    Physical shape: vectors are hashed into ``n_blocks`` blocks; each of
+    the n_blocks*(n_blocks+1)/2 block pairs becomes one cogroup task that
+    computes its cos sub-matrix as a single numpy GEMM and emits only
+    rows above threshold. Shuffle volume is n_blocks x the input (each
+    vector joins ~n_blocks block-pair keys); compute is the unavoidable
+    O(n^2) FLOPs of an exact all-pairs, but BLAS-batched instead of a
+    Catalyst nested-loop. At larger n, raise n_blocks ~ sqrt(tasks
+    wanted). The candidate filter stays exact — for the approximate
+    regime see embedding_dup_pairs_lsh.
+    """
+    import pandas as pd
+    spark = emb.sparkSession
+    e = emb.select("vec_id", "embedding").withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int")
+    left = (e.alias("e1")
+            .join(F.broadcast(bp.alias("p1")),
+                  F.col("e1.blk") == F.col("p1.bi"))
+            .select(F.col("p1.bi").alias("bi"), F.col("p1.bj").alias("bj"),
+                    F.col("e1.vec_id").alias("vec_id"),
+                    F.col("e1.embedding").alias("embedding")))
+    right = (e.alias("e2")
+             .join(F.broadcast(bp.alias("p2")),
+                   F.col("e2.blk") == F.col("p2.bj"))
+             .select(F.col("p2.bi").alias("bi"), F.col("p2.bj").alias("bj"),
+                     F.col("e2.vec_id").alias("vec_id"),
+                     F.col("e2.embedding").alias("embedding")))
+
+    def fn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        A = np.array([np.asarray(v, dtype=np.float64) for v in lpdf["embedding"]])
+        Bm = np.array([np.asarray(v, dtype=np.float64) for v in rpdf["embedding"]])
+        ai = lpdf["vec_id"].to_numpy(np.int64)
+        bi_ids = rpdf["vec_id"].to_numpy(np.int64)
+        C = (A @ Bm.T) / np.outer(np.linalg.norm(A, axis=1),
+                                  np.linalg.norm(Bm, axis=1))
+        # pre-filter a full rounding quantum below threshold (a raw cos
+        # of threshold-5e-7 still rounds UP to the threshold); the exact
+        # rounded HALF_UP comparison happens in Spark afterwards
+        ii, jj = np.nonzero(C >= threshold - 1e-6)
+        va, vb, cc = ai[ii], bi_ids[jj], C[ii, jj]
+        keep = va < vb if bi == bj else np.ones(len(va), dtype=bool)
+        va, vb, cc = va[keep], vb[keep], cc[keep]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos": cc})
+
+    raw = (left.groupBy("bi", "bj")
+           .cogroup(right.groupBy("bi", "bj"))
+           .applyInPandas(fn, "vec_a long, vec_b long, cos double"))
+    return (raw.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
+def _embedding_cosine_pairs_cartesian(emb: DataFrame,
+                                      threshold: float = 0.45) -> DataFrame:
+    """The O(n^2) nested-loop verifier — TESTS ONLY (asserts the blocked
+    plan above is exact); never exposed as a query entry."""
     e = _emb_double(emb).select(F.col("vec_id"), F.col("emb"),
                                 _norm(F.col("emb")).alias("nrm"))
     a, b = e.alias("a"), e.alias("b")
@@ -105,6 +173,126 @@ def _planes(dim: int, n_planes: int) -> np.ndarray:
     fixed key — no external data, invariant to partitioning)."""
     g = np.random.Generator(np.random.Philox(key=42))
     return g.standard_normal((n_planes, dim))
+
+
+# ------------------------------------------- banded near-dup (scale path)
+
+EMB_DIM = 64          # testdata embeddings are 64-dim (TESTDATA.md)
+DUP_PLANES = 4        # sign bits per band
+DUP_TABLES = 16       # bands; recall 1.0 at sf0.01 asserted in tests
+
+
+def _dup_plane_lits(n_planes: int = DUP_PLANES,
+                    n_tables: int = DUP_TABLES) -> list[list[float]]:
+    """Rounded plane literals shared VERBATIM by the Spark and DuckDB
+    sides (key 7 keeps them independent of ann_lsh_topk's planes)."""
+    g = np.random.Generator(np.random.Philox(key=7))
+    p = g.standard_normal((n_planes * n_tables, EMB_DIM))
+    return [[round(float(x), 6) for x in row] for row in p]
+
+
+def _seq_dot_col(emb_col: str, plane: list[float]) -> F.Column:
+    """Strictly left-to-right dot product as a Column expression — the
+    same IEEE-754 evaluation order as the oracle's explicit SQL sum, so
+    the sign bits (and therefore the candidate sets) match bit-exactly."""
+    acc = F.element_at(F.col(emb_col), 1) * F.lit(plane[0])
+    for i in range(1, len(plane)):
+        acc = acc + F.element_at(F.col(emb_col), i + 1) * F.lit(plane[i])
+    return acc
+
+
+def _seq_dot_sql(emb_expr: str, plane: list[float]) -> str:
+    terms = [f"{emb_expr}[{i + 1}] * {p!r}" for i, p in enumerate(plane)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
+                            n_planes: int = DUP_PLANES,
+                            n_tables: int = DUP_TABLES) -> DataFrame:
+    """(vec_a, vec_b, cos) near-dup pairs via banded sign-LSH candidates
+    + exact cosine rerank — the 100-TB shape: candidate generation is an
+    EQUI-join on (band, bucket) keys, never an all-pairs product; the
+    exact rerank touches only candidate pairs. Deterministic planes make
+    the candidate set a pure function of the data, with a DuckDB twin
+    (embedding_dup_pairs_lsh_sql) computing the identical buckets.
+    Recall vs the exact O(n^2) verifier (embedding_cosine_pairs, kept
+    for tests) is asserted at 1.0 on the testdata in
+    tests/test_similarity_lsh.py."""
+    planes = np.array(_dup_plane_lits(n_planes, n_tables))  # (P*T, dim)
+
+    def sketch(pdf_iter):
+        # one BLAS matmul per Arrow batch; sign-equality with the
+        # oracle's sequential SQL sum is guarded by
+        # tests/test_similarity_lsh.py::test_lsh_buckets_match_numpy_reference
+        weights = 1 << np.arange(n_planes)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            bits = (M @ planes.T) > 0  # n x (P*T)
+            out = []
+            for t in range(n_tables):
+                bk = bits[:, t * n_planes:(t + 1) * n_planes].dot(weights)
+                out.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "t": np.int32(t),
+                    "bkt": bk.astype(np.int64)}))
+            yield pd.concat(out, ignore_index=True)
+
+    sk = emb.select("vec_id", "embedding").mapInPandas(
+        sketch, "vec_id long, t int, bkt long")
+    cand = (sk.alias("a").join(
+        sk.alias("b"),
+        (F.col("a.t") == F.col("b.t")) & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+        .distinct())
+    ea = _emb_double(emb).select(F.col("vec_id").alias("vec_a"),
+                                 F.col("emb").alias("emb_a"),
+                                 _norm(F.col("emb")).alias("nrm_a"))
+    eb = _emb_double(emb).select(F.col("vec_id").alias("vec_b"),
+                                 F.col("emb").alias("emb_b"),
+                                 _norm(F.col("emb")).alias("nrm_b"))
+    cos = F.round(_dot(F.col("emb_a"), F.col("emb_b"))
+                  / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
+def embedding_dup_pairs_lsh_sql(threshold: float = 0.45,
+                                n_planes: int = DUP_PLANES,
+                                n_tables: int = DUP_TABLES) -> str:
+    planes = _dup_plane_lits(n_planes, n_tables)
+    band_rows = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {_seq_dot_sql('emb', planes[t * n_planes + p])} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes))
+        band_rows.append(f"SELECT vec_id, {t} AS t, ({bits}) AS bkt FROM e")
+    sk = " UNION ALL ".join(band_rows)
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings),
+sk AS ({sk}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sk a JOIN sk b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_sum(list_transform(list_zip(ea.emb, eb.emb),
+               p -> p[1] * p[2])) / (ea.nrm * eb.nrm), 6) AS cos
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {threshold}"""
 
 
 def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,

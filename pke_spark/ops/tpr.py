@@ -46,7 +46,11 @@ def topical_pagerank_topk(docs: DataFrame, k: int = 5,
     toks_arr = docs.select(
         "doc_id",
         F.array_except(tokens_array("text"), stop_arr).alias("words"))
-    cv = CountVectorizer(inputCol="words", outputCol="tf", minDF=1.0)
+    # bounded vocabulary (pke's own LDA runs on a bounded CountVectorizer
+    # vocabulary); keeps the word-topic matrix O(vocabSize), not O(corpus
+    # vocabulary)
+    cv = CountVectorizer(inputCol="words", outputCol="tf", minDF=1.0,
+                         vocabSize=1 << 16)
     cvm = cv.fit(toks_arr)
     tfdf = cvm.transform(toks_arr)
     lda = LDA(k=n_topics, seed=0, maxIter=20, optimizer="em",
@@ -56,7 +60,10 @@ def topical_pagerank_topk(docs: DataFrame, k: int = 5,
     tm = model.topicsMatrix().toArray()
     tm = tm / np.maximum(tm.sum(axis=0, keepdims=True), 1e-300)
     vocab = cvm.vocabulary
-    word_topic = {w: tm[i, :].copy() for i, w in enumerate(vocab)}
+    # sc.broadcast, NOT a closure capture: the matrix ships to each
+    # executor once instead of being pickled into every task
+    wt_bc = docs.sparkSession.sparkContext.broadcast(
+        {w: tm[i, :].copy() for i, w in enumerate(vocab)})
 
     docdist = (model.transform(tfdf)
                .select("doc_id",
@@ -64,6 +71,7 @@ def topical_pagerank_topk(docs: DataFrame, k: int = 5,
     toks = tokens_exploded(docs).join(docdist, "doc_id")
 
     def score_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        word_topic = wt_bc.value
         pdf = pdf.sort_values("pos")
         doc_id = int(pdf["doc_id"].iloc[0])
         terms = pdf["term"].tolist()

@@ -1,0 +1,84 @@
+"""Embedding near-dup: the blocked-GEMM exact plan must equal the
+nested-loop cartesian verifier (recall 1.0) with NO cartesian product in
+the executed plan; the LSH-banded approximate path reports its recall
+and matches its own deterministic bucket semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pke_spark.ops import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+
+def _sorted(df):
+    return (df.toPandas().sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True))
+
+
+def test_blocked_pairs_equal_cartesian_verifier(spark, emb):
+    got = _sorted(similarity.embedding_cosine_pairs(emb, 0.45))
+    want = _sorted(similarity._embedding_cosine_pairs_cartesian(emb, 0.45))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    assert len(got) > 0  # sf0.01 has 14 true pairs
+
+
+def test_blocked_pairs_plan_has_no_cartesian(spark, emb):
+    plan = (similarity.embedding_cosine_pairs(emb, 0.45)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_pairs_block_count_invariance(spark, emb):
+    a = _sorted(similarity.embedding_cosine_pairs(emb, 0.45, n_blocks=3))
+    b = _sorted(similarity.embedding_cosine_pairs(emb, 0.45, n_blocks=16))
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9)
+
+
+def test_lsh_dup_pairs_subset_and_recall(spark, emb):
+    """LSH candidates + exact rerank: every emitted pair is a true pair
+    (precision 1.0 — the rerank is exact) and recall on this fixed
+    dataset is total at sf0.01 (asserted; at higher SFs the measured
+    recall is reported by the bench, not asserted)."""
+    lsh = _sorted(similarity.embedding_dup_pairs_lsh(emb, 0.45))
+    exact = _sorted(similarity.embedding_cosine_pairs(emb, 0.45))
+    lsh_pairs = set(zip(lsh.vec_a, lsh.vec_b))
+    exact_pairs = set(zip(exact.vec_a, exact.vec_b))
+    assert lsh_pairs <= exact_pairs
+    recall = len(lsh_pairs) / max(len(exact_pairs), 1)
+    assert recall == 1.0, f"sf0.01 recall {recall}"
+
+
+def test_lsh_buckets_match_numpy_reference(spark, emb):
+    """The Spark-side sequential-fold sign bits equal a straight numpy
+    recomputation on the same rounded planes (guards the left-to-right
+    Column expression against drift)."""
+    planes = np.array(similarity._dup_plane_lits())
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    M = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    bits = (M @ planes.T) > 0
+    n_p, n_t = similarity.DUP_PLANES, similarity.DUP_TABLES
+    want = {}
+    for t in range(n_t):
+        bk = bits[:, t * n_p:(t + 1) * n_p].dot(1 << np.arange(n_p))
+        for vid, b in zip(pdf.vec_id, bk):
+            want[(int(vid), t)] = int(b)
+    from pyspark.sql import functions as F
+    e = emb.withColumn("emb", F.col("embedding").cast("array<double>"))
+    lits = similarity._dup_plane_lits()
+    rows = e.select(
+        "vec_id",
+        *[((similarity._seq_dot_col("emb", lits[t * n_p + p]) > 0)
+           .cast("int") * (1 << p)).alias(f"b_{t}_{p}")
+          for t in range(n_t) for p in range(n_p)]).collect()
+    for r in rows:
+        for t in range(n_t):
+            got = sum(r[f"b_{t}_{p}"] for p in range(n_p))
+            assert got == want[(int(r.vec_id), t)]
