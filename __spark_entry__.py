@@ -16,9 +16,9 @@ sys.path.insert(0, "/root/repo")
 
 import math  # noqa: E402
 
-from pke_spark.ops import (core, dedup, graph, keyphrase,  # noqa: E402
-                           similarity, supervised, textstats, topicrank,
-                           tpr, yake)
+from pke_spark.ops import (core, dedup, grammar, graph,  # noqa: E402
+                           keyphrase, similarity, stemmed, supervised,
+                           textstats, topicrank, tpr, yake)
 
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
@@ -51,8 +51,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": lambda s, d: core.bm25_topk(_docs(s, d), BM25_QUERY, 10),
         "bm25_hot": lambda s, d: core.bm25_topk(_docs(s, d), BM25_HOT_QUERY, 10),
         "bm25_miss": lambda s, d: core.bm25_topk(_docs(s, d), BM25_MISS_QUERY, 10),
+        "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
+            _docs(s, d)),
+        "tfidf_stemmed": lambda s, d: stemmed.tfidf_stemmed_topk(_docs(s, d), 3),
+        "stemmed_candidates": lambda s, d: stemmed.stemmed_candidates(
+            _docs(s, d)),
         "candidate_runs": lambda s, d: keyphrase.candidate_runs(_docs(s, d)),
         "ngram_candidates": lambda s, d: keyphrase.ngram_candidates(_docs(s, d)),
+        "grammar_candidates": lambda s, d: grammar.grammar_candidates(
+            _docs(s, d)),
         "firstphrases": lambda s, d: keyphrase.firstphrases(_docs(s, d), 5),
         "tfidf_topk": lambda s, d: keyphrase.tfidf_topk(_docs(s, d), 3),
         "kpminer": lambda s, d: keyphrase.kpminer(_docs(s, d), 5),
@@ -100,8 +107,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": core.bm25_topk_sql(BM25_QUERY, 10),
         "bm25_hot": core.bm25_topk_sql(BM25_HOT_QUERY, 10),
         "bm25_miss": core.bm25_topk_sql(BM25_MISS_QUERY, 10),
+        "token_counts_stemmed": stemmed.token_counts_stemmed_sql(),
+        "tfidf_stemmed": stemmed.tfidf_stemmed_topk_sql(3),
+        "stemmed_candidates": stemmed.stemmed_candidates_sql(),
         "candidate_runs": keyphrase.candidate_runs_sql(),
         "ngram_candidates": keyphrase.ngram_candidates_sql(),
+        "grammar_candidates": grammar.grammar_candidates_sql(),
         "firstphrases": keyphrase.firstphrases_sql(5),
         "tfidf_topk": keyphrase.tfidf_topk_sql(3),
         "kpminer": keyphrase.kpminer_sql(5),
