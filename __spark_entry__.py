@@ -93,6 +93,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_stats": lambda s, d: textstats.token_count_stats(_docs(s, d)),
         "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         "yake_lite": lambda s, d: yake.yake_lite(_docs(s, d), 5),
+        # full YAKE (5 features + context windows + Levenshtein dedup):
+        # not SQL-expressible -> rows-only; golden parity vs a reference
+        # transcription in tests/test_yake_full.py
+        "yake_full": lambda s, d: yake.yake_full(_docs(s, d), 5),
         # Spark-ML NaiveBayes ranking: not SQL-expressible -> rows-only
         "kea_predict": lambda s, d: supervised.kea_fit_predict(_docs(s, d), 5),
         "eval_prf": lambda s, d: supervised.eval_prf(_docs(s, d), 5),

@@ -23,10 +23,14 @@ decimals on both engines.
 
 from __future__ import annotations
 
+import math
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tokenizer import duckdb_toks_cte, tokens_exploded
+from ..tokenizer import TEXT_STOPWORDS, duckdb_toks_cte, tokens_exploded
 
 
 def yake_lite(docs: DataFrame, k: int = 5) -> DataFrame:
@@ -74,3 +78,215 @@ ranked AS (
             ORDER BY weight ASC, term ASC) AS INTEGER) AS rank
   FROM weighted)
 SELECT doc_id, rank, term, tf, weight FROM ranked WHERE rank <= {k}"""
+
+
+# ===================================================================
+# Full YAKE (yake_full): all five features of the reference —
+# CASING, POSITION, FREQUENCY, RELATEDNESS (context windows, W1),
+# DIFFERENT (sentence frequency) — plus the differentiated in-candidate
+# stopword weighting and the Levenshtein redundancy pass of
+# get_n_best (pke/unsupervised/statistical/yake.py:116-464, T2, P5).
+#
+# YAKE needs casing and sentence structure, which the code tokenizer
+# erases; yake_full therefore reads the RAW text per document with a
+# lightweight sentence/word reader ([.!?]+whitespace sentence split,
+# [A-Za-z0-9-] word runs keeping original case) — the documented
+# adaptation of the spaCy reader (pke/readers.py:60-116). Each
+# document is independent, so the operator is a shuffle-free
+# mapInPandas; per-doc work is the reference's own O(doc) algorithm.
+#
+# Not SQL-expressible (context blocks + greedy Levenshtein) ->
+# rows-only driver check; golden parity against a transcription-style
+# driver mirror of the reference loops lives in tests/test_yake_full.py.
+# ===================================================================
+
+YAKE_WINDOW = 2
+YAKE_THRESHOLD = 0.8
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_WORD = re.compile(r"[A-Za-z0-9][A-Za-z0-9\-]*")
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic DP edit distance (P5; nltk.edit_distance analog)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def yake_sentences(text: str) -> list[list[str]]:
+    """Raw text -> sentences of case-preserving surface words."""
+    out = []
+    for s in _SENT_SPLIT.split(text or ""):
+        ws = _WORD.findall(s)
+        if ws:
+            out.append(ws)
+    return out
+
+
+def yake_doc(sentences: list[list[str]], stopset: set, k: int,
+             window: int = YAKE_WINDOW, n: int = 3,
+             threshold: float = YAKE_THRESHOLD) -> list[tuple[str, float]]:
+    """One document through the full YAKE pipeline; returns the
+    ascending-weight top-k after Levenshtein redundancy removal.
+    Deterministic tie-break (weight, candidate) replaces pke's
+    insertion-order stable sort (SURVEY W4)."""
+    # ---- vocabulary (yake.py:116-140): index -> {(offset, shift,
+    # sent_id, surface)} ----
+    words: dict[str, set] = {}
+    shift = 0
+    for i, sent in enumerate(sentences):
+        for j, w in enumerate(sent):
+            words.setdefault(w.lower(), set()).add((shift + j, shift, i, w))
+        shift += len(sent)
+    if not words:
+        return []
+
+    # ---- contexts (yake.py:142-186): block resets at OOV words ----
+    contexts: dict[str, tuple[list, list]] = {w: ([], []) for w in words}
+    for sent in sentences:
+        block: list[str] = []
+        for surface in sent:
+            w = surface.lower()
+            if w not in words:
+                block = []
+                continue
+            ctx = block[max(0, len(block) - window):]
+            contexts[w][0].extend(ctx)
+            for b in ctx:
+                contexts[b][1].append(w)
+            block.append(w)
+
+    # ---- word features (yake.py:229-305) ----
+    import numpy as np
+    tf_map = {w: len(occ) for w, occ in words.items()}
+    tf_nsw = [tf for w, tf in tf_map.items() if w not in stopset]
+    if not tf_nsw:  # guard: all-stopword doc (pke would NaN here)
+        tf_nsw = list(tf_map.values())
+    mean_tf = float(np.mean(tf_nsw))
+    std_tf = float(np.std(tf_nsw))
+    max_tf = float(max(tf_map.values()))
+    weight_of: dict[str, float] = {}
+    isstop: dict[str, bool] = {}
+    for w, occ in words.items():
+        tf = tf_map[w]
+        isstop[w] = w in stopset or len(w) < 3
+        tf_a = tf_u = 0
+        for off, sh, sid, surface in occ:
+            if surface.isupper() and len(w) > 1:
+                tf_a += 1
+            elif surface[0].isupper() and off != sh:
+                tf_u += 1
+        casing = max(tf_a, tf_u) / (1.0 + math.log(tf))
+        sids = list({t[2] for t in occ})
+        position = math.log(math.log(3.0 + float(np.median(sids))))
+        frequency = tf / (mean_tf + std_tf)
+        left, right = contexts[w]
+        wl = (len(set(left)) / len(left)) if left else 0.0
+        wr = (len(set(right)) / len(right)) if right else 0.0
+        relatedness = 1.0 + (wr + wl) * (tf / max_tf)
+        different = len(sids) / len(sentences)
+        weight_of[w] = (relatedness * position) / (
+            casing + frequency / relatedness + different / relatedness)
+
+    # ---- candidates: 1..n-grams per sentence (C1) + F1 + F3 ----
+    cands: dict[str, list] = {}  # key -> list of surface tuples
+    for sent in sentences:
+        for j in range(len(sent)):
+            for size in range(1, min(n, len(sent) - j) + 1):
+                surf = tuple(sent[j:j + size])
+                key = " ".join(t.lower() for t in surf)
+                cands.setdefault(key, []).append(surf)
+    alnum = re.compile(r"^[A-Za-z0-9\-]+$")
+    kept: dict[str, list] = {}
+    for key, forms in cands.items():
+        first = [u.lower() for u in forms[0]]
+        if set(first) & stopset:
+            continue
+        if len("".join(first)) < 3:
+            continue
+        if min(len(u) for u in first) < 2:
+            continue
+        if len(first) > 5:
+            continue
+        if not all(alnum.match(u) for u in first):
+            continue
+        # F3 edge filter (yake.py:102-114) on the first surface form
+        if (forms[0][0].lower() in stopset or forms[0][-1].lower() in stopset
+                or len(forms[0][0]) < 3 or len(forms[0][-1]) < 3):
+            continue
+        kept[key] = forms
+
+    # ---- candidate weighting, surface path with differentiated
+    # stopword handling (yake.py:330-372) ----
+    weights: dict[str, float] = {}
+    for key, forms in kept.items():
+        lowercase_forms = [" ".join(t).lower() for t in forms]
+        for i, cand in enumerate(lowercase_forms):
+            tf_c = lowercase_forms.count(cand)
+            tokens = [t.lower() for t in forms[i]]
+            prod_, sum_ = 1.0, 0.0
+            for j, token in enumerate(tokens):
+                if isstop[token]:
+                    prob_t1 = prob_t2 = 0.0
+                    if j - 1 >= 0:
+                        left_t = tokens[j - 1]
+                        prob_t1 = (contexts[left_t][1].count(token)
+                                   / tf_map[left_t])
+                    if j + 1 < len(tokens):
+                        right_t = tokens[j + 1]
+                        prob_t2 = (contexts[token][0].count(right_t)
+                                   / tf_map[right_t])
+                    prob = prob_t1 * prob_t2
+                    prod_ *= 1.0 + (1.0 - prob)
+                    sum_ -= 1.0 - prob
+                else:
+                    prod_ *= weight_of[token]
+                    sum_ += weight_of[token]
+            if sum_ == -1.0:
+                sum_ = -0.99999999999
+            weights[cand] = prod_ / (tf_c * (1.0 + sum_))
+
+    # ---- ascending top-k + Levenshtein redundancy (yake.py:382-464) ----
+    best = sorted(weights, key=lambda c: (weights[c], c))
+    sel: list[str] = []
+    for c in best:
+        if any(1.0 - levenshtein(c, p) / max(len(c), len(p)) > threshold
+               for p in sel):
+            continue
+        sel.append(c)
+        if len(sel) >= k:
+            break
+    return [(c, round(weights[c], 6)) for c in sel]
+
+
+def yake_full(docs: DataFrame, k: int = 5,
+              stoplist: tuple[str, ...] = TEXT_STOPWORDS,
+              window: int = YAKE_WINDOW) -> DataFrame:
+    """(doc_id, rank, candidate, weight) — full YAKE per document,
+    shuffle-free (mapInPandas over the documents scan; docs are
+    independent, no groupBy needed)."""
+    stopset = set(stoplist)
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                top = yake_doc(yake_sentences(r.text), stopset, k, window)
+                rows += [(int(r.doc_id), i + 1, c, w)
+                         for i, (c, w) in enumerate(top)]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "rank", "candidate", "weight"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, rank int, candidate string, weight double")
