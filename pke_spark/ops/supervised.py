@@ -38,13 +38,14 @@ def kea_features(docs: DataFrame,
     """(doc_id, candidate, tfidf, pos_norm) — Kea's two features over
     run candidates."""
     c = candidate_runs(docs, stoplist)
-    n = docs.count()
+    nrow = docs.agg(F.count("*").cast("double").alias("n"))
     cand_df = c.groupBy("candidate").agg(F.count("*").alias("df"))
     from ..tokenizer import tokens_exploded
     dl = tokens_exploded(docs).groupBy("doc_id").agg(F.count("*").alias("doc_len"))
     return (c.join(cand_df, "candidate").join(dl, "doc_id")
+            .crossJoin(F.broadcast(nrow))
             .select("doc_id", "candidate",
-                    (F.col("tf") * F.log2((F.lit(float(n)) + 1.0)
+                    (F.col("tf") * F.log2((F.col("n") + 1.0)
                                           / (F.col("df") + 1.0))).alias("tfidf"),
                     (F.col("first_offset") / F.col("doc_len")).alias("pos_norm")))
 
@@ -82,6 +83,103 @@ def vector_elem(col, i: int):
     """Extract element i of an ml Vector column."""
     from pyspark.ml.functions import vector_to_array
     return vector_to_array(col)[i]
+
+
+def scale_minmax(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A11 (pke/supervised/api.py:27-34): MinMax-scale feature columns
+    to [0,1] — global min/max as a broadcast 1-row aggregate, then pure
+    column math (constant columns map to 0, sklearn's convention)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    g = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(g))
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        out = out.withColumn(
+            c, F.when(hi > lo, (F.col(c) - lo) / (hi - lo)).otherwise(F.lit(0.0)))
+    return out.drop(*[f"__min_{c}" for c in cols],
+                    *[f"__max_{c}" for c in cols])
+
+
+def _fit_nb(labeled: DataFrame):
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import VectorAssembler
+    asm = VectorAssembler(inputCols=["tfidf", "pos_norm"],
+                          outputCol="features")
+    model = NaiveBayes(smoothing=1.0, modelType="multinomial",
+                       featuresCol="features", labelCol="label") \
+        .fit(asm.transform(labeled))
+    return asm, model
+
+
+def _label(feats: DataFrame, gold: DataFrame) -> DataFrame:
+    """features left-join gold -> label column (utils.py:205-211)."""
+    return (feats.join(gold, (feats.doc_id == gold.doc_id)
+                       & (feats.candidate == gold.gold), "left")
+            .select(feats.doc_id, feats.candidate, "tfidf", "pos_norm",
+                    F.when(gold.gold.isNotNull(), 1.0).otherwise(0.0)
+                    .alias("label")))
+
+
+def kea_fit_predict_loo(docs: DataFrame, gold: DataFrame, k: int = 5,
+                        stoplist: tuple[str, ...] = TEXT_STOPWORDS,
+                        minmax: bool = False) -> DataFrame:
+    """M5 leave-one-out: for every document, train NB on all OTHER
+    documents' labeled candidates (features ⋈ gold with the held-out
+    doc filtered, pke/utils.py:221-231) and rank the held-out doc's
+    candidates. The fold loop is a driver loop over the (small) eval
+    corpus, exactly the reference's shape; each fold's fit/transform is
+    distributed. ``gold`` = (doc_id, gold) as from gold.load_references
+    (doc_id type must match ``docs``)."""
+    from functools import reduce
+
+    feats = kea_features(docs, stoplist)
+    if minmax:
+        feats = scale_minmax(feats, ["tfidf", "pos_norm"])
+    feats = feats.cache()
+    doc_ids = [r.doc_id for r in
+               docs.select("doc_id").distinct().orderBy("doc_id").collect()]
+    outs = []
+    for d in doc_ids:
+        labeled = _label(feats.filter(F.col("doc_id") != d),
+                         gold.filter(gold.doc_id != d))
+        asm, model = _fit_nb(labeled)
+        held = _label(feats.filter(F.col("doc_id") == d),
+                      gold.filter(gold.doc_id == d))
+        pred = model.transform(asm.transform(held))
+        # a fold whose training half has no positive label yields a
+        # 1-class NB (probability vector of length 1) -> null-tolerant
+        # get, constant 0 probability, deterministic candidate-ASC order
+        from pyspark.ml.functions import vector_to_array
+        p1 = F.round(F.coalesce(F.get(vector_to_array(pred["probability"]),
+                                      F.lit(1)), F.lit(0.0)), 6) \
+            .alias("p_keyphrase")
+        w = Window.partitionBy("doc_id").orderBy(F.desc("p_keyphrase"),
+                                                 F.asc("candidate"))
+        outs.append(pred.select("doc_id", "candidate", p1)
+                    .withColumn("rank", F.row_number().over(w).cast("int"))
+                    .filter(F.col("rank") <= k)
+                    .select("doc_id", "rank", "candidate", "p_keyphrase"))
+    res = reduce(lambda a, b: a.unionByName(b), outs)
+    feats.unpersist()
+    return res
+
+
+def eval_prf_gold(docs: DataFrame, pred: DataFrame,
+                  gold: DataFrame) -> DataFrame:
+    """M7 against a REAL gold set: micro-averaged P/R/F of
+    (doc_id, candidate) predictions vs (doc_id, gold)."""
+    tp = pred.join(gold, (pred.doc_id == gold.doc_id)
+                   & (pred.candidate == gold.gold)).count()
+    np_, ng = pred.count(), gold.count()
+    p = tp / np_ if np_ else 0.0
+    r = tp / ng if ng else 0.0
+    f = 2 * p * r / (p + r) if (p + r) else 0.0
+    return docs.sparkSession.createDataFrame(
+        [(tp, np_, ng, round(p, 6), round(r, 6), round(f, 6))],
+        "tp long, n_pred long, n_gold long, precision double, "
+        "recall double, f1 double")
 
 
 def eval_prf(docs: DataFrame, k: int = 5,
