@@ -18,7 +18,7 @@ import math  # noqa: E402
 
 from pke_spark.ops import (core, dedup, grammar, graph,  # noqa: E402
                            keyphrase, similarity, stemmed, supervised,
-                           textstats, topicrank, tpr, yake)
+                           textstats, topicrank, tpr, wingnus, yake)
 
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
@@ -97,8 +97,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # not SQL-expressible -> rows-only; golden parity vs a reference
         # transcription in tests/test_yake_full.py
         "yake_full": lambda s, d: yake.yake_full(_docs(s, d), 5),
+        "wingnus_features": lambda s, d: wingnus.wingnus_features(_docs(s, d)),
         # Spark-ML NaiveBayes ranking: not SQL-expressible -> rows-only
         "kea_predict": lambda s, d: supervised.kea_fit_predict(_docs(s, d), 5),
+        "wingnus_predict": lambda s, d: wingnus.wingnus_predict(_docs(s, d), 5),
         "eval_prf": lambda s, d: supervised.eval_prf(_docs(s, d), 5),
     }
 
@@ -135,5 +137,6 @@ def oracle_sql() -> dict[str, str]:
         "token_count_stats": textstats.token_count_stats_sql(),
         "fingerprint": textstats.fingerprint_sql(),
         "yake_lite": yake.yake_lite_sql(5),
+        "wingnus_features": wingnus.wingnus_features_sql(),
         "eval_prf": supervised.eval_prf_sql(5),
     }

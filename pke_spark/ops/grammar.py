@@ -54,9 +54,10 @@ def synthetic_tags(docs: DataFrame,
     return tokens_exploded(docs).withColumn("tag", tag)
 
 
-def grammar_candidates_from_tagged(tagged: DataFrame) -> DataFrame:
-    """(doc_id, candidate, tf, first_offset, n_words) from a
-    (doc_id, pos, term, tag) stream per the effective NP rule."""
+def grammar_candidates_with_offsets(tagged: DataFrame) -> DataFrame:
+    """(doc_id, candidate, tf, first_offset, last_offset, n_words,
+    offsets array<long>) — like grammar_candidates_from_tagged but with
+    the full occurrence-offset list (WINGNUS F3/F5 need v.offsets)."""
     w = Window.partitionBy("doc_id").orderBy("pos") \
         .rowsBetween(Window.unboundedPreceding, 0)
     runs = (tagged
@@ -78,7 +79,16 @@ def grammar_candidates_from_tagged(tagged: DataFrame) -> DataFrame:
     return (phrases.groupBy("doc_id", "candidate").agg(
         F.count("*").alias("tf"),
         F.min("start_pos").alias("first_offset"),
-        F.max("n_words").alias("n_words")))
+        F.max("start_pos").alias("last_offset"),
+        F.max("n_words").alias("n_words"),
+        F.array_sort(F.collect_list("start_pos")).alias("offsets")))
+
+
+def grammar_candidates_from_tagged(tagged: DataFrame) -> DataFrame:
+    """(doc_id, candidate, tf, first_offset, n_words) from a
+    (doc_id, pos, term, tag) stream per the effective NP rule."""
+    return grammar_candidates_with_offsets(tagged).select(
+        "doc_id", "candidate", "tf", "first_offset", "n_words")
 
 
 def grammar_candidates(docs: DataFrame,
