@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # not SQL-expressible -> rows-only driver check; parity asserted
         # in tests/test_graph.py against driver-side networkx
         "textrank": lambda s, d: graph.textrank_topk(_docs(s, d), 5),
+        "textrank_toppct": lambda s, d: graph.textrank_top_percent(
+            _docs(s, d), 5, 0.33),
         "singlerank": lambda s, d: graph.singlerank_topk(_docs(s, d), 5),
         "positionrank": lambda s, d: graph.positionrank_topk(_docs(s, d), 5),
         "kpminer_dedup": lambda s, d: keyphrase.kpminer_dedup(_docs(s, d), 5),

@@ -188,6 +188,72 @@ def textrank_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     return _graph_topk(docs, k, window=2, weighted=False, personalize=False)
 
 
+def _textrank_tp_doc(pdf: pd.DataFrame, stopset: set, k: int,
+                     top_percent: float) -> pd.DataFrame:
+    """The pke-default TextRank path (textrank.py:160-185, T3 + C4):
+    keep floor(n_nodes * T) best words, rebuild candidates as maximal
+    runs of KEPT words (longest_keyword_sequence_selection), weight =
+    sum of word scores + first_offset * 1e-8 explicit tie-break."""
+    import math
+    pdf = pdf.sort_values("pos")
+    terms = pdf["term"].tolist()
+    positions = pdf["pos"].tolist()
+    doc_id = int(pdf["doc_id"].iloc[0])
+    scores = _pagerank_scores(terms, positions, stopset, 2, False, False)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "rank": pd.Series(dtype="int32"),
+                          "candidate": pd.Series(dtype="object"),
+                          "score": pd.Series(dtype="float64")})
+    if not scores:
+        return empty
+    to_keep = min(math.floor(len(scores) * top_percent), len(scores))
+    top_words = set(sorted(scores, key=lambda t: (-scores[t], t))[:int(to_keep)])
+    # C4: maximal runs of tokens in the keyword set, with first offsets
+    cands: dict[str, tuple[float, int]] = {}
+    run: list[str] = []
+    start = None
+    for i, t in enumerate(terms):
+        if t in top_words:
+            if not run:
+                start = positions[i]
+            run.append(t)
+        else:
+            if run:
+                phrase = " ".join(run)
+                if phrase not in cands:
+                    cands[phrase] = (sum(scores[w] for w in run)
+                                     + start * 1e-8, start)
+            run, start = [], None
+    if run:
+        phrase = " ".join(run)
+        if phrase not in cands:
+            cands[phrase] = (sum(scores[w] for w in run) + start * 1e-8, start)
+    if not cands:
+        return empty
+    top = sorted(cands.items(), key=lambda kv: (-round(kv[1][0], 6), kv[0]))[:k]
+    return pd.DataFrame({
+        "doc_id": doc_id,
+        "rank": pd.array(range(1, len(top) + 1), dtype="int32"),
+        "candidate": [t for t, _ in top],
+        "score": [round(v[0], 6) for _, v in top]})
+
+
+def textrank_top_percent(docs: DataFrame, k: int = 5,
+                         top_percent: float = 0.33,
+                         stoplist: tuple[str, ...] = TEXT_STOPWORDS
+                         ) -> DataFrame:
+    """pke's default TextRank usage: candidates rebuilt from the
+    top-percent words (rows-only; parity in tests/test_graph_nx.py)."""
+    stopset = set(stoplist)
+    toks = tokens_exploded(docs)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _textrank_tp_doc(pdf, stopset, k, top_percent)
+
+    return toks.groupBy("doc_id").applyInPandas(
+        fn, "doc_id long, rank int, candidate string, score double")
+
+
 def singlerank_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     return _graph_topk(docs, k, window=10, weighted=True, personalize=False)
 

@@ -305,3 +305,38 @@ def test_multipartiterank_nx_parity(docs_df, doc_texts):
         w = nx_pagerank(G)
         frames.append(_topk_frame(doc_id, dict(w), 5))
     _assert_topk_equal(got, pd.concat(frames, ignore_index=True))
+
+
+def test_textrank_top_percent_nx_parity(docs_df, doc_texts):
+    """T3: top-percent keyword-run rebuild (textrank.py:160-185) vs the
+    nx mirror with floor(n*T) kept words and offset tie-break."""
+    import math as _math
+    T = 0.33
+    got = graph.textrank_top_percent(docs_df, 5, T).toPandas()
+    frames = []
+    for doc_id, text in sorted(doc_texts.items()):
+        terms = tokenize_text(text)
+        G = _pke_word_graph_fulltext(terms, window=2, weighted=False)
+        if not len(G):
+            continue
+        w = nx_pagerank(G, alpha=0.85, tol=0.0001, weight=None)
+        to_keep = int(min(_math.floor(len(G) * T), len(G)))
+        kept = set(sorted(w, key=lambda t: (-w[t], t))[:to_keep])
+        cands: dict[str, float] = {}
+        run: list[str] = []
+        start = None
+        for i, t in enumerate(terms + ["<STOP>"]):
+            if t in kept:
+                if not run:
+                    start = i + 1
+                run.append(t)
+            else:
+                if run:
+                    p = " ".join(run)
+                    cands.setdefault(p, sum(w[x] for x in run) + start * 1e-8)
+                run, start = [], None
+        if cands:
+            frames.append(_topk_frame(doc_id, cands, 5))
+    want = pd.concat(frames, ignore_index=True)
+    got = got[got.doc_id.isin(want.doc_id.unique())]
+    _assert_topk_equal(got, want)
