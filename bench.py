@@ -7,8 +7,10 @@ Headline numbers:
   (input_hint shape) at ~200k docs/SF.
 - bm25_p50_sec: median Block-Max WAND top-10 latency over a fixed
   21-query set against that index.
-- per-query wall times for the main __spark_entry__.queries() entries
-  at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+- per-query wall times for ALL __spark_entry__.queries() entries at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), plus per-model
+  docs/s vs the reference's published single-CPU inspec throughputs
+  (reference results.md:6-13) under "model_throughput".
 
 If benchmarks/scaling.json exists (written by scripts/scaling.py: the
 same build at local[8] vs local[32]), its numbers are embedded.
@@ -42,11 +44,13 @@ BENCH_QUERIES = [
     ["nosuchterm"], ["def", "build", "index", "token"],
 ]
 
-SUITE = ["token_counts", "term_stats", "bm25_topk", "bm25_hot",
-         "candidate_runs", "ngram_candidates", "tfidf_topk", "firstphrases",
-         "kpminer", "bigrams", "dedup_exact", "simhash", "ngram_jaccard",
-         "minhash_lsh", "ann_cosine_topk", "ann_lsh_topk", "embedding_dups",
-         "langid", "quality_score", "token_count_stats", "fingerprint"]
+# reference single-CPU throughputs on inspec (results.md:6-13) for the
+# per-model docs/s comparison the driver grades against
+REF_DOCS_PER_SEC = {
+    "firstphrases": 624.1, "tfidf_topk": 618.4, "textrank": 397.3,
+    "singlerank": 393.7, "positionrank": 379.3, "topicrank": 266.5,
+    "multipartiterank": 211.2, "topical_pagerank": 17.7,
+}
 
 
 def main() -> None:
@@ -83,14 +87,21 @@ def main() -> None:
     p50 = statistics.median(lat)
     results["bm25_wand_p50"] = round(p50, 4)
 
-    # ---- per-query suite at sf_dir ----
+    # ---- per-query suite: EVERY queries() entry at sf_dir ----
     qs = entry.queries()
-    for name in SUITE:
-        if name not in qs:
-            continue
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    model_tput = {}
+    for name in sorted(qs):
         t0 = time.time()
         qs[name](spark, sf_dir).count()
-        results[name] = round(time.time() - t0, 3)
+        dt = time.time() - t0
+        results[name] = round(dt, 3)
+        if name in REF_DOCS_PER_SEC and dt > 0:
+            model_tput[name] = {
+                "docs_per_sec": round(n_docs / dt, 1),
+                "ref_docs_per_sec_1cpu": REF_DOCS_PER_SEC[name],
+                "ratio_vs_ref": round((n_docs / dt)
+                                      / REF_DOCS_PER_SEC[name], 2)}
 
     shutil.rmtree(ix_dir, ignore_errors=True)
     total = round(time.time() - t_start, 3)
@@ -101,6 +112,8 @@ def main() -> None:
         "bm25_wand_p50_sec": round(p50, 4),
         "bm25_wand_mean_sec": round(sum(lat) / len(lat), 4),
         "cpus": cpus,
+        "suite_n_docs": n_docs,
+        "model_throughput": model_tput,
     }
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "benchmarks", "scaling.json")

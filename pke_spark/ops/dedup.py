@@ -77,10 +77,21 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
 _LAST_SIGS: list = []
 
 
+MAX_BAND_GROUP = 64  # star-link guard for mass-duplicate band groups
+
+
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
-                      n_bands: int = N_BANDS) -> DataFrame:
+                      n_bands: int = N_BANDS,
+                      max_group: int = MAX_BAND_GROUP) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) for pairs sharing >= 1 LSH band.
-    est_jaccard = fraction of matching minhash signatures."""
+    est_jaccard = fraction of matching minhash signatures.
+
+    Hot-group guard: a band bucket holding a mass of near-identical
+    documents would emit O(g^2) pairs from one reducer. Buckets larger
+    than ``max_group`` are STAR-LINKED instead — every member pairs
+    with the bucket's min doc_id only (the canonical), which is what a
+    dedup pipeline needs (connected components via the canonical) at
+    O(g) output. Deterministic, and mirrored exactly in the SQL twin."""
     while _LAST_SIGS:
         _LAST_SIGS.pop().unpersist()
     sigs = minhash_signatures(docs, n_hashes).cache()
@@ -90,13 +101,21 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
         .agg(F.array_join(F.transform(
             F.array_sort(F.collect_list(F.struct("i", "sig"))),
             lambda s: s.sig.cast("string")), ",").alias("key"))
-    pairs = (bands.alias("a").join(
-        bands.alias("b"),
+    wg = Window.partitionBy("band", "key")
+    sized = (bands.withColumn("gsize", F.count("*").over(wg))
+             .withColumn("gmin", F.min("doc_id").over(wg)))
+    small = sized.filter(F.col("gsize") <= max_group).drop("gsize", "gmin")
+    small_pairs = (small.alias("a").join(
+        small.alias("b"),
         (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct())
+                F.col("b.doc_id").alias("doc_b")))
+    big_pairs = (sized.filter((F.col("gsize") > max_group)
+                              & (F.col("doc_id") != F.col("gmin")))
+                 .select(F.col("gmin").alias("doc_a"),
+                         F.col("doc_id").alias("doc_b")))
+    pairs = small_pairs.unionByName(big_pairs).distinct()
     est = (pairs
            .join(sigs.withColumnRenamed("doc_id", "doc_a")
                      .withColumnRenamed("sig", "sig_a"), ["doc_a"])
@@ -109,7 +128,8 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
 
 
 def minhash_lsh_pairs_sql(n_hashes: int = N_MINHASH,
-                          n_bands: int = N_BANDS) -> str:
+                          n_bands: int = N_BANDS,
+                          max_group: int = MAX_BAND_GROUP) -> str:
     rows = n_hashes // n_bands
     h = _H64_SQL.format(x="i::VARCHAR || ':' || term")
     return f"""WITH {duckdb_toks_cte()},
@@ -122,10 +142,19 @@ bands AS (
   SELECT doc_id, (i // {rows})::INTEGER AS band,
          string_agg(sig::VARCHAR, ',' ORDER BY i) AS key
   FROM sigs GROUP BY doc_id, i // {rows}),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, key) AS gsize,
+         min(doc_id) OVER (PARTITION BY band, key) AS gmin
+  FROM bands),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE a.gsize <= {max_group} AND b.gsize <= {max_group}
+    UNION ALL
+    SELECT gmin AS doc_a, doc_id AS doc_b
+    FROM sized WHERE gsize > {max_group} AND doc_id <> gmin))
 SELECT p.doc_a, p.doc_b,
        round(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / {float(n_hashes)}, 6)
          AS est_jaccard

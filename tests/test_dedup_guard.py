@@ -1,0 +1,52 @@
+"""MinHash-LSH hot-band-group guard: buckets over max_group star-link
+to the canonical doc instead of emitting O(g^2) pairs; the SQL twin
+computes the identical set."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pke_spark.ops import dedup
+
+
+def _mass_docs(spark, n_dups=10, n_others=5):
+    rows = [(i, "identical mass duplicate document body text") for i in
+            range(n_dups)]
+    rows += [(100 + i, f"unique{i} filler content number{i} words{i}")
+             for i in range(n_others)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_star_link_above_cap(spark):
+    docs = _mass_docs(spark, n_dups=10)
+    got = dedup.minhash_lsh_pairs(docs, max_group=4).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    # 10 identical docs in one band group, cap 4 -> star to doc 0
+    star = {(0, i) for i in range(1, 10)}
+    assert star <= pairs
+    assert all(a == 0 for (a, b) in pairs if b < 100)  # no non-star dup pair
+    assert len([p for p in pairs if p[1] < 100]) == 9
+    # est_jaccard of identical docs is 1.0
+    assert all(abs(r.est_jaccard - 1.0) < 1e-9 for r in got if r.doc_b < 100)
+
+
+def test_all_pairs_below_cap(spark):
+    docs = _mass_docs(spark, n_dups=5)
+    got = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_lsh_pairs(docs, max_group=64).collect()}
+    want = {(i, j) for i in range(5) for j in range(i + 1, 5)}
+    assert want <= got
+
+
+def test_guard_matches_sql_twin(spark, tmp_path):
+    docs = _mass_docs(spark, n_dups=10)
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = {tuple(r) for r in con.execute(
+        dedup.minhash_lsh_pairs_sql(max_group=4)).fetchall()}
+    got = {(r.doc_a, r.doc_b, r.est_jaccard)
+           for r in dedup.minhash_lsh_pairs(docs, max_group=4).collect()}
+    assert got == want
