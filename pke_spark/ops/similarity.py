@@ -295,22 +295,17 @@ scored AS (
 SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {threshold}"""
 
 
-def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-                 n_planes: int = 4, n_tables: int = 12) -> DataFrame:
-    """Approximate cosine top-k: sign-sketch bucket join + exact rerank.
-
-    ``n_tables`` independent sketches; candidates = vectors sharing a
-    bucket with the query in any table. Plumbing is the scale design:
-    bucket ids computed in a vectorized pandas UDF, candidates via
-    broadcast filter on the (tiny) query bucket set.
-    """
-    dim = len(query_vec)
+def sketch_table(emb: DataFrame, n_planes: int = 4,
+                 n_tables: int = 12) -> DataFrame:
+    """(vec_id, b0..b{T-1}) — the persistable LSH sketch table. Build
+    once per corpus snapshot and ``.write.parquet(...)`` next to the
+    embeddings; serving then reads the (tiny, scalar-column) sketches
+    instead of recomputing matmuls per query. Deterministic planes
+    (Philox key 42) keep sketches valid across sessions."""
+    dim = len(emb.select("embedding").first()[0])
     all_planes = _planes(dim, n_planes * n_tables)
     planes = [all_planes[t * n_planes:(t + 1) * n_planes]
               for t in range(n_tables)]
-    qv = np.asarray(query_vec, dtype=np.float64)
-    q_buckets = [int((p @ qv > 0).astype(np.uint8).dot(1 << np.arange(n_planes)))
-                 for p in planes]
 
     def sketch(pdf_iter):
         for pdf in pdf_iter:
@@ -323,7 +318,29 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
             yield pd.DataFrame(out)
 
     schema = "vec_id long, " + ", ".join(f"b{t} long" for t in range(n_tables))
-    sk = emb.select("vec_id", "embedding").mapInPandas(sketch, schema)
+    return emb.select("vec_id", "embedding").mapInPandas(sketch, schema)
+
+
+def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = 4, n_tables: int = 12,
+                 sketches: DataFrame | None = None) -> DataFrame:
+    """Approximate cosine top-k: sign-sketch bucket join + exact rerank.
+
+    ``n_tables`` independent sketches; candidates = vectors sharing a
+    bucket with the query in any table. Pass ``sketches`` (a persisted
+    sketch_table read back from parquet) to skip the per-query sketch
+    computation — the serving path; omitted, sketches are computed
+    inline (one matmul per Arrow batch).
+    """
+    dim = len(query_vec)
+    all_planes = _planes(dim, n_planes * n_tables)
+    planes = [all_planes[t * n_planes:(t + 1) * n_planes]
+              for t in range(n_tables)]
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q_buckets = [int((p @ qv > 0).astype(np.uint8).dot(1 << np.arange(n_planes)))
+                 for p in planes]
+    sk = sketches if sketches is not None else sketch_table(
+        emb, n_planes, n_tables)
     cond = None
     for t, qb in enumerate(q_buckets):
         c = F.col(f"b{t}") == qb

@@ -82,3 +82,17 @@ def test_lsh_buckets_match_numpy_reference(spark, emb):
         for t in range(n_t):
             got = sum(r[f"b_{t}_{p}"] for p in range(n_p))
             assert got == want[(int(r.vec_id), t)]
+
+
+def test_persisted_sketch_table_serving_path(spark, emb, tmp_path):
+    """sketch_table written to parquet and read back must give the same
+    ann_lsh_topk result as inline sketching (the serving path skips the
+    per-query matmul)."""
+    p = str(tmp_path / "sketches.parquet")
+    similarity.sketch_table(emb).write.parquet(p)
+    persisted = spark.read.parquet(p)
+    import math
+    qv = [round(math.sin(i * 0.7 + 0.3), 6) for i in range(64)]
+    a = similarity.ann_lsh_topk(emb, qv, 10).toPandas()
+    b = similarity.ann_lsh_topk(emb, qv, 10, sketches=persisted).toPandas()
+    pd.testing.assert_frame_equal(a, b)
