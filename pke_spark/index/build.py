@@ -174,11 +174,14 @@ def _manifest_segment_rows(spark, index_dir: str, parts: list[int],
             f"GROUP BY part").fetchall()
         by_part = {int(p): (int(dc), int(tcnt)) for p, dc, tcnt in rows}
     else:
+        # lineage METRICS (not query statistics): approx_count_distinct
+        # keeps this a map-side-combinable single pass instead of two
+        # exact-distinct shuffles per checkpoint
         got = (spark.read.parquet(seg_path)
                .filter(F.col("part").isin(parts))
                .groupBy("part")
-               .agg(F.countDistinct("doc_id").alias("dc"),
-                    F.countDistinct("term").alias("tcnt")).collect())
+               .agg(F.approx_count_distinct("doc_id").alias("dc"),
+                    F.approx_count_distinct("term").alias("tcnt")).collect())
         by_part = {int(r.part): (int(r.dc), int(r.tcnt)) for r in got}
     now = time.time()
     _append_manifest(spark, index_dir, [(
@@ -408,10 +411,14 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
                                           [("",)], "term string")
         if not hot:
             hot_terms = hot_terms.filter(F.lit(False))
+        dl_cached = None
     else:
-        # big corpus: same stats via Spark aggregations
-        g = tc.agg(F.countDistinct("doc_id").alias("n"),
-                   F.sum("tf").alias("s")).first()
+        # big corpus: derive N and avgdl from the doc-length table (one
+        # row per doc after map-side combine) instead of a second full
+        # pass + countDistinct shuffle over the token table — dl is
+        # needed below anyway, so this costs one tiny agg over it
+        dl_cached = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
+        g = dl_cached.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
         n_docs = int(g["n"])
         avgdl = float(g["s"]) / n_docs if n_docs else 0.0
         if hot_threshold is None:
@@ -419,12 +426,12 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
         hot_terms = (tc.groupBy("term").agg(F.count("*").alias("df"))
                      .filter(F.col("df") >= hot_threshold).select("term"))
 
-    # doc lengths: the per-doc length table is tiny relative to the
-    # token table (one row per doc after map-side combine) — broadcast
-    # it when it fits, avoiding a full sort/shuffle of the token table
-    # by doc_id; above the bound, a window over doc_id (one shuffle)
+    # doc lengths: broadcast-join the (small) per-doc table when it
+    # fits, avoiding a full sort/shuffle of the token table by doc_id;
+    # above the bound, a window over doc_id (one shuffle)
     if n_docs <= 10_000_000:
-        dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl = dl_cached if dl_cached is not None else \
+            tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         with_dl = tc.join(F.broadcast(dl), "doc_id")
     else:
         from pyspark.sql import Window as W
@@ -445,6 +452,8 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
                 .mapInPandas(lambda it: _encode_partition(it, block_size),
                              POSTINGS_SCHEMA))
     postings.write.mode("overwrite").parquet(f"{index_dir}/{out_name}")
+    if dl_cached is not None:
+        dl_cached.unpersist()
     return n_docs, avgdl, int(hot_threshold)
 
 
