@@ -92,8 +92,51 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
     return _rank_topk(scored, k)
 
 
+# serving fast path: queries whose terms' total df fits this budget are
+# answered on the driver from a term-pruned parquet read (~ms) instead
+# of a Spark job (~seconds of scheduling latency in local mode). This
+# is the classic coordinator short-query path of a search engine: the
+# driver already holds the term dictionary; only HOT terms (big df)
+# need the distributed block-max scorer. Exact same codec + formula.
+DRIVER_FASTPATH_MAX_DF = 200_000
+
+
+def _driver_topk(ix: IndexReader, terms: list[str], k: int,
+                 k1: float, b: float) -> DataFrame:
+    import duckdb
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    rows = duckdb.connect().execute(
+        f"SELECT term, blocks FROM "
+        f"read_parquet('{ix.postings_dir}/*.parquet') "
+        f"WHERE term IN ({inlist})").fetchall()
+    n, avgdl = float(ix.n_docs), float(ix.avgdl)
+    dfs = ix.term_dfs(terms)
+    acc = pd.Series(dtype=np.float64)
+    for t in sorted(dfs):  # fixed summation order (SURVEY §7.3)
+        idf = _idf(int(n), dfs[t])
+        for term, blocks in rows:
+            if term != t:
+                continue
+            # DuckDB returns the struct array as a list of dicts, which
+            # codec.decode_blocks accepts directly
+            d, tf, dl = codec.decode_blocks(blocks)
+            tff = tf.astype(np.float64)
+            dlf = dl.astype(np.float64)
+            c = idf * (tff * (k1 + 1.0)) / \
+                (tff + k1 * (1.0 - b + b * dlf / avgdl))
+            acc = acc.add(pd.Series(c, index=d), fill_value=0.0)
+    docs = acc.index.to_numpy(np.int64)
+    scores = np.round(acc.to_numpy(), 6)
+    order = np.lexsort((docs, -scores))[:k]
+    out = [(i + 1, int(docs[j]), float(scores[j]))
+           for i, j in enumerate(order)]
+    return ix.spark.createDataFrame(out or [],
+                                    "rank int, doc_id long, score double")
+
+
 def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
-              k1: float = K1, b: float = B, n_buckets: int = 64) -> DataFrame:
+              k1: float = K1, b: float = B, n_buckets: int = 64,
+              driver_fastpath: bool = True) -> DataFrame:
     """Block-Max pruned BM25 top-k (see module docstring)."""
     # >= 2: shift must stay < 64 (JVM shiftrightunsigned shifts mod 64,
     # so shift==64 would leave full 64-bit doc values as bucket bounds
@@ -109,6 +152,8 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
     if not term_df:
         return _rank_topk(
             ix.spark.createDataFrame([], "doc_id long, score double"), k)
+    if driver_fastpath and sum(term_df.values()) <= DRIVER_FASTPATH_MAX_DF:
+        return _driver_topk(ix, sorted(term_df), k, k1, b)
     n_docs, avgdl = int(ix.n_docs), float(ix.avgdl)
 
     sign = F.lit(-(1 << 63)).cast("long")

@@ -40,7 +40,8 @@ def _cpu_times() -> tuple[int, int]:
     return sum(v), v[7]  # total, steal
 
 
-N_LOW, N_HIGH = 2, 8
+N_LOW = int(os.environ.get("SCALE_N_LOW", "2"))
+N_HIGH = int(os.environ.get("SCALE_N_HIGH", "8"))
 
 CHILD = r"""
 import shutil, sys, tempfile, time
@@ -50,13 +51,21 @@ from pke_spark.index.build import build_index
 from pke_spark.session import get_spark
 
 cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
-spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus)
+# index output AND shuffle spill on tmpfs (/dev/shm): this box has ONE
+# shared disk, so parquet/shuffle writes serialize identically at every
+# thread count — a host artifact (a real N- vs 4N-executor cluster has
+# per-node disks whose aggregate bandwidth scales with N). tmpfs makes
+# the comparison measure the JOB's scalability, which is what the north
+# rule's two-cluster-size criterion is about.
+spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus,
+                  extra_conf={"spark.local.dir": "/dev/shm/spark_scale"})
 spark.sparkContext.setLogLevel("ERROR")
 # partitions fixed at 64 for BOTH cluster sizes: identical input layout
 corpus = with_doc_ids(synth_corpus(spark, n_docs, partitions=64))
 docs = corpus.select("doc_id", corpus.content.alias("text"))
 docs.limit(100).count()  # warm JVM + python workers
-ix_dir = tempfile.mkdtemp(prefix=f"pke_spark_scale_{cpus}_")
+ix_dir = tempfile.mkdtemp(prefix=f"pke_spark_scale_{cpus}_",
+                          dir="/dev/shm")
 t0 = time.time()
 # n_parts fixed at 32 for BOTH cluster sizes: identical data layout and
 # job, only the parallelism differs (the N vs 4N comparison).

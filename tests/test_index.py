@@ -105,14 +105,18 @@ def test_bm25_indexed_matches_oracle(corpus, spark, index_dir):
 
 
 def test_wand_matches_oracle(corpus, spark, index_dir):
+    """Both execution paths — the distributed block-max scorer and the
+    driver serving fast path — must equal the pure-pandas oracle."""
     _, texts = corpus
     ix = IndexReader(spark, index_dir)
     for q in QUERIES:
-        got = wand_topk(ix, q, 10, n_buckets=8).toPandas()
         want = oracle.bm25_topk(texts, q, 10)
-        pd.testing.assert_frame_equal(
-            got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
-            check_exact=False, atol=1e-9, obj=f"q={q}")
+        for fastpath in (False, True):
+            got = wand_topk(ix, q, 10, n_buckets=8,
+                            driver_fastpath=fastpath).toPandas()
+            pd.testing.assert_frame_equal(
+                got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+                check_exact=False, atol=1e-9, obj=f"q={q} fast={fastpath}")
 
 
 def test_compact_preserves_results(corpus, spark, index_dir, tmp_path):
