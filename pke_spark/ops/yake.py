@@ -229,11 +229,13 @@ def yake_doc(sentences: list[list[str]], stopset: set, k: int,
 
     # ---- candidate weighting, surface path with differentiated
     # stopword handling (yake.py:330-372) ----
+    from collections import Counter
     weights: dict[str, float] = {}
     for key, forms in kept.items():
         lowercase_forms = [" ".join(t).lower() for t in forms]
+        form_counts = Counter(lowercase_forms)  # O(f) not O(f^2)
         for i, cand in enumerate(lowercase_forms):
-            tf_c = lowercase_forms.count(cand)
+            tf_c = form_counts[cand]
             tokens = [t.lower() for t in forms[i]]
             prod_, sum_ = 1.0, 0.0
             for j, token in enumerate(tokens):
