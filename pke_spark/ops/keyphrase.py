@@ -80,20 +80,24 @@ def ngram_candidates(docs: DataFrame, n: int = 3,
     base = toks
     for j in range(1, n):
         base = base.withColumn(f"t{j}", F.lead("term", j).over(w))
-    frames = []
+    # ONE window pass: each token row emits its 1..n-gram structs as an
+    # array, null-filtered, exploded — a union of n per-size branches
+    # would re-evaluate the scan+window once per branch AND per consumer
+    # (Catalyst does not dedup common subplans), observed as 10 file
+    # scans in kpminer_dedup's executed plan before this rewrite
+    grams = []
     for size in range(1, n + 1):
         cols = [F.col("term")] + [F.col(f"t{j}") for j in range(1, size)]
-        sel = base
-        if size > 1:
-            sel = sel.filter(F.col(f"t{size-1}").isNotNull())
-        frames.append(sel.select(
-            "doc_id", "pos",
-            F.concat_ws(" ", *cols).alias("candidate"),
-            F.array(*cols).alias("words"),
-            F.lit(size).cast("long").alias("n_words")))
-    allg = frames[0]
-    for f2 in frames[1:]:
-        allg = allg.unionByName(f2)
+        g = F.struct(F.concat_ws(" ", *cols).alias("candidate"),
+                     F.array(*cols).alias("words"),
+                     F.lit(size).cast("long").alias("n_words"))
+        grams.append(g if size == 1 else
+                     F.when(cols[-1].isNotNull(), g))
+    allg = (base.select(
+        "doc_id", "pos",
+        F.explode(F.filter(F.array(*grams),
+                           lambda x: x.isNotNull())).alias("g"))
+        .select("doc_id", "pos", "g.candidate", "g.words", "g.n_words"))
     stop_arr = F.array(*[F.lit(s) for s in stoplist])
     kept = allg.filter(
         (~F.arrays_overlap("words", stop_arr))
@@ -174,11 +178,13 @@ def kpminer(docs: DataFrame, k: int = 5,
     nrow = docs.agg(F.count("*").cast("double").alias("n"))
     c = (ngram_candidates(docs, 3, stoplist)
          .filter((F.col("first_offset") <= cutoff) & (F.col("tf") >= lasf)))
-    # per-doc scalars N_d, P_d (A4) joined back
-    scal = c.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_d"),
-        F.greatest(F.lit(1), F.sum(F.when(F.col("n_words") > 1, F.col("tf"))
-                                   .otherwise(F.lit(0)))).alias("p_d"))
+    # per-doc scalars N_d, P_d (A4) as windows over the candidate table
+    # — a groupBy+join-back would re-evaluate the whole candidate DAG
+    wd = Window.partitionBy("doc_id")
+    c = (c.withColumn("n_d", F.sum("tf").over(wd))
+         .withColumn("p_d", F.greatest(
+             F.lit(1), F.sum(F.when(F.col("n_words") > 1, F.col("tf"))
+                             .otherwise(F.lit(0))).over(wd))))
     # df stats over single-word candidates only (kpminer df lookup is
     # unigram-only; multiword candidate_df = 1)
     uni_df = (c.filter(F.col("n_words") == 1)
@@ -192,8 +198,7 @@ def kpminer(docs: DataFrame, k: int = 5,
         F.when(F.col("n_words") == 1, F.col("tf") * idf)
         .otherwise(F.col("tf") * boost * idf), 6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("candidate"))
-    return (c.join(scal, "doc_id")
-            .join(uni_df, "candidate", "left")
+    return (c.join(uni_df, "candidate", "left")
             .crossJoin(F.broadcast(nrow))
             .withColumn("weight", weight)
             .withColumn("rank", F.row_number().over(w).cast("int"))
@@ -236,10 +241,24 @@ def redundancy_topk(ranked: DataFrame, k: int = 5,
             fn, "doc_id long, rank int, candidate string, weight double")
 
 
+# most recent kpminer_dedup candidate pool; kept cached for that lazy
+# result's lifetime, unpersisted on the next call (one cached copy max)
+_LAST_POOL: list = []
+
+
 def kpminer_dedup(docs: DataFrame, k: int = 5,
                   stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
-    """KPMiner ranking with greedy redundancy removal (T1)."""
-    full = kpminer(docs, k=50, stoplist=stoplist)
+    """KPMiner ranking with greedy redundancy removal (T1).
+
+    The 50-per-doc candidate pool is cached: without materialization
+    Spark re-evaluates the whole KPMiner DAG on the far side of the
+    greedy pass's exchange (interleaved A/B: cache 4.3 s vs plain
+    14.6 s vs localCheckpoint 19.9 s at sf0.1). The pool is tiny
+    (<= 50 rows/doc)."""
+    while _LAST_POOL:
+        _LAST_POOL.pop().unpersist()
+    full = kpminer(docs, k=50, stoplist=stoplist).cache()
+    _LAST_POOL.append(full)
     return redundancy_topk(full, k)
 
 

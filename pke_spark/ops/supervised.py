@@ -189,9 +189,14 @@ def eval_prf(docs: DataFrame, k: int = 5,
     from .keyphrase import firstphrases
     pred = firstphrases(docs, k, stoplist).select("doc_id", "candidate")
     gold = weak_gold(docs)
-    tp = pred.join(gold, (pred.doc_id == gold.doc_id)
-                   & (pred.candidate == gold.gold)).count()
-    np_, ng = pred.count(), gold.count()
+    # ONE action for all three counts (three .count() calls = three
+    # jobs, each re-evaluating its input DAG)
+    stats = (pred.join(gold, (pred.doc_id == gold.doc_id)
+                       & (pred.candidate == gold.gold))
+             .agg(F.count("*").alias("tp"))
+             .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+             .crossJoin(gold.agg(F.count("*").alias("n_gold")))).first()
+    tp, np_, ng = int(stats.tp), int(stats.n_pred), int(stats.n_gold)
     p = tp / np_ if np_ else 0.0
     r = tp / ng if ng else 0.0
     f = 2 * p * r / (p + r) if (p + r) else 0.0
