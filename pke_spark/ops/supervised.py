@@ -50,6 +50,9 @@ def kea_features(docs: DataFrame,
                     (F.col("first_offset") / F.col("doc_len")).alias("pos_norm")))
 
 
+_LAST_VEC: list = []
+
+
 def kea_fit_predict(docs: DataFrame, k: int = 5,
                     stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
     """Train NB on weak gold labels, rank candidates by P(keyphrase)."""
@@ -65,7 +68,13 @@ def kea_fit_predict(docs: DataFrame, k: int = 5,
                        .alias("label")))
     asm = VectorAssembler(inputCols=["tfidf", "pos_norm"],
                           outputCol="features")
-    vec = asm.transform(labeled)
+    # cached: fit() is an action over the whole feature DAG and the
+    # returned ranking would re-evaluate it; one cached copy, previous
+    # unpersisted per call (same pattern as kpminer_dedup)
+    while _LAST_VEC:
+        _LAST_VEC.pop().unpersist()
+    vec = asm.transform(labeled).cache()
+    _LAST_VEC.append(vec)
     # multinomial NB needs non-negative features; both are >= 0
     model = NaiveBayes(smoothing=1.0, modelType="multinomial",
                        featuresCol="features", labelCol="label").fit(vec)

@@ -38,6 +38,9 @@ from .grammar import (grammar_candidates_with_offsets, synthetic_tags,
 
 SUB_MAX = 3  # substrings of length 1..3 (wingnus.py:139)
 
+# most recent predictor feature table (see wingnus_predict)
+_LAST_VEC: list = []
+
 
 # ---------------------------------------------------------------- Spark
 
@@ -121,7 +124,12 @@ def wingnus_predict(docs: DataFrame, k: int = 5,
     asm = VectorAssembler(
         inputCols=["f1_tfidf", "f4_rel_first", "f6_n_words"],
         outputCol="features")
-    vec = asm.transform(labeled)
+    # cached across fit (an action) + the returned lazy ranking; one
+    # cached copy, previous unpersisted per call
+    while _LAST_VEC:
+        _LAST_VEC.pop().unpersist()
+    vec = asm.transform(labeled).cache()
+    _LAST_VEC.append(vec)
     model = NaiveBayes(smoothing=1.0, modelType="multinomial",
                        featuresCol="features", labelCol="label").fit(vec)
     pred = model.transform(vec)
