@@ -77,14 +77,22 @@ def stoplist_for(lang: str) -> tuple[str, ...]:
 # =====================================================================
 
 def tokens_array(col: Column | str) -> Column:
-    """content -> array<string> of tokens (Catalyst-native)."""
+    """content -> array<string> of tokens (Catalyst-native).
+
+    Avoids higher-order functions: an ArrayFilter in the tree forces
+    the WHOLE expression (all regex passes) onto the interpreted eval
+    path — no whole-stage codegen, boxed per-row evaluation (observed
+    via jstack as RegExpReplace.nullSafeEval under the index build).
+    array_remove is a plain codegen-friendly expression with identical
+    semantics (drop empty tokens after a literal-space split).
+    """
     c = F.col(col) if isinstance(col, str) else col
     x = F.regexp_replace(c, CAMEL1, r"$1 $2")
     x = F.regexp_replace(x, CAMEL2, r"$1 $2")
     x = F.lower(x)
     x = F.regexp_replace(x, NON_ALNUM, " ")
     x = F.trim(x)
-    return F.filter(F.split(x, " "), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(x, " "), "")
 
 
 def tokens_exploded(df, text_col: str = "text", id_col: str = "doc_id"):

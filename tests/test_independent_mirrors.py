@@ -154,3 +154,45 @@ def test_kea_predict_independent_nb_mirror(spark, docs):
     for key in got:
         assert got[key][0] == want[key][0], (key, got[key], want[key])
         assert abs(got[key][1] - want[key][1]) < 2e-6
+
+
+def test_wingnus_predict_independent_nb_mirror(spark, docs):
+    """Same independence argument as the kea mirror: the feature table
+    is hard-verified by the wingnus_features DuckDB oracle, so what
+    needs an external check is the NB fit + per-doc ranking — recomputed
+    here in numpy from the features (default set [F1, F4, F6],
+    wingnus.py:98)."""
+    from pke_spark.ops import wingnus
+
+    feats = wingnus.wingnus_features(docs)
+    gold = supervised.weak_gold(docs)
+    labeled = (feats.join(
+        gold, (feats.doc_id == gold.doc_id)
+        & (feats.candidate == gold.gold), "left")
+        .select(feats.doc_id, feats.candidate, "f1_tfidf",
+                "f4_rel_first", "f6_n_words",
+                (gold.gold.isNotNull()).cast("double").alias("label"))
+        .toPandas())
+    X = labeled[["f1_tfidf", "f4_rel_first", "f6_n_words"]] \
+        .to_numpy(np.float64)
+    y = labeled["label"].to_numpy(np.float64)
+    classes, pi, theta = _nb_multinomial(X, y)
+    raw = pi[None, :] + X @ theta.T
+    m = raw.max(axis=1, keepdims=True)
+    prob = np.exp(raw - m)
+    prob /= prob.sum(axis=1, keepdims=True)
+    p1 = prob[:, list(classes).index(1.0)] if 1.0 in classes else \
+        np.zeros(len(labeled))
+    labeled["p1"] = np.round(p1, 6)
+    want = {}
+    for doc_id, g in labeled.groupby("doc_id"):
+        top = g.sort_values(["p1", "candidate"],
+                            ascending=[False, True]).head(5)
+        for i, r in enumerate(top.itertuples(index=False)):
+            want[(doc_id, i + 1)] = (r.candidate, r.p1)
+    got = {(r.doc_id, r.rank): (r.candidate, r.p_keyphrase)
+           for r in wingnus.wingnus_predict(docs, 5).collect()}
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert abs(got[key][1] - want[key][1]) < 2e-6
