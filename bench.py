@@ -115,11 +115,14 @@ def main() -> None:
         "suite_n_docs": n_docs,
         "model_throughput": model_tput,
     }
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "benchmarks", "scaling.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            extras["scaling"] = json.load(f)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks")
+    for key, fname in (("scaling", "scaling.json"),
+                       ("scaling_cluster", "scaling_cluster.json")):
+        path = os.path.join(bench_dir, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                extras[key] = json.load(f)
 
     spark.stop()
     print(json.dumps({

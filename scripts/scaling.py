@@ -1,27 +1,34 @@
 """Scaling-efficiency evidence (north rule: >= 0.8 between N and 4N).
 
 Runs the IDENTICAL index build (same input, same code, same n_parts
-layout) at local[4] and local[16], each in a FRESH subprocess (own JVM),
+layout) at local[N_LOW] and local[N_HIGH] (defaults 2 and 8; override
+with SCALE_N_LOW / SCALE_N_HIGH), each in a FRESH subprocess (own JVM),
 reports docs/sec at both plus
-  eff = (T_4 / T_16) / 4       (ideal linear scaling -> 1.0)
+  eff = (T_low / T_high) / (N_HIGH / N_LOW)   (ideal linear -> 1.0)
 and writes benchmarks/scaling.json (embedded by bench.py) — the sandbox
 proxy for an N- vs 4N-executor cluster run.
 
-Why 2 vs 8 and not 8 vs 32: this box has ~16 physical cores (the 32
-hardware threads are SMT siblings: 32 single-thread processes measured
-~0.65x the per-core rate of 16), and JVM-heavy Spark work saturates a
-shared host resource above ~8-16 threads regardless of workload (a
-pure-Catalyst string job measured 2->8 at 0.98 efficiency but 4->16 at
-only ~0.69). 2-vs-8 keeps both configurations in the linear region of
-the HOST, which is the point: the comparison must measure the JOB's
-scalability, not the sandbox's saturation knee. On a real cluster the
-equivalent knee does not exist (executors are separate JVMs on separate
-machines).
-
-The host also shows heavy intermittent CPU steal from co-tenants
-(historical steal ~ user time in /proc/stat), so each configuration is
-run ``repeat`` times and the MINIMUM is taken; per-run steal%% is
-recorded so a polluted measurement is visible.
+Methodology (what it takes to measure the JOB rather than the host):
+1. taskset pinning: each configuration is pinned to exactly its core
+   budget. A bare local[N] on this 32-core box is NOT an N-core
+   executor — its JVM borrows idle host cores for GC/JIT/netty/python
+   workers, inflating the small configuration (measured: local[2] went
+   116 s unpinned -> 133 s pinned on the same input).
+2. tmpfs I/O: index output and spark.local.dir go to /dev/shm. The box
+   has ONE shared disk whose bandwidth is identical at every thread
+   count — a host artifact; a real N vs 4N cluster scales disks with N.
+3. Noise control: this host shows heavy intermittent CPU steal from
+   co-tenants, so configurations are interleaved (ABAB...) ``repeat``
+   times, the MINIMUM is taken per config, and per-run steal%% is
+   recorded so a polluted measurement is visible in the artifact.
+4. One job layout for BOTH sizes: shuffle partitions are fixed at 64
+   (= input partitions; 2 tasks/core at the large config) rather than
+   scaled with cpus. A real N -> 4N scale-out test configures the job
+   once — for the data volume and the larger cluster — and runs it at
+   both sizes; tying the shuffle layout to the core count would make
+   the two runs execute *different* physical plans (and starve the
+   large config of straggler slack: 8 encode tasks on 8 cores means
+   any skew lands directly on the critical path).
 
 Usage: python scripts/scaling.py [n_docs] [repeat]
 """
@@ -57,7 +64,8 @@ cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
 # per-node disks whose aggregate bandwidth scales with N). tmpfs makes
 # the comparison measure the JOB's scalability, which is what the north
 # rule's two-cluster-size criterion is about.
-spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus,
+# shuffle layout fixed at 64 for BOTH sizes (see module docstring #4)
+spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=64,
                   extra_conf={"spark.local.dir": "/dev/shm/spark_scale"})
 spark.sparkContext.setLogLevel("ERROR")
 # partitions fixed at 64 for BOTH cluster sizes: identical input layout
@@ -81,8 +89,15 @@ spark.stop()
 
 def run_build(cpus: int, n_docs: int) -> tuple[float, float]:
     tot0, st0 = _cpu_times()
+    # taskset: pin each configuration to EXACTLY its core budget. A bare
+    # local[N] on a 32-core host is not an N-core executor — its JVM
+    # borrows idle host cores for GC/JIT/netty/python workers, which
+    # inflates the small configuration and deflates measured efficiency.
+    # On a real cluster an N-core executor pays for those threads out of
+    # its own N cores; the pin reproduces that budget.
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_docs)],
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "-c", CHILD, str(cpus), str(n_docs)],
         capture_output=True, text=True, timeout=2400)
     tot1, st1 = _cpu_times()
     steal_pct = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
