@@ -64,3 +64,33 @@ def test_positions_one_based(spark):
     df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
     rows = tokens_exploded(df).orderBy("pos").collect()
     assert [(r.pos, r.term) for r in rows] == [(1, "alpha"), (2, "beta")]
+
+
+def test_arrow_matches_python():
+    import pyarrow as pa
+
+    from pke_spark.tokenizer import arrow_tokenize_batch
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(range(len(FIXTURES)), pa.int64()),
+         pa.array(list(FIXTURES))],
+        names=["doc_id", "text"])
+    out = arrow_tokenize_batch(batch)
+    got: dict[int, list[str]] = {}
+    for d, t in zip(out.column("doc_id").to_pylist(),
+                    out.column("term").to_pylist()):
+        got.setdefault(d, []).append(t)
+    for i, text in enumerate(FIXTURES):
+        assert got.get(i, []) == FIXTURES[text], text
+
+
+def test_arrow_spark_path_matches_catalyst(spark, sf_dir):
+    from pke_spark.tokenizer import arrow_tokens_exploded
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(50))
+    want = sorted((r.doc_id, r.term)
+                  for r in tokens_exploded(docs).collect())
+    got = sorted((r.doc_id, r.term)
+                 for r in arrow_tokens_exploded(docs).collect())
+    assert got == want
