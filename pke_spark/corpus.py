@@ -112,3 +112,40 @@ def documents_as_corpus(docs: DataFrame) -> DataFrame:
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def read_iceberg_corpus(spark: SparkSession, table: str,
+                        snapshot_id: int | None = None
+                        ) -> tuple[DataFrame, str]:
+    """Read the corpus from an Iceberg table, pinned to a snapshot.
+
+    Returns ``(df, input_snapshot)`` where ``input_snapshot`` is the
+    string recorded in the build manifest's lineage rows (north rule:
+    "per-partition checkpoints recorded with lineage (input
+    snapshot-id, ...)"). When no snapshot is given, the table's current
+    snapshot is resolved FIRST and then read BY ID, so a concurrent
+    commit between "resolve" and "scan" cannot split one build across
+    two table versions — and a resumed build re-reads the exact
+    snapshot its manifest names.
+
+    Falls back to a parquet directory path when the Iceberg runtime is
+    not on the classpath (this sandbox); the lineage string then
+    records the path in place of a snapshot id.
+    """
+    try:
+        if snapshot_id is None:
+            current = (spark.read.format("iceberg")
+                       .load(f"{table}.snapshots")
+                       .orderBy(F.desc("committed_at"))
+                       .select("snapshot_id").first())
+            snapshot_id = int(current["snapshot_id"]) if current else None
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        df = reader.load(table)
+        return df.select("repo", "path", "commit", "lang", "content"), \
+            f"iceberg:{table}@{snapshot_id}"
+    except Exception:
+        df = spark.read.parquet(table)
+        return df.select("repo", "path", "commit", "lang", "content"), \
+            f"parquet:{table}"
