@@ -4,7 +4,7 @@ end-to-end by ``spark-submit --py-files`` on a multi-executor cluster).
 Usage:
   zip -r /tmp/pke_spark.zip pke_spark
   spark-submit --py-files /tmp/pke_spark.zip scripts/build_index_submit.py \
-      --input  <parquet dir or 'synth:N'> \
+      --input  <parquet dir, 'iceberg:<table>[@snapshot]', or 'synth:N'> \
       --output <index dir> \
       [--id-col doc_id --text-col text] \
       [--n-parts 32 --n-salts 8 --parts-per-job 4 --resume]
@@ -26,7 +26,8 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="parquet path, or synth:N for the synthetic corpus")
+                    help="parquet path, iceberg:<table>[@snapshot-id], or "
+                         "synth:N for the synthetic corpus")
     ap.add_argument("--output", required=True)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -40,12 +41,22 @@ def main() -> None:
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("pke_spark_index_build").getOrCreate()
 
-    from pke_spark.corpus import synth_corpus, with_doc_ids
+    from pke_spark.corpus import (read_iceberg_corpus, synth_corpus,
+                                  with_doc_ids)
     from pke_spark.index.build import build_index
 
+    snapshot = args.input_snapshot
     if args.input.startswith("synth:"):
         n = int(args.input.split(":", 1)[1])
         corpus = with_doc_ids(synth_corpus(spark, n))
+        docs = corpus.select("doc_id", corpus.content.alias("text"))
+        id_col, text_col = "doc_id", "text"
+    elif args.input.startswith("iceberg:"):
+        spec = args.input.split(":", 1)[1]
+        table, _, snap = spec.partition("@")
+        corpus, snapshot = read_iceberg_corpus(
+            spark, table, int(snap) if snap else None)
+        corpus = with_doc_ids(corpus)
         docs = corpus.select("doc_id", corpus.content.alias("text"))
         id_col, text_col = "doc_id", "text"
     else:
@@ -55,7 +66,7 @@ def main() -> None:
     t0 = time.time()
     build_index(docs, args.output, n_parts=args.n_parts,
                 n_salts=args.n_salts, parts_per_job=args.parts_per_job,
-                resume=args.resume, input_snapshot=args.input_snapshot,
+                resume=args.resume, input_snapshot=snapshot,
                 id_col=id_col, text_col=text_col)
     print(f"index built at {args.output} in {time.time() - t0:.1f}s",
           file=sys.stderr)
