@@ -128,24 +128,44 @@ def read_iceberg_corpus(spark: SparkSession, table: str,
     two table versions — and a resumed build re-reads the exact
     snapshot its manifest names.
 
-    Falls back to a parquet directory path when the Iceberg runtime is
-    not on the classpath (this sandbox); the lineage string then
-    records the path in place of a snapshot id.
+    Falls back to a parquet directory path ONLY when the Iceberg data
+    source itself is unavailable (runtime jar not on the classpath —
+    this sandbox) AND no explicit snapshot was requested; any other
+    failure (expired snapshot, catalog error, schema mismatch)
+    re-raises rather than silently downgrading a pinned read to an
+    un-pinned scan of whatever happens to live at the path.
     """
+    def _source_missing(exc: Exception) -> bool:
+        msg = str(exc)
+        return ("DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find the data source: iceberg" in msg
+                or "Failed to find data source: iceberg" in msg)
+
     try:
         if snapshot_id is None:
-            current = (spark.read.format("iceberg")
-                       .load(f"{table}.snapshots")
-                       .orderBy(F.desc("committed_at"))
-                       .select("snapshot_id").first())
-            snapshot_id = int(current["snapshot_id"]) if current else None
+            # current snapshot from the 'main' ref — NOT
+            # max(committed_at) over .snapshots, which is wrong after a
+            # rollback (the rolled-back-from snapshot keeps the latest
+            # commit time while no longer being current)
+            ref = (spark.read.format("iceberg")
+                   .load(f"{table}.refs")
+                   .filter(F.col("name") == "main")
+                   .select("snapshot_id").first())
+            snapshot_id = int(ref["snapshot_id"]) if ref else None
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         df = reader.load(table)
         return df.select("repo", "path", "commit", "lang", "content"), \
             f"iceberg:{table}@{snapshot_id}"
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — filtered just below
+        if not _source_missing(exc):
+            raise
+        if snapshot_id is not None:
+            raise RuntimeError(
+                f"snapshot-pinned read of {table}@{snapshot_id} requested "
+                "but the Iceberg data source is unavailable; refusing to "
+                "fall back to an un-pinned parquet read") from exc
         df = spark.read.parquet(table)
         return df.select("repo", "path", "commit", "lang", "content"), \
             f"parquet:{table}"

@@ -307,6 +307,23 @@ def build_index(docs: DataFrame, index_dir: str, *,
     spark = docs.sparkSession
     build_id = uuid.uuid4().hex[:12]
     dyn = {"partitionOverwriteMode": "dynamic"}
+    if not resume:
+        # A fresh build over an existing index_dir is a REBUILD: drop
+        # state owned by the previous build so it cannot leak into this
+        # one. (a) The POSTINGS_CURRENT pointer: after a compact()/
+        # stream refresh it targets a versioned dir, and this build
+        # writes plain 'postings' — without the reset every reader
+        # would keep resolving the pre-rebuild postings. (b) Stream
+        # epoch segments: encode_postings unions segments_stream when
+        # present, which belongs to the previous corpus, not this one.
+        import shutil
+        cur = f"{index_dir}/POSTINGS_CURRENT"
+        if os.path.exists(cur):
+            with open(cur) as f:
+                prev = f.read().strip()
+            os.remove(cur)
+            shutil.rmtree(f"{index_dir}/{prev}", ignore_errors=True)
+        shutil.rmtree(f"{index_dir}/segments_stream", ignore_errors=True)
     prepared = (docs.select(F.col(id_col).alias("doc_id"),
                             F.col(text_col).alias("text"))
                 .withColumn("part", F.pmod(F.xxhash64("doc_id"),

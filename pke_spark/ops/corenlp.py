@@ -26,12 +26,17 @@ def parse_corenlp_xml(xml_text: str) -> list[tuple]:
     out = []
     pos = 0
     for i, sentence in enumerate(root.iterfind("./document/sentences/sentence")):
-        words = [u.text for u in sentence.iterfind("tokens/token/word")]
-        tags = [u.text for u in sentence.iterfind("tokens/token/POS")]
-        lemmas = [u.text for u in sentence.iterfind("tokens/token/lemma")]
-        if len(lemmas) != len(words):
-            lemmas = [w.lower() for w in words]
-        for w, t, le in zip(words, tags, lemmas):
+        # walk per-token ELEMENTS (not parallel word/POS/lemma lists):
+        # a token missing its <POS> or <lemma> child must degrade only
+        # that token, not shift every later token's tag (zip over
+        # separately-collected lists silently misaligns on the first
+        # absent child)
+        for tok in sentence.iterfind("tokens/token"):
+            w = tok.findtext("word")
+            if w is None:
+                continue
+            t = tok.findtext("POS", default="")
+            le = tok.findtext("lemma", default=w.lower())
             pos += 1
             out.append((i, pos, w, t, le))
     return out

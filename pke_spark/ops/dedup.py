@@ -10,7 +10,8 @@ every operator has an oracle twin:
 
 Scale notes: exact dedup is a hash-groupBy (one shuffle, AQE-skew
 safe). MinHash-LSH is the scale path for near-dup: signatures are a
-groupBy over (doc, hash_i); candidate pairs come from equi-joins on
+groupBy over (doc, hash_i); candidate pairs come from ._cache import cache_latest
+from equi-joins on
 band keys (no cross join anywhere). SimHash emits one fingerprint per
 doc; banding on simhash prefixes gives near-dup candidates without a
 cross join. n-gram Jaccard is exact pairwise over shingle-share pairs
@@ -21,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ._cache import cache_latest
 
 from ..tokenizer import duckdb_toks_cte, tokens_exploded
 
@@ -92,10 +95,7 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
     with the bucket's min doc_id only (the canonical), which is what a
     dedup pipeline needs (connected components via the canonical) at
     O(g) output. Deterministic, and mirrored exactly in the SQL twin."""
-    while _LAST_SIGS:
-        _LAST_SIGS.pop().unpersist()
-    sigs = minhash_signatures(docs, n_hashes).cache()
-    _LAST_SIGS.append(sigs)
+    sigs = cache_latest(minhash_signatures(docs, n_hashes), _LAST_SIGS)
     rows = n_hashes // n_bands
     bands = sigs.groupBy("doc_id", (F.col("i") / rows).cast("int").alias("band")) \
         .agg(F.array_join(F.transform(

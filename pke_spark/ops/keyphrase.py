@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import cache_latest
+
 from ..tokenizer import (TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list,
                          tokens_exploded)
 
@@ -85,23 +87,32 @@ def ngram_candidates(docs: DataFrame, n: int = 3,
     # would re-evaluate the scan+window once per branch AND per consumer
     # (Catalyst does not dedup common subplans), observed as 10 file
     # scans in kpminer_dedup's executed plan before this rewrite
+    # no higher-order functions on this hot path: an ArrayFilter (or
+    # exists/transform) in the tree forces the whole expression onto
+    # the interpreted eval path (see tokenizer.tokens_array). Nulls are
+    # dropped with array_compact, and the "any word too short" test is
+    # pre-folded into a plain boolean over the struct's source columns.
     grams = []
     for size in range(1, n + 1):
         cols = [F.col("term")] + [F.col(f"t{j}") for j in range(1, size)]
+        has_short = cols[0].isNull()  # never true; boolean fold seed
+        for c in cols:
+            has_short = has_short | (F.length(c) < MIN_WORD_LEN)
         g = F.struct(F.concat_ws(" ", *cols).alias("candidate"),
                      F.array(*cols).alias("words"),
-                     F.lit(size).cast("long").alias("n_words"))
+                     F.lit(size).cast("long").alias("n_words"),
+                     has_short.alias("has_short"))
         grams.append(g if size == 1 else
                      F.when(cols[-1].isNotNull(), g))
     allg = (base.select(
         "doc_id", "pos",
-        F.explode(F.filter(F.array(*grams),
-                           lambda x: x.isNotNull())).alias("g"))
-        .select("doc_id", "pos", "g.candidate", "g.words", "g.n_words"))
+        F.explode(F.array_compact(F.array(*grams))).alias("g"))
+        .select("doc_id", "pos", "g.candidate", "g.words", "g.n_words",
+                "g.has_short"))
     stop_arr = F.array(*[F.lit(s) for s in stoplist])
     kept = allg.filter(
         (~F.arrays_overlap("words", stop_arr))
-        & (F.size(F.filter("words", lambda x: F.length(x) < MIN_WORD_LEN)) == 0)
+        & (~F.col("has_short"))
         & (F.length(F.replace(F.col("candidate"), F.lit(" "), F.lit(""))) >= MIN_CHARS))
     return kept.groupBy("doc_id", "candidate").agg(
         F.count("*").alias("tf"),
@@ -255,10 +266,7 @@ def kpminer_dedup(docs: DataFrame, k: int = 5,
     greedy pass's exchange (interleaved A/B: cache 4.3 s vs plain
     14.6 s vs localCheckpoint 19.9 s at sf0.1). The pool is tiny
     (<= 50 rows/doc)."""
-    while _LAST_POOL:
-        _LAST_POOL.pop().unpersist()
-    full = kpminer(docs, k=50, stoplist=stoplist).cache()
-    _LAST_POOL.append(full)
+    full = cache_latest(kpminer(docs, k=50, stoplist=stoplist), _LAST_POOL)
     return redundancy_topk(full, k)
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import cache_latest
 from ..tokenizer import TEXT_STOPWORDS
 from .keyphrase import _cands_cte, candidate_runs
 
@@ -70,11 +71,8 @@ def kea_fit_predict(docs: DataFrame, k: int = 5,
                           outputCol="features")
     # cached: fit() is an action over the whole feature DAG and the
     # returned ranking would re-evaluate it; one cached copy, previous
-    # unpersisted per call (same pattern as kpminer_dedup)
-    while _LAST_VEC:
-        _LAST_VEC.pop().unpersist()
-    vec = asm.transform(labeled).cache()
-    _LAST_VEC.append(vec)
+    # unpersisted per call (shared helper, same pattern as kpminer_dedup)
+    vec = cache_latest(asm.transform(labeled), _LAST_VEC)
     # multinomial NB needs non-negative features; both are >= 0
     model = NaiveBayes(smoothing=1.0, modelType="multinomial",
                        featuresCol="features", labelCol="label").fit(vec)
@@ -146,7 +144,10 @@ def kea_fit_predict_loo(docs: DataFrame, gold: DataFrame, k: int = 5,
     feats = kea_features(docs, stoplist)
     if minmax:
         feats = scale_minmax(feats, ["tfidf", "pos_norm"])
-    feats = feats.cache()
+    # held in the module holder, NOT unpersisted before return: the
+    # returned union is lazy, and releasing the cache here would
+    # re-trigger the full feature DAG once per fold at collect time
+    feats = cache_latest(feats, _LAST_VEC)
     doc_ids = [r.doc_id for r in
                docs.select("doc_id").distinct().orderBy("doc_id").collect()]
     outs = []
@@ -170,9 +171,7 @@ def kea_fit_predict_loo(docs: DataFrame, gold: DataFrame, k: int = 5,
                     .withColumn("rank", F.row_number().over(w).cast("int"))
                     .filter(F.col("rank") <= k)
                     .select("doc_id", "rank", "candidate", "p_keyphrase"))
-    res = reduce(lambda a, b: a.unionByName(b), outs)
-    feats.unpersist()
-    return res
+    return reduce(lambda a, b: a.unionByName(b), outs)
 
 
 def eval_prf_gold(docs: DataFrame, pred: DataFrame,

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import cache_latest
 from ..tokenizer import (TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list,
                          tokens_exploded)
 from .grammar import (grammar_candidates_with_offsets, synthetic_tags,
@@ -125,11 +126,8 @@ def wingnus_predict(docs: DataFrame, k: int = 5,
         inputCols=["f1_tfidf", "f4_rel_first", "f6_n_words"],
         outputCol="features")
     # cached across fit (an action) + the returned lazy ranking; one
-    # cached copy, previous unpersisted per call
-    while _LAST_VEC:
-        _LAST_VEC.pop().unpersist()
-    vec = asm.transform(labeled).cache()
-    _LAST_VEC.append(vec)
+    # cached copy, previous unpersisted per call (shared helper)
+    vec = cache_latest(asm.transform(labeled), _LAST_VEC)
     model = NaiveBayes(smoothing=1.0, modelType="multinomial",
                        featuresCol="features", labelCol="label").fit(vec)
     pred = model.transform(vec)

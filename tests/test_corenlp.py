@@ -65,3 +65,19 @@ def test_corenlp_to_grammar_candidates(spark):
     # runs: [fast spark engines] (JJ NNP NNS, head=engines), [big corpora]
     assert cands == {"fast spark engines": (1, 1, 3),
                      "big corpora": (1, 6, 2)}
+
+
+def test_missing_pos_degrades_only_that_token():
+    """A token without a <POS> child must not shift later tokens' tags
+    (regression: parallel-list zip silently misaligned)."""
+    from pke_spark.ops.corenlp import parse_corenlp_xml
+
+    xml = """<root><document><sentences><sentence id="1"><tokens>
+      <token id="1"><word>alpha</word><POS>NN</POS><lemma>alpha</lemma></token>
+      <token id="2"><word>beta</word><lemma>beta</lemma></token>
+      <token id="3"><word>gamma</word><POS>JJ</POS><lemma>gamma</lemma></token>
+    </tokens></sentence></sentences></document></root>"""
+    rows = parse_corenlp_xml(xml)
+    assert [(w, t) for _s, _p, w, t, _l in rows] == [
+        ("alpha", "NN"), ("beta", ""), ("gamma", "JJ")]
+    assert [p for _s, p, *_ in rows] == [1, 2, 3]

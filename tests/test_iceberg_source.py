@@ -34,3 +34,10 @@ def test_snapshot_string_lands_in_manifest(spark, corpus_dir, tmp_path):
     m = read_manifest(spark, ix)
     snaps = {r.input_snapshot for r in m.collect()}
     assert snaps == {snap}
+
+
+def test_pinned_read_refuses_unpinned_fallback(spark, corpus_dir):
+    """An explicitly snapshot-pinned read must NOT silently downgrade
+    to an un-pinned parquet scan when the Iceberg source is missing."""
+    with pytest.raises(RuntimeError, match="refusing"):
+        read_iceberg_corpus(spark, corpus_dir, snapshot_id=12345)

@@ -81,9 +81,11 @@ def test_windowed_stream_equals_batch(spark, tmp_path, sf_dir):
     # split into multiple files so the stream sees several batches
     src = str(tmp_path / "ev_src")
     batch.repartition(4).write.parquet(src)
-    stream = (spark.readStream.schema(batch.schema).parquet(src)
-              .option("maxFilesPerTrigger", 1) if False else
-              spark.readStream.schema(batch.schema).parquet(src))
+    # one file per micro-batch (availableNow honors maxFilesPerTrigger)
+    # so the aggregation actually accumulates across several batches —
+    # a single-batch run would pass even with broken state handling
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
     agg = streaming.windowed_event_counts(stream)
     q = (agg.writeStream.format("memory").queryName("winagg")
          .outputMode("complete").trigger(availableNow=True).start())
@@ -91,3 +93,38 @@ def test_windowed_stream_equals_batch(spark, tmp_path, sf_dir):
     got = {(r.window_start, r.event_type): (r.n_events, r.total_value)
            for r in spark.sql("SELECT * FROM winagg").collect()}
     assert got == want and len(got) > 0
+
+
+@pytest.mark.timeout(300)
+def test_rebuild_resets_stream_state_and_pointer(spark, tmp_path):
+    """A fresh build_index over a dir that previously had stream appends
+    and a postings refresh (versioned dir + POSTINGS_CURRENT pointer)
+    must serve exactly the NEW corpus: no stale stream docs unioned into
+    the stats, and readers resolving the new postings, not the
+    pre-rebuild versioned dir."""
+    import os
+
+    c = with_doc_ids(synth_corpus(spark, 120, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    half_a = docs.filter("pmod(doc_id, 2) = 0")
+    half_b = docs.filter("pmod(doc_id, 2) != 0")
+
+    ix_dir = str(tmp_path / "ix_rebuild")
+    build_index(half_a, ix_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    streaming.append_batch(half_b, ix_dir, epoch_id=0, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32)
+    assert os.path.exists(f"{ix_dir}/POSTINGS_CURRENT")
+
+    # rebuild over a DIFFERENT corpus (half A only)
+    build_index(half_a, ix_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    assert not os.path.exists(f"{ix_dir}/POSTINGS_CURRENT")
+    assert not os.path.exists(f"{ix_dir}/segments_stream")
+
+    ref_dir = str(tmp_path / "ix_ref")
+    build_index(half_a, ref_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
+                                  _decoded(spark, ref_dir))
