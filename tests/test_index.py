@@ -175,3 +175,36 @@ def test_salting_invariance(corpus, spark, tmp_path):
         pd.testing.assert_frame_equal(
             got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
             check_exact=False, atol=1e-9, obj=f"q={q}")
+
+
+def test_wand_random_queries_match_oracle(corpus, spark, index_dir):
+    """Adversarial randomized queries: vocabulary draws of varying
+    length (with repeats), unseen terms mixed in, and k values around
+    the result-count boundary — both WAND execution paths vs the
+    pure-pandas oracle."""
+    import random
+
+    _, texts = corpus
+    ix = IndexReader(spark, index_dir)
+    from pke_spark.tokenizer import tokenize_text
+    vocab = sorted({t for txt in texts.values()
+                    for t in tokenize_text(txt)})
+    rnd = random.Random(20260817)
+    cases = []
+    for _ in range(12):
+        n_terms = rnd.randint(1, 5)
+        q = [rnd.choice(vocab) for _ in range(n_terms)]
+        if rnd.random() < 0.4:
+            q.append(f"zz_unseen_{rnd.randint(0, 9)}")
+        if rnd.random() < 0.3:
+            q.append(q[0])  # duplicate query term
+        cases.append((q, rnd.choice([1, 3, 10, 200])))
+    cases.append((["zz_total_miss"], 10))
+    for q, k in cases:
+        want = oracle.bm25_topk(texts, q, k)
+        for fastpath in (False, True):
+            got = wand_topk(ix, q, k, n_buckets=8,
+                            driver_fastpath=fastpath).toPandas()
+            pd.testing.assert_frame_equal(
+                got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+                check_exact=False, atol=1e-9, obj=f"q={q} k={k} fast={fastpath}")
