@@ -93,7 +93,13 @@ def main() -> None:
     model_tput = {}
     for name in sorted(qs):
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        try:
+            qs[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — one broken query must
+            # not zero the whole bench artifact; record and continue
+            print(f"bench query {name} FAILED: {exc}", file=sys.stderr)
+            results[name] = -1.0
+            continue
         dt = time.time() - t0
         results[name] = round(dt, 3)
         if name in REF_DOCS_PER_SEC and dt > 0:
