@@ -114,6 +114,14 @@ def postings_path(index_dir: str) -> str:
     return f"{index_dir}/postings"
 
 
+def docmap_path(postings_dir: str) -> str:
+    """The dense doc-ordinal map travels WITH its postings directory
+    (``<postings>_docmap``): the POSTINGS_CURRENT pointer swap then
+    atomically switches both, so postings encoded in ordinal space can
+    never be read against another build's map."""
+    return f"{postings_dir}_docmap"
+
+
 def swap_postings(index_dir: str, new_name: str) -> None:
     """Atomically point the index at ``index_dir/new_name`` and then
     best-effort delete the previous postings directory."""
@@ -125,6 +133,7 @@ def swap_postings(index_dir: str, new_name: str) -> None:
     os.replace(tmp, f"{index_dir}/POSTINGS_CURRENT")
     if os.path.abspath(old) != os.path.abspath(f"{index_dir}/{new_name}"):
         shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(docmap_path(old), ignore_errors=True)
 
 
 def _parquet_rows(path: str) -> int:
@@ -288,6 +297,7 @@ def _encode_partition(pdf_iter, block_size: int):
 
 def build_index(docs: DataFrame, index_dir: str, *,
                 n_parts: int = 8, n_salts: int = 8,
+                dense_doc_ids: bool = False,
                 hot_threshold: int | None = None,
                 block_size: int = codec.BLOCK_SIZE,
                 resume: bool = False,
@@ -323,7 +333,11 @@ def build_index(docs: DataFrame, index_dir: str, *,
                 prev = f.read().strip()
             os.remove(cur)
             shutil.rmtree(f"{index_dir}/{prev}", ignore_errors=True)
+            shutil.rmtree(docmap_path(f"{index_dir}/{prev}"),
+                          ignore_errors=True)
         shutil.rmtree(f"{index_dir}/segments_stream", ignore_errors=True)
+        shutil.rmtree(docmap_path(f"{index_dir}/postings"),
+                      ignore_errors=True)
     prepared = (docs.select(F.col(id_col).alias("doc_id"),
                             F.col(text_col).alias("text"))
                 .withColumn("part", F.pmod(F.xxhash64("doc_id"),
@@ -375,7 +389,8 @@ def build_index(docs: DataFrame, index_dir: str, *,
     # ---- phase B: global stats + salted posting encode ----
     n_docs, avgdl, hot_threshold = encode_postings(
         spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
-        block_size=block_size, driver_stats_max_bytes=driver_stats_max_bytes)
+        block_size=block_size, driver_stats_max_bytes=driver_stats_max_bytes,
+        dense_doc_ids=dense_doc_ids)
     write_stats(index_dir, n_docs, avgdl, int(hot_threshold), block_size)
     _append_manifest(spark, index_dir, [(
         build_id, "postings", -1, "done", n_docs,
@@ -383,11 +398,48 @@ def build_index(docs: DataFrame, index_dir: str, *,
         _dir_bytes(postings_path(index_dir)), input_snapshot, time.time())])
 
 
+def _assign_ordinals(doc_ids: DataFrame, n_ranges: int = 64) -> DataFrame:
+    """(doc_id) -> (ord, doc_id): dense 0..n-1 ordinals in global
+    doc_id order, assigned WITHOUT a single-partition sort: range-
+    repartition + per-partition sort, collect only the n_ranges
+    partition COUNTS to the driver, broadcast the cumulative offsets,
+    then number rows per partition in one mapInPandas pass.
+    RangePartitioner orders ranges by partition id, so
+    offset[pid] + local position is globally dense and deterministic."""
+    import pandas as pd
+
+    spark = doc_ids.sparkSession
+    ranged = (doc_ids.repartitionByRange(n_ranges, "doc_id")
+              .sortWithinPartitions("doc_id"))
+    counts = (ranged.withColumn("pid", F.spark_partition_id())
+              .groupBy("pid").count().collect())
+    sizes = {int(r["pid"]): int(r["count"]) for r in counts}
+    offsets, acc = {}, 0
+    for pid in range(max(sizes, default=-1) + 1):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def assign(it):
+        from pyspark import TaskContext
+        pos = None
+        for pdf in it:
+            if pos is None:
+                pos = boff.value.get(TaskContext.get().partitionId(), 0)
+            n = len(pdf)
+            yield pd.DataFrame({"ord": range(pos, pos + n),
+                                "doc_id": pdf["doc_id"]})
+            pos += n
+
+    return ranged.mapInPandas(assign, "ord long, doc_id long")
+
+
 def encode_postings(spark: SparkSession, index_dir: str, *,
                     n_salts: int = 8, hot_threshold: int | None = None,
                     block_size: int = codec.BLOCK_SIZE,
                     out_name: str = "postings",
-                    driver_stats_max_bytes: int | None = None
+                    driver_stats_max_bytes: int | None = None,
+                    dense_doc_ids: bool | None = None
                     ) -> tuple[int, float, int]:
     """Phase B: corpus stats + hot-term detection + salted block encode
     from ``index_dir``/segments (plus ``segments_stream`` epoch dirs, if
@@ -453,6 +505,29 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
     else:
         from pyspark.sql import Window as W
         with_dl = tc.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+    if dense_doc_ids is None:
+        # refresh parity: a dense index must stay dense across stream
+        # refreshes without the caller re-stating the flag
+        dense_doc_ids = os.path.exists(
+            docmap_path(f"{index_dir}/{out_name}")) \
+            or os.path.exists(docmap_path(postings_path(index_dir)))
+    if dense_doc_ids:
+        # dense ordinals: postings delta-encode 0..n-1 ords instead of
+        # random xxhash64 ids — deltas shrink from ~2^57 (8-9 varint
+        # bytes) to ~n/df (1-2 bytes). The (ord, doc_id) map is written
+        # next to the postings (docmap_path) and the top-k edge
+        # translates back; the map is ord-sorted so a k-row lookup is a
+        # predicate-pushdown point read.
+        ids = dl_cached.select("doc_id") if dl_cached is not None else \
+            tc.select("doc_id").distinct()
+        dm = _assign_ordinals(ids)
+        dm_dir = docmap_path(f"{index_dir}/{out_name}")
+        dm.write.mode("overwrite").parquet(dm_dir)
+        dm_read = spark.read.parquet(dm_dir)  # reuse, don't recompute
+        join_how = F.broadcast(dm_read) if n_docs <= 10_000_000 else dm_read
+        with_dl = (with_dl.join(join_how, "doc_id")
+                   .select(F.col("ord").alias("doc_id"),
+                           "term", "tf", "dl"))
     salted = (with_dl
               .join(F.broadcast(hot_terms.withColumn("__hot", F.lit(1))),
                     "term", "left")
@@ -508,6 +583,13 @@ def compact(spark: SparkSession, index_dir: str, *,
     new_name = f"postings_{uuid.uuid4().hex[:12]}"
     merged.unionByName(keep).write.mode("overwrite") \
         .parquet(f"{index_dir}/{new_name}")
+    # dense indexes: the ordinal space is unchanged by a merge, so the
+    # docmap is carried to the new postings name BEFORE the pointer
+    # swap (swap deletes the old postings AND its docmap)
+    old_dm = docmap_path(postings_path(index_dir))
+    if os.path.exists(old_dm):
+        import shutil
+        shutil.copytree(old_dm, docmap_path(f"{index_dir}/{new_name}"))
     swap_postings(index_dir, new_name)
 
 
@@ -585,3 +667,27 @@ class IndexReader:
     def term_postings(self, terms: list[str]) -> DataFrame:
         # predicate pushdown on `term` prunes row groups at the scan
         return self.postings().filter(F.col("term").isin(terms))
+
+    @property
+    def dense(self) -> bool:
+        """True when this postings dir was encoded in dense ordinal
+        space (a ``<postings>_docmap`` directory travels with it)."""
+        return os.path.exists(docmap_path(self.postings_dir))
+
+    def resolve_ords(self, ords: list[int]) -> dict[int, int]:
+        """ord -> doc_id for EXACTLY the requested ordinals, via a
+        predicate-pushdown point read of the ord-sorted docmap (the
+        map is written in ord order, so ``WHERE ord IN (...)`` hits
+        parquet min/max row-group stats). Driver-side, k rows."""
+        if not ords:
+            return {}
+        import duckdb
+        inlist = ", ".join(str(int(o)) for o in ords)
+        rows = duckdb.connect().execute(
+            f"SELECT ord, doc_id FROM "
+            f"read_parquet('{docmap_path(self.postings_dir)}/*.parquet') "
+            f"WHERE ord IN ({inlist})").fetchall()
+        return {int(o): int(d) for o, d in rows}
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(docmap_path(self.postings_dir))

@@ -59,6 +59,19 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
               .select("rank", "doc_id", "score")
 
 
+def _translate_ords(ix: IndexReader, ranked: DataFrame) -> DataFrame:
+    """Dense-ordinal indexes: map the top-k ords back to doc_ids.
+    Tie-breaking is unaffected — ordinals are assigned in ascending
+    doc_id order, so (score DESC, ord ASC) == (score DESC, doc_id ASC).
+    The k-row ranked side broadcasts against the docmap scan."""
+    if not ix.dense:
+        return ranked
+    dm = ix.docmap()
+    return (dm.join(F.broadcast(ranked.withColumnRenamed("doc_id", "ord")),
+                    "ord")
+            .select("rank", "doc_id", "score").orderBy("rank"))
+
+
 def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
                  k1: float = K1, b: float = B) -> DataFrame:
     """Exhaustive BM25 from the index (decode + DataFrame scoring)."""
@@ -89,7 +102,7 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
     scored = (tc.join(F.broadcast(stats), "term")
               .groupBy("doc_id")
               .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
-    return _rank_topk(scored, k)
+    return _translate_ords(ix, _rank_topk(scored, k))
 
 
 # serving fast path: queries whose terms' total df fits this budget are
@@ -130,6 +143,9 @@ def _driver_topk(ix: IndexReader, terms: list[str], k: int,
     order = np.lexsort((docs, -scores))[:k]
     out = [(i + 1, int(docs[j]), float(scores[j]))
            for i, j in enumerate(order)]
+    if ix.dense and out:
+        dmap = ix.resolve_ords([d for _r, d, _s in out])
+        out = [(r, dmap[d], s) for r, d, s in out]
     return ix.spark.createDataFrame(out or [],
                                     "rank int, doc_id long, score double")
 
@@ -156,12 +172,22 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
         return _driver_topk(ix, sorted(term_df), k, k1, b)
     n_docs, avgdl = int(ix.n_docs), float(ix.avgdl)
 
-    sign = F.lit(-(1 << 63)).cast("long")
+    dense = ix.dense
+    if dense:
+        # dense-ordinal doc space [0, n_docs): bucket by equal ord
+        # ranges (high-bit bucketing would drop every small ord into
+        # one bucket and serialize the query)
+        span = max(1, -(-n_docs // n_buckets))  # ceil(n/buckets)
+        b1c = F.floor(F.col("b.first_doc") / span).cast("long").alias("b1")
+        b2c = F.floor(F.col("b.last_doc") / span).cast("long").alias("b2")
+    else:
+        sign = F.lit(-(1 << 63)).cast("long")
+        b1c = F.shiftrightunsigned(
+            F.col("b.first_doc").bitwiseXOR(sign), shift).alias("b1")
+        b2c = F.shiftrightunsigned(
+            F.col("b.last_doc").bitwiseXOR(sign), shift).alias("b2")
     blocks = post.select("term", F.explode("blocks").alias("b")).select(
-        "term", "b.*",
-        F.shiftrightunsigned(F.col("b.first_doc").bitwiseXOR(sign), shift).alias("b1"),
-        F.shiftrightunsigned(F.col("b.last_doc").bitwiseXOR(sign), shift).alias("b2"),
-    )
+        "term", "b.*", b1c, b2c)
     u64_max = np.uint64(0xFFFFFFFFFFFFFFFF)
     bucketed = (blocks
                 .withColumn("bucket", F.explode(F.sequence("b1", "b2")))
@@ -186,10 +212,17 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
         other docs may be understated, which cannot perturb the top-k
         selection (their true scores are below the k-th).
         """
-        bkt = np.uint64(pdf["bucket"].iloc[0])
-        lo = codec.from_u64(np.array([bkt << np.uint64(shift)], np.uint64))[0]
-        hi_u = (bkt << np.uint64(shift)) | (u64_max >> np.uint64(64 - shift))
-        hi = codec.from_u64(np.array([hi_u], np.uint64))[0]
+        if dense:
+            bkt = int(pdf["bucket"].iloc[0])
+            lo = bkt * span
+            hi = lo + span - 1
+        else:
+            bkt = np.uint64(pdf["bucket"].iloc[0])
+            lo = codec.from_u64(
+                np.array([bkt << np.uint64(shift)], np.uint64))[0]
+            hi_u = (bkt << np.uint64(shift)) | \
+                (u64_max >> np.uint64(64 - shift))
+            hi = codec.from_u64(np.array([hi_u], np.uint64))[0]
         groups = []
         for t, g in pdf.groupby("term", sort=True):
             mt = g["max_tf"].to_numpy(np.float64)
@@ -269,4 +302,7 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
     rows.sort(key=lambda r: (-r.score, r.doc_id))
     out = [(i + 1, int(r.doc_id), float(r.score))
            for i, r in enumerate(rows[:k])]
+    if ix.dense and out:
+        dmap = ix.resolve_ords([d for _r, d, _s in out])
+        out = [(r, dmap[d], s) for r, d, s in out]
     return ix.spark.createDataFrame(out or [], "rank int, doc_id long, score double")

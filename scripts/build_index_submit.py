@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--parts-per-job", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--sparse-ids", action="store_true",
+                    help="encode raw 64-bit doc ids instead of dense "
+                         "ordinals (ordinals are the production default: "
+                         "~3x smaller postings at identical results)")
     ap.add_argument("--input-snapshot", default="")
     args = ap.parse_args()
 
@@ -66,6 +70,7 @@ def main() -> None:
     t0 = time.time()
     build_index(docs, args.output, n_parts=args.n_parts,
                 n_salts=args.n_salts, parts_per_job=args.parts_per_job,
+                dense_doc_ids=not args.sparse_ids,
                 resume=args.resume, input_snapshot=snapshot,
                 id_col=id_col, text_col=text_col)
     print(f"index built at {args.output} in {time.time() - t0:.1f}s",

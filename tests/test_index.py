@@ -208,3 +208,78 @@ def test_wand_random_queries_match_oracle(corpus, spark, index_dir):
             pd.testing.assert_frame_equal(
                 got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
                 check_exact=False, atol=1e-9, obj=f"q={q} k={k} fast={fastpath}")
+
+
+@pytest.fixture(scope="module")
+def dense_index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ix_dense"))
+    docs, _ = corpus
+    build_index(docs, d, n_parts=4, n_salts=4, dense_doc_ids=True,
+                hot_threshold=50, block_size=32)
+    return d
+
+
+def test_dense_index_matches_sparse(corpus, spark, index_dir,
+                                    dense_index_dir):
+    """Dense-ordinal encoding is a pure physical-layout change: every
+    scorer (exhaustive indexed, WAND distributed, WAND driver fast
+    path) must return byte-identical (rank, doc_id, score) rows."""
+    _, texts = corpus
+    ix_d = IndexReader(spark, dense_index_dir)
+    assert ix_d.dense
+    for q in QUERIES + [["zz_unseen"]]:
+        want = oracle.bm25_topk(texts, q, 10)
+        got_ex = bm25_indexed(ix_d, q, 10).toPandas()
+        pd.testing.assert_frame_equal(
+            got_ex.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9, obj=f"bm25 q={q}")
+        for fastpath in (False, True):
+            got = wand_topk(ix_d, q, 10, n_buckets=8,
+                            driver_fastpath=fastpath).toPandas()
+            pd.testing.assert_frame_equal(
+                got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+                check_exact=False, atol=1e-9, obj=f"q={q} fast={fastpath}")
+
+
+def test_dense_index_is_smaller(spark, index_dir, dense_index_dir):
+    """The point of dense ordinals: postings delta-encode small ints
+    instead of random 64-bit hashes."""
+    from pke_spark.index.build import _dir_bytes
+    sparse = _dir_bytes(f"{index_dir}/postings")
+    dense = _dir_bytes(f"{dense_index_dir}/postings")
+    assert dense < sparse * 0.8, (dense, sparse)
+
+
+def test_dense_docmap_is_dense_and_sorted(spark, corpus, dense_index_dir):
+    docs, _ = corpus
+    from pke_spark.index.build import docmap_path, postings_path
+    dm = spark.read.parquet(
+        docmap_path(postings_path(dense_index_dir))).toPandas()
+    n = docs.count()
+    assert sorted(dm["ord"]) == list(range(n))
+    by_ord = dm.sort_values("ord")["doc_id"].to_numpy()
+    assert (np.diff(by_ord) > 0).all()  # ord order == doc_id order
+
+
+def test_compact_preserves_dense_results(corpus, spark, dense_index_dir,
+                                         tmp_path):
+    """compact() on a dense index carries the docmap to the new
+    versioned postings; queries stay oracle-exact with raw doc_ids."""
+    import shutil
+
+    from pke_spark.index.build import compact
+
+    _, texts = corpus
+    d2 = str(tmp_path / "ix_dense_compact")
+    shutil.copytree(dense_index_dir, d2)
+    compact(spark, d2)
+    ix = IndexReader(spark, d2)
+    assert ix.dense
+    for q in QUERIES[:2]:
+        want = oracle.bm25_topk(texts, q, 10)
+        for fastpath in (False, True):
+            got = wand_topk(ix, q, 10, n_buckets=8,
+                            driver_fastpath=fastpath).toPandas()
+            pd.testing.assert_frame_equal(
+                got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+                check_exact=False, atol=1e-9, obj=f"q={q} fast={fastpath}")

@@ -128,3 +128,35 @@ def test_rebuild_resets_stream_state_and_pointer(spark, tmp_path):
                 block_size=32)
     pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
                                   _decoded(spark, ref_dir))
+
+
+@pytest.mark.timeout(300)
+def test_stream_refresh_preserves_dense_encoding(spark, tmp_path):
+    """A dense index stays dense across stream append + refresh (the
+    refresh auto-detects the docmap), and queries remain oracle-exact
+    with RAW doc_ids after the versioned docmap swap."""
+    from pke_spark.index.build import IndexReader
+
+    c = with_doc_ids(synth_corpus(spark, 120, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    half_a = docs.filter("pmod(doc_id, 2) = 0")
+    half_b = docs.filter("pmod(doc_id, 2) != 0")
+
+    ix_dir = str(tmp_path / "ix_dense_stream")
+    build_index(half_a, ix_dir, n_parts=4, n_salts=4, dense_doc_ids=True,
+                hot_threshold=30, block_size=32)
+    streaming.append_batch(half_b, ix_dir, epoch_id=0, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32)
+    ix = IndexReader(spark, ix_dir)
+    assert ix.dense
+    pdf = docs.toPandas()
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    for qq in (["build", "index"], ["def"]):
+        for fastpath in (False, True):
+            got = wand_topk(ix, qq, 10, n_buckets=8,
+                            driver_fastpath=fastpath).toPandas()
+            want = oracle.bm25_topk(texts, qq, 10)
+            pd.testing.assert_frame_equal(
+                got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+                check_exact=False, atol=1e-9)
