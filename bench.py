@@ -77,6 +77,18 @@ def main() -> None:
     results["index_build"] = round(build_sec, 3)
     docs_per_sec = n_synth / build_sec
 
+    # ---- headline 1b: dense-ordinal build (the production layout) ----
+    from pke_spark.index.build import _dir_bytes
+    dix_dir = tempfile.mkdtemp(prefix="pke_spark_bench_dix_")
+    t0 = time.time()
+    build_index(docs, dix_dir, n_parts=8, n_salts=8, dense_doc_ids=True)
+    results["index_build_dense"] = round(time.time() - t0, 3)
+    dense_extras = {
+        "postings_bytes_sparse": _dir_bytes(f"{ix_dir}/postings"),
+        "postings_bytes_dense": _dir_bytes(f"{dix_dir}/postings"),
+    }
+    shutil.rmtree(dix_dir, ignore_errors=True)
+
     # ---- headline 2: WAND top-10 latency p50 ----
     ix = IndexReader(spark, ix_dir)
     lat = []
@@ -120,6 +132,7 @@ def main() -> None:
         "cpus": cpus,
         "suite_n_docs": n_docs,
         "model_throughput": model_tput,
+        **dense_extras,
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks")
