@@ -398,7 +398,8 @@ def build_index(docs: DataFrame, index_dir: str, *,
         _dir_bytes(postings_path(index_dir)), input_snapshot, time.time())])
 
 
-def _assign_ordinals(doc_ids: DataFrame, n_ranges: int = 64) -> DataFrame:
+def _assign_ordinals(doc_ids: DataFrame, n_ranges: int = 64
+                     ) -> tuple[DataFrame, DataFrame]:
     """(doc_id) -> (ord, doc_id): dense 0..n-1 ordinals in global
     doc_id order, assigned WITHOUT a single-partition sort: range-
     repartition + per-partition sort, collect only the n_ranges
@@ -409,8 +410,15 @@ def _assign_ordinals(doc_ids: DataFrame, n_ranges: int = 64) -> DataFrame:
     import pandas as pd
 
     spark = doc_ids.sparkSession
+    # persisted: the partitioning is consumed TWICE (counts, then the
+    # numbering pass) and RangePartitioner samples its boundaries with
+    # a per-RDD seed — two separate evaluations could place rows in
+    # different partitions and silently corrupt the ordinals (dupes +
+    # gaps). The materialized copy pins one boundary draw for both.
+    # Caller must unpersist (encode_postings does, after the map is
+    # written).
     ranged = (doc_ids.repartitionByRange(n_ranges, "doc_id")
-              .sortWithinPartitions("doc_id"))
+              .sortWithinPartitions("doc_id").persist())
     counts = (ranged.withColumn("pid", F.spark_partition_id())
               .groupBy("pid").count().collect())
     sizes = {int(r["pid"]): int(r["count"]) for r in counts}
@@ -431,7 +439,7 @@ def _assign_ordinals(doc_ids: DataFrame, n_ranges: int = 64) -> DataFrame:
                                 "doc_id": pdf["doc_id"]})
             pos += n
 
-    return ranged.mapInPandas(assign, "ord long, doc_id long")
+    return ranged.mapInPandas(assign, "ord long, doc_id long"), ranged
 
 
 def encode_postings(spark: SparkSession, index_dir: str, *,
@@ -520,9 +528,10 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
         # predicate-pushdown point read.
         ids = dl_cached.select("doc_id") if dl_cached is not None else \
             tc.select("doc_id").distinct()
-        dm = _assign_ordinals(ids)
+        dm, _ranged = _assign_ordinals(ids)
         dm_dir = docmap_path(f"{index_dir}/{out_name}")
         dm.write.mode("overwrite").parquet(dm_dir)
+        _ranged.unpersist()
         dm_read = spark.read.parquet(dm_dir)  # reuse, don't recompute
         join_how = F.broadcast(dm_read) if n_docs <= 10_000_000 else dm_read
         with_dl = (with_dl.join(join_how, "doc_id")

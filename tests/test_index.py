@@ -10,6 +10,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from pke_spark import oracle
 from pke_spark.corpus import synth_corpus, with_doc_ids
 from pke_spark.index import codec
@@ -283,3 +285,21 @@ def test_compact_preserves_dense_results(corpus, spark, dense_index_dir,
             pd.testing.assert_frame_equal(
                 got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
                 check_exact=False, atol=1e-9, obj=f"q={q} fast={fastpath}")
+
+
+def test_assign_ordinals_dense_at_sampling_scale(spark):
+    """At sizes where RangePartitioner actually SAMPLES its boundaries
+    (rather than seeing all rows), the counts pass and the numbering
+    pass must still agree — the persisted partitioning pins one
+    boundary draw. Regression: two evaluations with different samples
+    produced duplicate/missing ordinals."""
+    from pke_spark.index.build import _assign_ordinals
+
+    ids = (spark.range(0, 20_000, 1, 16)
+           .select(F.xxhash64("id").alias("doc_id")))
+    dm, ranged = _assign_ordinals(ids)
+    pdf = dm.toPandas()
+    ranged.unpersist()
+    assert sorted(pdf["ord"]) == list(range(20_000))
+    by_ord = pdf.sort_values("ord")["doc_id"].to_numpy()
+    assert (np.diff(by_ord) > 0).all()
