@@ -86,6 +86,9 @@ def main() -> None:
     dense_extras = {
         "postings_bytes_sparse": _dir_bytes(f"{ix_dir}/postings"),
         "postings_bytes_dense": _dir_bytes(f"{dix_dir}/postings"),
+        # the docmap is part of a dense index's query-time cost —
+        # report it so the compression claim includes it
+        "postings_docmap_bytes": _dir_bytes(f"{dix_dir}/postings_docmap"),
     }
     shutil.rmtree(dix_dir, ignore_errors=True)
 

@@ -202,11 +202,15 @@ def _manifest_segment_rows(spark, index_dir: str, parts: list[int],
 
 def write_stats(index_dir: str, n_docs: int, avgdl: float,
                 hot_threshold: int, block_size: int) -> None:
-    """Single-row stats table written directly with pyarrow."""
+    """Single-row stats table written directly with pyarrow. The
+    ``dense`` flag records whether the CURRENT postings are in ordinal
+    space — readers cross-check it against the docmap's presence so a
+    lost/stale docmap is a hard error, never silently-wrong doc_ids."""
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+    dense = os.path.exists(docmap_path(postings_path(index_dir)))
     shutil.rmtree(f"{index_dir}/stats", ignore_errors=True)
     os.makedirs(f"{index_dir}/stats", exist_ok=True)
     pq.write_table(pa.table({
@@ -214,6 +218,7 @@ def write_stats(index_dir: str, n_docs: int, avgdl: float,
         "avgdl": pa.array([avgdl], pa.float64()),
         "hot_threshold": pa.array([hot_threshold], pa.int64()),
         "block_size": pa.array([block_size], pa.int32()),
+        "dense": pa.array([dense], pa.bool_()),
     }), f"{index_dir}/stats/stats.parquet")
 
 
@@ -398,7 +403,7 @@ def build_index(docs: DataFrame, index_dir: str, *,
         _dir_bytes(postings_path(index_dir)), input_snapshot, time.time())])
 
 
-def _assign_ordinals(doc_ids: DataFrame, n_ranges: int = 64
+def _assign_ordinals(doc_ids: DataFrame, n_ranges: int | None = None
                      ) -> tuple[DataFrame, DataFrame]:
     """(doc_id) -> (ord, doc_id): dense 0..n-1 ordinals in global
     doc_id order, assigned WITHOUT a single-partition sort: range-
@@ -410,6 +415,11 @@ def _assign_ordinals(doc_ids: DataFrame, n_ranges: int = 64
     import pandas as pd
 
     spark = doc_ids.sparkSession
+    if n_ranges is None:
+        # scale the fan-out with the session, not a constant: the sort/
+        # number pass must not bottleneck at 64 tasks on a large corpus
+        n_ranges = max(64, int(spark.conf.get(
+            "spark.sql.shuffle.partitions", "64")))
     # persisted: the partitioning is consumed TWICE (counts, then the
     # numbering pass) and RangePartitioner samples its boundaries with
     # a per-RDD seed — two separate evaluations could place rows in
@@ -519,6 +529,13 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
         dense_doc_ids = os.path.exists(
             docmap_path(f"{index_dir}/{out_name}")) \
             or os.path.exists(docmap_path(postings_path(index_dir)))
+    if not dense_doc_ids:
+        # a sparse (re-)encode over a previously-dense index must not
+        # leave the old docmap behind — readers would misinterpret the
+        # raw doc_ids as ordinals
+        import shutil
+        shutil.rmtree(docmap_path(f"{index_dir}/{out_name}"),
+                      ignore_errors=True)
     if dense_doc_ids:
         # dense ordinals: postings delta-encode 0..n-1 ords instead of
         # random xxhash64 ids — deltas shrink from ~2^57 (8-9 varint
@@ -597,8 +614,18 @@ def compact(spark: SparkSession, index_dir: str, *,
     # swap (swap deletes the old postings AND its docmap)
     old_dm = docmap_path(postings_path(index_dir))
     if os.path.exists(old_dm):
+        # hardlink the (immutable) parquet files instead of copying:
+        # same crash-safety — the old docmap stays intact until the
+        # pointer swap — at O(files) cost instead of O(bytes)
         import shutil
-        shutil.copytree(old_dm, docmap_path(f"{index_dir}/{new_name}"))
+        new_dm = docmap_path(f"{index_dir}/{new_name}")
+        os.makedirs(new_dm, exist_ok=True)
+        for f in os.listdir(old_dm):
+            try:
+                os.link(os.path.join(old_dm, f), os.path.join(new_dm, f))
+            except OSError:  # cross-device: fall back to a copy
+                shutil.copy2(os.path.join(old_dm, f),
+                             os.path.join(new_dm, f))
     swap_postings(index_dir, new_name)
 
 
@@ -621,6 +648,9 @@ class IndexReader:
         self.n_docs = st.n_docs
         self.avgdl = st.avgdl
         self.block_size = st.block_size
+        # round-1 indexes predate the flag -> None (fall back to docmap
+        # presence without the cross-check)
+        self.stats_dense = getattr(st, "dense", None)
 
     def postings(self) -> DataFrame:
         if self._post is None:
@@ -680,8 +710,19 @@ class IndexReader:
     @property
     def dense(self) -> bool:
         """True when this postings dir was encoded in dense ordinal
-        space (a ``<postings>_docmap`` directory travels with it)."""
-        return os.path.exists(docmap_path(self.postings_dir))
+        space (a ``<postings>_docmap`` directory travels with it).
+        Cross-checked against the stats ``dense`` flag: a dense index
+        whose docmap was lost (partial restore/copy) raises instead of
+        silently serving ordinals as doc_ids."""
+        has_map = os.path.exists(docmap_path(self.postings_dir))
+        if self.stats_dense is not None and self.stats_dense != has_map:
+            raise RuntimeError(
+                f"index at {self.index_dir}: stats says dense="
+                f"{self.stats_dense} but docmap "
+                f"{'exists' if has_map else 'is missing'} at "
+                f"{docmap_path(self.postings_dir)} — refusing to serve "
+                "possibly-mistranslated doc_ids")
+        return has_map
 
     def resolve_ords(self, ords: list[int]) -> dict[int, int]:
         """ord -> doc_id for EXACTLY the requested ordinals, via a

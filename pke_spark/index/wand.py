@@ -59,17 +59,28 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
               .select("rank", "doc_id", "score")
 
 
+def _translate_rows(ix: IndexReader,
+                    out: list[tuple]) -> list[tuple]:
+    """Dense-ordinal indexes: map (rank, ord, score) rows back to raw
+    doc_ids via a k-row pushdown point read of the docmap. Tie-breaking
+    is unaffected — ordinals are assigned in ascending doc_id order, so
+    (score DESC, ord ASC) == (score DESC, doc_id ASC)."""
+    if not out:
+        return out
+    dmap = ix.resolve_ords([d for _r, d, _s in out])
+    return [(r, dmap[d], s) for r, d, s in out]
+
+
 def _translate_ords(ix: IndexReader, ranked: DataFrame) -> DataFrame:
-    """Dense-ordinal indexes: map the top-k ords back to doc_ids.
-    Tie-breaking is unaffected — ordinals are assigned in ascending
-    doc_id order, so (score DESC, ord ASC) == (score DESC, doc_id ASC).
-    The k-row ranked side broadcasts against the docmap scan."""
+    """Dense-ordinal indexes: materialize the (<= k)-row ranking and
+    translate ords via resolve_ords — a driver-side point read — rather
+    than joining against a full docmap scan per query."""
     if not ix.dense:
         return ranked
-    dm = ix.docmap()
-    return (dm.join(F.broadcast(ranked.withColumnRenamed("doc_id", "ord")),
-                    "ord")
-            .select("rank", "doc_id", "score").orderBy("rank"))
+    rows = [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+            for r in ranked.collect()]
+    return ix.spark.createDataFrame(
+        _translate_rows(ix, rows) or [], "rank int, doc_id long, score double")
 
 
 def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
@@ -143,9 +154,8 @@ def _driver_topk(ix: IndexReader, terms: list[str], k: int,
     order = np.lexsort((docs, -scores))[:k]
     out = [(i + 1, int(docs[j]), float(scores[j]))
            for i, j in enumerate(order)]
-    if ix.dense and out:
-        dmap = ix.resolve_ords([d for _r, d, _s in out])
-        out = [(r, dmap[d], s) for r, d, s in out]
+    if ix.dense:
+        out = _translate_rows(ix, out)
     return ix.spark.createDataFrame(out or [],
                                     "rank int, doc_id long, score double")
 
@@ -302,7 +312,6 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
     rows.sort(key=lambda r: (-r.score, r.doc_id))
     out = [(i + 1, int(r.doc_id), float(r.score))
            for i, r in enumerate(rows[:k])]
-    if ix.dense and out:
-        dmap = ix.resolve_ords([d for _r, d, _s in out])
-        out = [(r, dmap[d], s) for r, d, s in out]
+    if ix.dense:
+        out = _translate_rows(ix, out)
     return ix.spark.createDataFrame(out or [], "rank int, doc_id long, score double")

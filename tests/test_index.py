@@ -225,12 +225,19 @@ def test_dense_index_matches_sparse(corpus, spark, index_dir,
                                     dense_index_dir):
     """Dense-ordinal encoding is a pure physical-layout change: every
     scorer (exhaustive indexed, WAND distributed, WAND driver fast
-    path) must return byte-identical (rank, doc_id, score) rows."""
+    path) must return byte-identical (rank, doc_id, score) rows, BOTH
+    vs the pandas oracle and vs the sparse index directly."""
     _, texts = corpus
+    ix_s = IndexReader(spark, index_dir)
     ix_d = IndexReader(spark, dense_index_dir)
-    assert ix_d.dense
+    assert ix_d.dense and not ix_s.dense
     for q in QUERIES + [["zz_unseen"]]:
         want = oracle.bm25_topk(texts, q, 10)
+        sparse_got = wand_topk(ix_s, q, 10, n_buckets=8).toPandas()
+        pd.testing.assert_frame_equal(
+            sparse_got.astype({"rank": "int64"}),
+            want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9, obj=f"sparse q={q}")
         got_ex = bm25_indexed(ix_d, q, 10).toPandas()
         pd.testing.assert_frame_equal(
             got_ex.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
@@ -303,3 +310,43 @@ def test_assign_ordinals_dense_at_sampling_scale(spark):
     assert sorted(pdf["ord"]) == list(range(20_000))
     by_ord = pdf.sort_values("ord")["doc_id"].to_numpy()
     assert (np.diff(by_ord) > 0).all()
+
+
+def test_sparse_reencode_clears_stale_docmap(corpus, spark, tmp_path):
+    """A sparse re-encode (e.g. resume with the default flag) over a
+    previously-dense index must remove the docmap and update the stats
+    flag — not leave readers translating raw ids as ordinals."""
+    import os
+
+    from pke_spark.index.build import docmap_path, postings_path
+
+    docs, texts = corpus
+    d = str(tmp_path / "ix_flagflip")
+    build_index(docs, d, n_parts=4, n_salts=4, dense_doc_ids=True,
+                hot_threshold=50, block_size=32)
+    assert IndexReader(spark, d).dense
+    build_index(docs, d, n_parts=4, n_salts=4, resume=True,
+                hot_threshold=50, block_size=32)  # default: sparse
+    assert not os.path.exists(docmap_path(postings_path(d)))
+    ix = IndexReader(spark, d)
+    assert not ix.dense
+    q = QUERIES[0]
+    got = wand_topk(ix, q, 10, n_buckets=8).toPandas()
+    want = oracle.bm25_topk(texts, q, 10)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+        check_exact=False, atol=1e-9)
+
+
+def test_lost_docmap_is_a_hard_error(corpus, spark, tmp_path):
+    """stats.dense cross-check: a dense index whose docmap was lost
+    (partial copy/restore) must refuse to serve, not return ordinals."""
+    from pke_spark.index.build import docmap_path, postings_path
+
+    docs, _ = corpus
+    d = str(tmp_path / "ix_lostmap")
+    build_index(docs, d, n_parts=4, n_salts=4, dense_doc_ids=True,
+                hot_threshold=50, block_size=32)
+    shutil.rmtree(docmap_path(postings_path(d)))
+    with pytest.raises(RuntimeError, match="refusing"):
+        IndexReader(spark, d).dense
