@@ -102,6 +102,13 @@ def main() -> None:
     p50 = statistics.median(lat)
     results["bm25_wand_p50"] = round(p50, 4)
 
+    # ---- headline 2b: the whole query set as ONE batched job ----
+    from pke_spark.index.wand import bm25_topk_batch
+    t0 = time.time()
+    bm25_topk_batch(ix, {f"q{i}": q for i, q in enumerate(BENCH_QUERIES)},
+                    10).count()
+    results["bm25_batch21"] = round(time.time() - t0, 3)
+
     # ---- per-query suite: EVERY queries() entry at sf_dir ----
     qs = entry.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()

@@ -315,3 +315,71 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
     if ix.dense:
         out = _translate_rows(ix, out)
     return ix.spark.createDataFrame(out or [], "rank int, doc_id long, score double")
+
+
+def bm25_topk_batch(ix: IndexReader, queries: dict[str, list[str]],
+                    k: int = 10, k1: float = K1, b: float = B) -> DataFrame:
+    """(query_id, rank, doc_id, score): exact BM25 top-k for EVERY
+    query in ONE Spark job.
+
+    The serving-scale path for evaluating a query SET (the reference
+    query set, a nightly eval of thousands of queries): the postings of
+    the union of all query terms are read and decoded once, a broadcast
+    (query_id, term) map fans the decoded postings out to their
+    queries, and one hash aggregation + per-query window produces every
+    ranking — amortizing scan, decode, and job-scheduling latency
+    across the whole batch instead of paying them per query. Queries
+    with no indexed terms simply yield no rows (same contract as the
+    empty single-query result).
+
+    Scores and tie-breaking are identical to bm25_indexed/wand_topk
+    (asserted in tests/test_index.py against both the oracle and the
+    per-query scorers).
+    """
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    dfs = {t: d for t, d in ix.term_dfs(all_terms).items() if d > 0}
+    pairs = [(qid, t) for qid, ts in sorted(queries.items())
+             for t in sorted(set(ts)) if t in dfs]
+    if not pairs:
+        return ix.spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double")
+    qt = F.broadcast(ix.spark.createDataFrame(
+        pairs, "query_id string, term string"))
+    stats = F.broadcast(ix.spark.createDataFrame(
+        sorted(dfs.items()), "term string, df long"))
+    post = ix.term_postings(sorted(dfs))
+
+    def _decode(pdf_iter):
+        for pdf in pdf_iter:
+            frames = []
+            for _, r in pdf.iterrows():
+                docs, tfs, dls = codec.decode_blocks(r["blocks"])
+                frames.append(pd.DataFrame(
+                    {"term": r["term"], "doc_id": docs,
+                     "tf": tfs, "dl": dls}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    tc = post.select("term", "blocks").mapInPandas(
+        _decode, "term string, doc_id long, tf long, dl long")
+    n, avgdl = float(ix.n_docs), float(ix.avgdl)
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (tc.join(stats, "term").join(qt, "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    ranked = (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+              .filter(F.col("rank") <= k)
+              .select("query_id", "rank", "doc_id", "score"))
+    if ix.dense:
+        # ONE docmap scan amortized over the whole batch (the per-query
+        # point read would be q separate driver lookups)
+        dm = ix.docmap()
+        ranked = (dm.join(F.broadcast(ranked.withColumnRenamed(
+            "doc_id", "ord")), "ord")
+            .select("query_id", "rank", "doc_id", "score"))
+    return ranked

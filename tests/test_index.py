@@ -350,3 +350,27 @@ def test_lost_docmap_is_a_hard_error(corpus, spark, tmp_path):
     shutil.rmtree(docmap_path(postings_path(d)))
     with pytest.raises(RuntimeError, match="refusing"):
         IndexReader(spark, d).dense
+
+
+@pytest.mark.parametrize("dense", [False, True])
+def test_batch_topk_matches_per_query(corpus, spark, index_dir,
+                                      dense_index_dir, dense):
+    """bm25_topk_batch (one job for the whole query set) must equal the
+    per-query scorers and the oracle for every query — including a
+    query with only unseen terms (zero rows)."""
+    from pke_spark.index.wand import bm25_topk_batch
+
+    _, texts = corpus
+    ix = IndexReader(spark, dense_index_dir if dense else index_dir)
+    qset = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    qset["q_miss"] = ["zz_total_miss"]
+    got = bm25_topk_batch(ix, qset, 10).toPandas()
+    assert "q_miss" not in set(got["query_id"])
+    for qid, q in qset.items():
+        sub = (got[got.query_id == qid]
+               .sort_values("rank")[["rank", "doc_id", "score"]]
+               .reset_index(drop=True))
+        want = oracle.bm25_topk(texts, q, 10)
+        pd.testing.assert_frame_equal(
+            sub.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9, obj=f"{qid} dense={dense}")
