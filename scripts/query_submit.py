@@ -4,6 +4,9 @@ Usage:
   spark-submit --py-files /tmp/pke_spark.zip scripts/query_submit.py \
       --index <index dir> --query "camelCaseIdent other terms" [--k 10] \
       [--mode wand|exhaustive]
+  # or a whole query set (one job for all of them):
+  spark-submit ... scripts/query_submit.py --index <dir> \
+      --query-file queries.txt [--k 10]   # one query per line
 """
 
 from __future__ import annotations
@@ -16,7 +19,11 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query")
+    g.add_argument("--query-file",
+                   help="text file, one query per line; the whole set "
+                        "runs as ONE batched Spark job")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["wand", "exhaustive"], default="wand")
     args = ap.parse_args()
@@ -25,11 +32,29 @@ def main() -> None:
     spark = SparkSession.builder.appName("pke_spark_query").getOrCreate()
 
     from pke_spark.index.build import IndexReader
-    from pke_spark.index.wand import bm25_indexed, wand_topk
+    from pke_spark.index.wand import bm25_indexed, bm25_topk_batch, wand_topk
     from pke_spark.tokenizer import tokenize_text
 
-    terms = tokenize_text(args.query)
     ix = IndexReader(spark, args.index)
+    if args.query_file:
+        with open(args.query_file) as f:
+            qset = {f"q{i}": tokenize_text(line)
+                    for i, line in enumerate(f) if line.strip()}
+        t0 = time.time()
+        rows = bm25_topk_batch(ix, qset, args.k).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append(
+                {"rank": r.rank, "doc_id": r.doc_id, "score": r.score})
+        print(json.dumps({
+            "queries": {qid: " ".join(ts) for qid, ts in qset.items()},
+            "mode": "batch",
+            "latency_sec": round(time.time() - t0, 4),
+            "results": {qid: sorted(v, key=lambda x: x["rank"])
+                        for qid, v in sorted(out.items())}}))
+        return
+
+    terms = tokenize_text(args.query)
     t0 = time.time()
     fn = wand_topk if args.mode == "wand" else bm25_indexed
     rows = fn(ix, terms, args.k).collect()
