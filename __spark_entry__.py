@@ -16,6 +16,7 @@ sys.path.insert(0, "/root/repo")
 
 import math  # noqa: E402
 
+from pke_spark import golden  # noqa: E402
 from pke_spark.ops import (core, dedup, events, grammar,  # noqa: E402
                            graph, keyphrase, similarity, stemmed,
                            supervised, textstats, topicrank, tpr, wingnus,
@@ -81,8 +82,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topicrank": lambda s, d: topicrank.topicrank_topk(_docs(s, d), 5),
         "multipartiterank": lambda s, d: topicrank.multipartiterank_topk(
             _docs(s, d), 5),
+        # serving path against the committed LDA artifact — the
+        # reference's own design (pke loads a pre-trained pickle,
+        # utils.py:309-327; it never trains in-query), and distributed
+        # EM-LDA training is float-sum-order nondeterministic, so only
+        # the serving path is golden-freezable. Training is exercised
+        # by tests/test_tpr.py and timed separately in bench.py.
         "topical_pagerank": lambda s, d: tpr.topical_pagerank_topk(
-            _docs(s, d), 5),
+            _docs(s, d), 5, model=tpr.load_tpr_cached(s)),
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
@@ -154,4 +161,12 @@ def oracle_sql() -> dict[str, str]:
         "yake_lite": yake.yake_lite_sql(5),
         "wingnus_features": wingnus.wingnus_features_sql(),
         "eval_prf": supervised.eval_prf_sql(5),
+        # Frozen-golden oracles for the 12 non-SQL-derivable queries
+        # (PageRank family, greedy dedup, NB/LDA models): sf0.01 outputs
+        # frozen after cross-parallelism determinism checks, served as
+        # VALUES literals. Regression oracles, not derivations — the
+        # independent derivations are the pytest mirrors (networkx
+        # parity, reference transcriptions, numpy-NB, ANN recall). See
+        # pke_spark/golden.py.
+        **golden.golden_oracles(),
     }

@@ -10,8 +10,7 @@ every operator has an oracle twin:
 
 Scale notes: exact dedup is a hash-groupBy (one shuffle, AQE-skew
 safe). MinHash-LSH is the scale path for near-dup: signatures are a
-groupBy over (doc, hash_i); candidate pairs come from ._cache import cache_latest
-from equi-joins on
+groupBy over (doc, hash_i); candidate pairs come from equi-joins on
 band keys (no cross join anywhere). SimHash emits one fingerprint per
 doc; banding on simhash prefixes gives near-dup candidates without a
 cross join. n-gram Jaccard is exact pairwise over shingle-share pairs

@@ -27,3 +27,29 @@ def test_tpr_differs_from_singlerank(spark, sf_dir):
     # personalization must matter somewhere (scores differ even where
     # candidates agree)
     assert (merged.score_tpr - merged.score_sr).abs().max() > 1e-9
+
+
+def test_tpr_model_roundtrip(spark, sf_dir, tmp_path):
+    """K2 round-trip: serve-from-disk == serve-from-memory (same model),
+    which is the determinism claim behind the committed fixture
+    (pke_spark/models/tpr_sf001) and the frozen golden."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40).cache()
+    model_dir = str(tmp_path / "tpr_model")
+    model = tpr.train_tpr(docs, model_dir=model_dir)
+    served_mem = tpr.topical_pagerank_topk(docs, 5, model=model).toPandas()
+    loaded = tpr.load_tpr(spark, model_dir)
+    served_disk = tpr.topical_pagerank_topk(docs, 5, model=loaded).toPandas()
+    key = ["doc_id", "rank"]
+    a = served_mem.sort_values(key).reset_index(drop=True)
+    b = served_disk.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_tpr_committed_fixture_loads(spark, sf_dir):
+    """The committed artifact (scripts/train_tpr_fixture.py) must load
+    and serve any corpus (OOV words fall back to min-W, as in
+    single_tpr.py:175-179)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).cache()
+    model = tpr.load_tpr_cached(spark)
+    got = tpr.topical_pagerank_topk(docs, 5, model=model).toPandas()
+    assert got.doc_id.nunique() == 10
