@@ -109,6 +109,25 @@ def main() -> None:
                     10).count()
     results["bm25_batch21"] = round(time.time() - t0, 3)
 
+    # ---- serving QPS: sustained 200-query load (VERDICT r2 item 8) --
+    # 200 distinct queries (the 21-query set + uniq-token variants);
+    # batch mode amortizes one Spark job over the set, sequential mode
+    # measures the long-lived reader + driver fast path per query
+    q200 = {f"s{i}": (BENCH_QUERIES[i % len(BENCH_QUERIES)]
+                      + [f"uniq", "tok", str(7 * i)])
+            for i in range(200)}
+    t0 = time.time()
+    bm25_topk_batch(ix, q200, 10).count()
+    dt = time.time() - t0
+    serving = {"batch200_sec": round(dt, 3),
+               "batch200_qps": round(200 / dt, 1)}
+    t0 = time.time()
+    for q in list(q200.values())[:50]:
+        wand_topk(ix, q, 10).collect()
+    dt = time.time() - t0
+    serving["sequential50_sec"] = round(dt, 3)
+    serving["sequential_qps"] = round(50 / dt, 1)
+
     # ---- per-query suite: EVERY queries() entry at sf_dir ----
     qs = entry.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -153,13 +172,17 @@ def main() -> None:
         "suite_n_docs": n_docs,
         "tpr_train_sec": tpr_train_sec,
         "tpr_serve_sec": results.get("topical_pagerank"),
+        "serving": serving,
         "model_throughput": model_tput,
         **dense_extras,
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks")
     for key, fname in (("scaling", "scaling.json"),
-                       ("scaling_cluster", "scaling_cluster.json")):
+                       ("scaling_cluster", "scaling_cluster.json"),
+                       ("membw_evidence", "membw_evidence.json"),
+                       ("phase_timing", "phase_timing.json"),
+                       ("capacity_2m", "capacity_2m.json")):
         path = os.path.join(bench_dir, fname)
         if os.path.exists(path):
             with open(path) as f:

