@@ -76,22 +76,127 @@ def incremental_index(stream_docs: DataFrame, index_dir: str,
 
 def refresh_postings(spark: SparkSession, index_dir: str, *,
                      n_salts: int = 8, hot_threshold: int | None = None,
-                     block_size: int | None = None) -> None:
-    """Rebuild postings/stats from all segments (batch + stream epochs
-    — the batch compaction after stream appends). Reuses phase B of the
-    batch builder; the swap is crash-safe via the POSTINGS_CURRENT
-    pointer flip (see index.build.postings_path)."""
+                     block_size: int | None = None,
+                     incremental: bool = False) -> None:
+    """Fold stream appends into the queryable index.
+
+    ``incremental=False``: full rebuild of postings/stats from all
+    segments (batch + stream epochs). O(corpus) — the right call after
+    massive churn or for dense-ordinal indexes.
+
+    ``incremental=True``: LSM fold — ONLY the not-yet-folded stream
+    epochs are run-encoded and their fragments APPENDED to the current
+    postings (old parquet files are immutable and hardlinked into the
+    new versioned dir, new fragment files written next to them, stats
+    updated from the epoch delta, then the crash-safe pointer swap).
+    O(new docs), not O(corpus): at 10^12-file scale a periodic refresh
+    must not re-encode the world. Valid because fragments are additive
+    postings rows (streamed docs are NEW doc_ids, so every (term, doc)
+    still lives in exactly one fragment) — the same invariant the batch
+    build rests on; ``compact()`` later merges fragment buildup. Folded
+    epochs are recorded in the manifest (phase='refresh_fold') so
+    repeated incremental refreshes skip them; sparse indexes only
+    (dense needs ordinal extension -> use a full refresh)."""
     from .index import codec
     from .index.build import encode_postings, swap_postings, write_stats
 
     if block_size is None:
         block_size = codec.BLOCK_SIZE
+    if incremental:
+        _incremental_fold(spark, index_dir, n_salts=n_salts,
+                          hot_threshold=hot_threshold,
+                          block_size=block_size)
+        return
     new_name = f"postings_{uuid.uuid4().hex[:12]}"
     n_docs, avgdl, hot_threshold = encode_postings(
         spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
         block_size=block_size, out_name=new_name)
     swap_postings(index_dir, new_name)
     write_stats(index_dir, n_docs, avgdl, hot_threshold, block_size)
+    # a full refresh consumes every epoch — record them as folded so a
+    # later incremental fold cannot double-count them
+    import os
+    stream_path = f"{index_dir}/segments_stream"
+    if os.path.exists(stream_path):
+        epochs = [int(d.split("=", 1)[1]) for d in os.listdir(stream_path)
+                  if d.startswith("epoch=")]
+        if epochs:
+            _append_manifest(spark, index_dir, [(
+                f"fold_{uuid.uuid4().hex[:8]}", "refresh_fold", int(e),
+                "done", 0, 0, 0, "", time.time()) for e in epochs])
+
+
+def _incremental_fold(spark: SparkSession, index_dir: str, *,
+                      n_salts: int, hot_threshold: int | None,
+                      block_size: int) -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .index.build import (POSTINGS_SCHEMA, _encode_runs, docmap_path,
+                              postings_path, read_manifest, swap_postings,
+                              write_stats)
+
+    cur = postings_path(index_dir)
+    if os.path.exists(docmap_path(cur)):
+        raise ValueError(
+            "incremental refresh supports sparse indexes only (dense "
+            "ordinal space cannot be extended in place) — run "
+            "refresh_postings(incremental=False)")
+    stream_path = f"{index_dir}/segments_stream"
+    if not os.path.exists(stream_path):
+        return
+    all_epochs = {int(d.split("=", 1)[1]) for d in os.listdir(stream_path)
+                  if d.startswith("epoch=")}
+    folded: set[int] = set()
+    if os.path.exists(f"{index_dir}/manifest"):
+        m = read_manifest(spark, index_dir)
+        folded = {int(r.part) for r in
+                  m.filter((m.phase == "refresh_fold")
+                           & (m.status == "done")).collect()}
+    todo = sorted(all_epochs - folded)
+    if not todo:
+        return
+
+    # run-encode ONLY the new epochs (same path as the batch build) and
+    # write their fragments into the new versioned postings dir
+    tc = (spark.read.parquet(stream_path)
+          .filter(F.col("epoch").isin([int(e) for e in todo]))
+          .select("doc_id", "term", "tf", "dl"))
+    new_name = f"postings_{uuid.uuid4().hex[:12]}"
+    new_dir = f"{index_dir}/{new_name}"
+    runs = tc.mapInArrow(lambda it: _encode_runs(it, block_size, None),
+                         POSTINGS_SCHEMA)
+    frag_key = F.xxhash64("term", F.element_at("blocks", 1)["first_doc"])
+    (runs.withColumn("shard", F.pmod(frag_key, F.lit(n_salts)).cast("int"))
+     .repartition("term", "shard")
+     .write.mode("overwrite").parquet(new_dir))
+    # adopt the immutable current postings files (hardlink, O(files));
+    # uuid part-file names cannot collide across writes
+    for f in os.listdir(cur):
+        if not f.endswith(".parquet"):
+            continue
+        try:
+            os.link(os.path.join(cur, f), os.path.join(new_dir, f))
+        except OSError:
+            shutil.copy2(os.path.join(cur, f), os.path.join(new_dir, f))
+
+    # stats from the old row + the epoch DELTA (one small agg over the
+    # new epochs, never the whole corpus)
+    st = spark.read.parquet(f"{index_dir}/stats").first()
+    d = (tc.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+         .agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first())
+    n_new, sum_new = int(d["n"] or 0), int(d["s"] or 0)
+    n_docs = int(st.n_docs) + n_new
+    avgdl = ((float(st.avgdl) * int(st.n_docs)) + sum_new) / max(n_docs, 1)
+    if hot_threshold is None:
+        hot_threshold = max(2 * block_size, n_docs // max(n_salts, 1))
+    _append_manifest(spark, index_dir, [(
+        f"fold_{uuid.uuid4().hex[:8]}", "refresh_fold", int(e), "done",
+        n_new, 0, 0, "", time.time()) for e in todo])
+    swap_postings(index_dir, new_name)
+    write_stats(index_dir, n_docs, avgdl, int(hot_threshold), block_size)
 
 
 def windowed_event_counts(stream_events: DataFrame,

@@ -104,6 +104,22 @@ def main() -> None:
         f"refresh lost docs: {ix2.n_docs} != {n_docs + n_stream}"
     out["refresh_n_docs_ok"] = True
 
+    # ---- LSM incremental fold: O(new docs), not O(corpus) ----
+    extra2 = (with_doc_ids(synth_corpus(spark, n_stream, partitions=32))
+              .select(F.xxhash64("repo", "path", "commit", F.lit("v3"))
+                      .alias("doc_id"),
+                      F.col("content").alias("text")))
+    append_batch(extra2, ix_dir, epoch_id=2, n_parts=64)
+    t0 = time.time()
+    refresh_postings(spark, ix_dir, incremental=True)
+    out["incremental_fold_sec"] = round(time.time() - t0, 2)
+    ix3 = IndexReader(spark, ix_dir)
+    assert ix3.n_docs == n_docs + 2 * n_stream, \
+        f"fold lost docs: {ix3.n_docs}"
+    p50_fold, _ = wand_suite(spark, ix_dir)
+    out["wand_p50_postfold"] = round(p50_fold, 4)
+    out["incremental_fold_n_docs_ok"] = True
+
     path = "/root/repo/benchmarks/capacity_2m.json"
     json.dump(out, open(path, "w"), indent=2)
     print(json.dumps(out))

@@ -160,3 +160,83 @@ def test_stream_refresh_preserves_dense_encoding(spark, tmp_path):
             pd.testing.assert_frame_equal(
                 got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
                 check_exact=False, atol=1e-9)
+
+
+@pytest.mark.timeout(300)
+def test_incremental_fold_equals_batch_build(spark, tmp_path):
+    """LSM incremental refresh: fold ONLY new epochs as appended
+    fragments; decoded postings + stats must equal a single-shot build,
+    and a second fold must skip already-folded epochs (manifest)."""
+    c = with_doc_ids(synth_corpus(spark, 150, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    part_a = docs.filter("pmod(doc_id, 3) = 0")
+    part_b = docs.filter("pmod(doc_id, 3) = 1")
+    part_c = docs.filter("pmod(doc_id, 3) = 2")
+
+    ix_dir = str(tmp_path / "ix_fold")
+    build_index(part_a, ix_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+
+    streaming.append_batch(part_b, ix_dir, epoch_id=0, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32, incremental=True)
+    # second epoch + second fold: epoch 0 must be skipped (else its
+    # postings would double)
+    streaming.append_batch(part_c, ix_dir, epoch_id=1, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32, incremental=True)
+
+    ref_dir = str(tmp_path / "ix_batch_fold")
+    build_index(docs, ref_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
+                                  _decoded(spark, ref_dir))
+
+    # stats delta-update must match the from-scratch stats -> identical
+    # BM25 scores
+    ia, ib = IndexReader(spark, ix_dir), IndexReader(spark, ref_dir)
+    assert ia.n_docs == ib.n_docs
+    assert abs(ia.avgdl - ib.avgdl) < 1e-9
+    pdf = docs.toPandas()
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    got = wand_topk(ia, ["build", "index"], 10, n_buckets=8).toPandas()
+    want = oracle.bm25_topk(texts, ["build", "index"], 10)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+        check_exact=False, atol=1e-9)
+
+    # a third fold with nothing new is a no-op (no crash, same index)
+    before = _decoded(spark, ix_dir)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32, incremental=True)
+    pd.testing.assert_frame_equal(before, _decoded(spark, ix_dir))
+
+
+@pytest.mark.timeout(300)
+def test_full_refresh_then_incremental_fold(spark, tmp_path):
+    """Mixed lifecycle: a FULL refresh marks its epochs folded, so a
+    later incremental fold must only pick up genuinely new epochs
+    (double-count regression)."""
+    c = with_doc_ids(synth_corpus(spark, 150, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    part_a = docs.filter("pmod(doc_id, 3) = 0")
+    part_b = docs.filter("pmod(doc_id, 3) = 1")
+    part_c = docs.filter("pmod(doc_id, 3) = 2")
+
+    ix_dir = str(tmp_path / "ix_mixed")
+    build_index(part_a, ix_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    streaming.append_batch(part_b, ix_dir, epoch_id=0, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32)  # FULL
+    streaming.append_batch(part_c, ix_dir, epoch_id=1, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32, incremental=True)
+
+    ref_dir = str(tmp_path / "ix_batch_mixed")
+    build_index(docs, ref_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
+                                  _decoded(spark, ref_dir))
+    assert IndexReader(spark, ix_dir).n_docs == \
+        IndexReader(spark, ref_dir).n_docs
