@@ -127,6 +127,14 @@ def main() -> None:
     dt = time.time() - t0
     serving["sequential50_sec"] = round(dt, 3)
     serving["sequential_qps"] = round(50 / dt, 1)
+    # serving-native path: no DataFrame round-trip per query
+    from pke_spark.index.wand import search as ix_search
+    t0 = time.time()
+    for q in q200.values():
+        ix_search(ix, q, 10)
+    dt = time.time() - t0
+    serving["native200_sec"] = round(dt, 3)
+    serving["native_qps"] = round(200 / dt, 1)
 
     # ---- per-query suite: EVERY queries() entry at sf_dir ----
     qs = entry.queries()

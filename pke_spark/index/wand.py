@@ -125,8 +125,9 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
 DRIVER_FASTPATH_MAX_DF = 200_000
 
 
-def _driver_topk(ix: IndexReader, terms: list[str], k: int,
-                 k1: float, b: float) -> DataFrame:
+def _driver_rows(ix: IndexReader, terms: list[str], k: int,
+                 k1: float, b: float) -> list[tuple]:
+    """Driver fast path core: (rank, doc_id, score) tuples."""
     import duckdb
     inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     rows = duckdb.connect().execute(
@@ -156,8 +157,35 @@ def _driver_topk(ix: IndexReader, terms: list[str], k: int,
            for i, j in enumerate(order)]
     if ix.dense:
         out = _translate_rows(ix, out)
+    return out
+
+
+def _driver_topk(ix: IndexReader, terms: list[str], k: int,
+                 k1: float, b: float) -> DataFrame:
+    out = _driver_rows(ix, terms, k, k1, b)
     return ix.spark.createDataFrame(out or [],
                                     "rank int, doc_id long, score double")
+
+
+def search(ix: IndexReader, query_terms: list[str], k: int = 10,
+           k1: float = K1, b: float = B) -> list[tuple[int, int, float]]:
+    """Serving-native top-k: plain (rank, doc_id, score) tuples with NO
+    DataFrame round-trip. Dictionary-bounded queries score entirely on
+    the driver (term-pruned parquet point read + numpy — the
+    coordinator short-query path); hot queries fall back to the
+    distributed block-max scorer and collect its <= k rows. Identical
+    scores/tie-breaking to wand_topk (shared implementation) — this is
+    the sustained-QPS serving surface, wand_topk the DataFrame one."""
+    terms = sorted(set(query_terms))
+    term_df = ix.term_dfs(terms)
+    if not term_df:
+        return []
+    if sum(term_df.values()) <= DRIVER_FASTPATH_MAX_DF:
+        rows = _driver_rows(ix, sorted(term_df), k, k1, b)
+        return [(r, int(d), float(s)) for r, d, s in rows]
+    df = wand_topk(ix, query_terms, k, k1, b, driver_fastpath=False)
+    return [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+            for r in df.collect()]
 
 
 def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,

@@ -109,6 +109,141 @@ def load_tpr(spark, model_dir: str):
             LocalLDAModel.load(f"{model_dir}/lda"))
 
 
+# ------------------------------------------------------------------
+# pke pickled-LDA artifact interop (pke/utils.py:309-327): the artifact
+# is gzip(pickle((dictionary, components_, exp_dirichlet_component_,
+# doc_topic_prior_))) — a plain tuple of a vocab list + numpy arrays,
+# NO sklearn objects, so it loads and saves with numpy alone.
+# ------------------------------------------------------------------
+
+def load_lda_pickle(path: str):
+    """Byte-format parity with pke's ``load_lda_model``
+    (pke/utils.py:309-327). Returns (dictionary, components,
+    exp_dirichlet_component, doc_topic_prior)."""
+    import gzip
+    import pickle
+    with gzip.open(path, "rb") as f:
+        dictionary, components, exp_dc, prior = pickle.load(f)
+    return list(dictionary), np.asarray(components), \
+        np.asarray(exp_dc), float(prior)
+
+
+def save_lda_pickle(path: str, dictionary, components,
+                    exp_dirichlet_component, doc_topic_prior) -> None:
+    """Write the same gzip-pickle tuple pke's ``compute_lda_model``
+    produces — a pke install can load an engine-exported model."""
+    import gzip
+    import pickle
+    with gzip.open(path, "wb") as f:
+        pickle.dump((list(dictionary), np.asarray(components),
+                     np.asarray(exp_dirichlet_component),
+                     float(doc_topic_prior)), f)
+
+
+def _digamma(x: np.ndarray) -> np.ndarray:
+    """Vectorized digamma (no scipy in this environment): recurrence
+    psi(x) = psi(x+1) - 1/x up to x >= 10, then the standard asymptotic
+    series ln x - 1/2x - 1/12x^2 + 1/120x^4 - 1/252x^6."""
+    x = np.asarray(x, np.float64).copy()
+    res = np.zeros_like(x)
+    while True:
+        m = x < 10.0
+        if not m.any():
+            break
+        res[m] -= 1.0 / x[m]
+        x[m] += 1.0
+    inv2 = 1.0 / (x * x)
+    return (res + np.log(x) - 0.5 / x
+            - inv2 * (1.0 / 12 - inv2 * (1.0 / 120 - inv2 *
+                      (1.0 / 252 - inv2 * (1.0 / 240 - inv2 / 132)))))
+
+
+class _PkeLda:
+    """Adapter giving a pke pickled LDA the two methods the serving
+    path uses: ``topicsMatrix()`` (vocab x k) and ``transform`` (adds
+    ``topicDistribution``). Doc-topic inference is sklearn's mean-field
+    variational update (LatentDirichletAllocation._update_doc_
+    distribution, public algorithm) with a DETERMINISTIC ones-init
+    instead of sklearn's seeded-random gamma init — fixed points agree
+    for ordinary corpora but bit-parity with sklearn.transform is not
+    claimed."""
+
+    MAX_ITER = 100
+    TOL = 1e-3
+
+    def __init__(self, vocab: list[str], components: np.ndarray,
+                 exp_dc: np.ndarray, prior: float):
+        self.vocab = list(vocab)
+        self.components = np.asarray(components, np.float64)  # k x vocab
+        self.exp_dc = np.asarray(exp_dc, np.float64)
+        self.prior = float(prior)
+
+    def topicsMatrix(self):
+        class _M:
+            def __init__(self, a):
+                self._a = a
+
+            def toArray(self):
+                return self._a
+        return _M(self.components.T.copy())  # vocab x k
+
+    def transform(self, tfdf):
+        import pandas as pd
+        from collections import Counter
+
+        psi = _digamma
+        exp_dc = self.exp_dc
+        alpha = self.prior
+        k = exp_dc.shape[0]
+        max_iter, tol = self.MAX_ITER, self.TOL
+        # VectorUDT columns do not cross the Arrow boundary; infer from
+        # the words column with the artifact vocabulary instead
+        word_id = {w: i for i, w in enumerate(self.vocab)}
+
+        def infer(pdf_iter):
+            for pdf in pdf_iter:
+                out = []
+                for words in pdf["words"]:
+                    counts = Counter(w for w in words if w in word_id)
+                    ids = np.fromiter((word_id[w] for w in counts),
+                                      np.int64, len(counts))
+                    cts = np.fromiter(counts.values(), np.float64,
+                                      len(counts))
+                    if len(ids) == 0:
+                        out.append([1.0 / k] * k)
+                        continue
+                    beta = exp_dc[:, ids]  # k x nnz
+                    gamma = np.full(k, alpha + cts.sum() / k)
+                    exp_doc = np.exp(psi(gamma) - psi(gamma.sum()))
+                    for _ in range(max_iter):
+                        norm = exp_doc @ beta + 1e-100
+                        new_gamma = alpha + exp_doc * \
+                            ((cts / norm) @ beta.T)
+                        if np.abs(new_gamma - gamma).mean() < tol:
+                            gamma = new_gamma
+                            break
+                        gamma = new_gamma
+                        exp_doc = np.exp(psi(gamma) - psi(gamma.sum()))
+                    out.append((gamma / gamma.sum()).tolist())
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "topicDistribution": out})
+
+        dist = tfdf.select("doc_id", "words").mapInPandas(
+            infer, "doc_id long, topicDistribution array<double>")
+        return tfdf.join(dist, "doc_id")
+
+
+def load_tpr_pke(spark, pickle_path: str):
+    """pke-artifact serving: (CountVectorizerModel built from the
+    artifact's vocabulary, mean-field LDA adapter) — usable anywhere
+    ``topical_pagerank_topk(docs, model=...)`` takes a model pair."""
+    from pyspark.ml.feature import CountVectorizerModel
+    dictionary, components, exp_dc, prior = load_lda_pickle(pickle_path)
+    cvm = CountVectorizerModel.from_vocabulary(
+        dictionary, inputCol="words", outputCol="tf")
+    return cvm, _PkeLda(dictionary, components, exp_dc, prior)
+
+
 def topical_pagerank_topk(docs: DataFrame, k: int = 5,
                           n_topics: int = N_TOPICS,
                           stoplist: tuple[str, ...] = TEXT_STOPWORDS,
@@ -129,9 +264,13 @@ def topical_pagerank_topk(docs: DataFrame, k: int = 5,
     wt_bc = docs.sparkSession.sparkContext.broadcast(
         {w: tm[i, :].copy() for i, w in enumerate(vocab)})
 
-    docdist = (lda_model.transform(tfdf)
-               .select("doc_id",
-                       vector_to_array("topicDistribution").alias("doc_topics")))
+    transformed = lda_model.transform(tfdf)
+    td_type = dict(transformed.dtypes)["topicDistribution"]
+    # Spark-ML models emit a Vector; the pke-artifact adapter emits a
+    # plain array<double> already
+    td_col = (F.col("topicDistribution") if td_type.startswith("array")
+              else vector_to_array("topicDistribution"))
+    docdist = transformed.select("doc_id", td_col.alias("doc_topics"))
     toks = tokens_exploded(docs).join(docdist, "doc_id")
 
     def score_doc(pdf: pd.DataFrame) -> pd.DataFrame:

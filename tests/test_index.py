@@ -374,3 +374,32 @@ def test_batch_topk_matches_per_query(corpus, spark, index_dir,
         pd.testing.assert_frame_equal(
             sub.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
             check_exact=False, atol=1e-9, obj=f"{qid} dense={dense}")
+
+
+def test_search_native_equals_wand(corpus, spark, index_dir):
+    """The serving-native search() (no DataFrame round-trip) must equal
+    wand_topk on every query shape: dictionary-bounded (driver path),
+    hot (distributed fallback via the forced small fastpath budget),
+    and a miss (empty)."""
+    from pke_spark.index import wand as W
+    _, texts = corpus
+    ix = IndexReader(spark, index_dir)
+    for q in QUERIES:
+        # NB: iterrows() would upcast int64 doc_ids to float64 and
+        # corrupt low bits — collect Rows instead
+        want = [(int(r.rank), int(r.doc_id), float(r.score))
+                for r in wand_topk(ix, q, 10, n_buckets=8).collect()]
+        got = W.search(ix, q, 10)
+        assert got == want, q
+    # force the distributed fallback branch
+    old = W.DRIVER_FASTPATH_MAX_DF
+    W.DRIVER_FASTPATH_MAX_DF = 0
+    try:
+        q = QUERIES[0]
+        want = [(int(r.rank), int(r.doc_id), float(r.score))
+                for r in wand_topk(ix, q, 10, n_buckets=8,
+                                   driver_fastpath=False).collect()]
+        assert W.search(ix, q, 10) == want
+    finally:
+        W.DRIVER_FASTPATH_MAX_DF = old
+    assert W.search(ix, ["zzqqnosuchterm"], 10) == []

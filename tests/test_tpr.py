@@ -53,3 +53,39 @@ def test_tpr_committed_fixture_loads(spark, sf_dir):
     model = tpr.load_tpr_cached(spark)
     got = tpr.topical_pagerank_topk(docs, 5, model=model).toPandas()
     assert got.doc_id.nunique() == 10
+
+
+def test_pke_lda_pickle_interop(spark, sf_dir, tmp_path):
+    """pke artifact interop (utils.py:309-327): save/load the exact
+    gzip-pickle tuple format, then serve topical_pagerank from it
+    (mean-field inference adapter), deterministically."""
+    import gzip
+    import pickle
+
+    import numpy as np
+
+    rng_vocab = ["build", "index", "merge", "token", "query", "score",
+                 "shard", "block", "delta", "posting"]
+    k, v = 4, len(rng_vocab)
+    # deterministic synthetic sklearn-LDA state (components_ > 0)
+    comp = 1.0 + (np.arange(k * v, dtype=np.float64).reshape(k, v) % 7)
+    exp_dc = np.exp(np.log(comp) - np.log(comp.sum(axis=1))[:, None])
+    path = str(tmp_path / "lda.pickle.gz")
+    tpr.save_lda_pickle(path, rng_vocab, comp, exp_dc, 1.0 / k)
+
+    # byte-format parity: a plain pickle.load sees pke's 4-tuple
+    with gzip.open(path, "rb") as f:
+        tup = pickle.load(f)
+    assert len(tup) == 4 and list(tup[0]) == rng_vocab
+
+    d, c2, e2, p2 = tpr.load_lda_pickle(path)
+    assert d == rng_vocab and np.allclose(c2, comp) and p2 == 1.0 / k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12).cache()
+    model = tpr.load_tpr_pke(spark, path)
+    a = tpr.topical_pagerank_topk(docs, 5, model=model).toPandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert a.doc_id.nunique() == 12
+    b = tpr.topical_pagerank_topk(docs, 5, model=model).toPandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)  # deterministic inference
