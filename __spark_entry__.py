@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), 5, model=tpr.load_tpr_cached(s)),
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.ann_cosine_topk(
@@ -101,6 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_lsh": lambda s, d: similarity.embedding_dup_pairs_lsh(
             _emb(s, d), 0.45),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(
+            _emb(s, d), ANN_QUERY_VEC, 10),
+        # IVF: deterministic spherical-kmeans coarse quantizer + probed
+        # exact rerank (rows-only -> frozen golden; recall vs brute
+        # force asserted in tests/test_similarity_lsh.py)
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(
             _emb(s, d), ANN_QUERY_VEC, 10),
         "events_windowed": lambda s, d: events.events_windowed(_events(s, d)),
         "events_sessionized": lambda s, d: events.events_sessionized(
@@ -143,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "kpminer": keyphrase.kpminer_sql(5),
         "bigrams": keyphrase.bigrams_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
+        "dedup_clusters": dedup.dedup_clusters_sql(),
         "minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),

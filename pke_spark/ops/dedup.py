@@ -256,3 +256,68 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}"""
+
+
+def dedup_clusters(docs: DataFrame, n_hashes: int = N_MINHASH,
+                   n_bands: int = N_BANDS,
+                   max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id): connected-component canonicalization of
+    the MinHash-LSH near-dup graph — the step a training-data pipeline
+    actually needs (pairs alone don't say which doc to keep). Cluster
+    id = the minimum doc_id reachable through near-dup edges;
+    singletons are their own cluster.
+
+    Distributed shape: min-label propagation — each round every node
+    takes the min label over itself and its neighbors, a broadcast-free
+    equi-join + groupBy per round, converging in O(diameter) rounds
+    (near-dup components are shallow: transitively-similar doc groups).
+    The driver loop only checks a one-row convergence count per round;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1.
+    """
+    pairs = minhash_lsh_pairs(docs, n_hashes, n_bands)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+    labels = docs.select("doc_id",
+                         F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels,
+                            edges.dst == labels.doc_id)
+                 .groupBy("src").agg(F.min("cluster_id").alias("nmin")))
+        new_labels = (labels.join(neigh, labels.doc_id == neigh.src,
+                                  "left")
+                      .select(labels.doc_id,
+                              F.least(labels.cluster_id,
+                                      F.coalesce(F.col("nmin"),
+                                                 labels.cluster_id))
+                              .alias("cluster_id"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")
+
+
+def dedup_clusters_sql(n_hashes: int = N_MINHASH,
+                       n_bands: int = N_BANDS) -> str:
+    """DuckDB twin: symmetric transitive closure via a recursive CTE,
+    cluster = min(reachable ids + own id)."""
+    pairs = minhash_lsh_pairs_sql(n_hashes, n_bands)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY src)
+SELECT d.doc_id,
+       least(coalesce(c.m, d.doc_id), d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)"""

@@ -355,3 +355,89 @@ def ann_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int")) \
               .select("rank", "vec_id", "cos")
+
+
+# --------------------------------------------------------- IVF ANN
+# Coarse-quantizer ANN (the brief's "IVF variant as the scale path"):
+# k-means centroids over a deterministic sample partition the vector
+# space; each vector lands in ONE inverted list (its nearest centroid),
+# queries probe the nprobe nearest lists and exact-rerank only those.
+# At 100 TB the assignment is a single broadcast-matmul map pass, the
+# probe is a partition-pruned read of nprobe lists (vs LSH's union of
+# per-table buckets), and centroids retrain offline. Deterministic end
+# to end: the sample is the n_sample lowest vec_ids, init is the first
+# n_centroids sample vectors, Lloyd iterations are fixed.
+
+IVF_CENTROIDS = 16
+IVF_ITERS = 10
+IVF_SAMPLE = 256
+IVF_NPROBE = 4
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
+                  n_iters: int = IVF_ITERS,
+                  n_sample: int = IVF_SAMPLE) -> np.ndarray:
+    """Deterministic Lloyd k-means (cosine/normalized: spherical
+    k-means) on the n_sample lowest vec_ids. Returns (k, dim) unit
+    centroids."""
+    sample = (_emb_double(emb).select("vec_id", "emb")
+              .orderBy("vec_id").limit(n_sample).collect())
+    x = np.asarray([r.emb for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:n_centroids].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, list_id, emb): nearest-centroid inverted-list
+    assignment — one broadcast matmul per Arrow batch, no shuffle."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    c_bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(pdf_iter):
+        c = c_bc.value
+        for pdf in pdf_iter:
+            x = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+            n = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            lid = np.argmax((x / n) @ c.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "list_id": lid,
+                                "emb": pdf["emb"]})
+
+    return (_emb_double(emb).select("vec_id", "emb")
+            .mapInPandas(assign,
+                         "vec_id long, list_id int, emb array<double>"))
+
+
+def ann_ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_centroids: int = IVF_CENTROIDS,
+                 nprobe: int = IVF_NPROBE,
+                 assigned: DataFrame | None = None,
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF cosine top-k: probe the nprobe nearest inverted lists, exact
+    rerank inside them. Pass a persisted ``assigned`` table (+ its
+    ``centroids``) for serving; omitted, both are computed inline."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids)
+    if assigned is None:
+        assigned = ivf_assign(emb, centroids)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    probes = np.argsort(-(centroids @ (qv / max(qn, 1e-12))))[:nprobe]
+    cands = assigned.filter(F.col("list_id").isin([int(p) for p in probes]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(_dot(F.col("emb"), q) / (_norm(F.col("emb")) * F.lit(qn)), 6)
+    scored = cands.select("vec_id", cos.alias("cos"))
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
+              .select("rank", "vec_id", "cos")

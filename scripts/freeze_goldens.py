@@ -39,7 +39,8 @@ sys.path.insert(0, "/root/repo")
 ROWS_ONLY = [
     "textrank", "textrank_toppct", "singlerank", "positionrank",
     "kpminer_dedup", "topicrank", "multipartiterank", "topical_pagerank",
-    "ann_lsh_topk", "yake_full", "kea_predict", "wingnus_predict",
+    "ann_lsh_topk", "ann_ivf_topk", "yake_full", "kea_predict",
+    "wingnus_predict",
 ]
 SF_DIR = "/root/testdata/sf0.01"
 GOLDEN_DIR = "/root/repo/tests/golden"

@@ -50,3 +50,32 @@ def test_guard_matches_sql_twin(spark, tmp_path):
     got = {(r.doc_a, r.doc_b, r.est_jaccard)
            for r in dedup.minhash_lsh_pairs(docs, max_group=4).collect()}
     assert got == want
+
+
+def test_dedup_clusters_equals_union_find(spark, sf_dir):
+    """Connected components (min-label propagation) vs an independent
+    driver-side union-find over the same LSH pairs."""
+    from pke_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs:
+        union(int(r.doc_a), int(r.doc_b))
+    want = {int(r.doc_id): find(int(r.doc_id))
+            for r in docs.select("doc_id").collect()}
+    got = {int(r.doc_id): int(r.cluster_id)
+           for r in dedup.dedup_clusters(docs).collect()}
+    assert got == want

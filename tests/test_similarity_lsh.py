@@ -96,3 +96,26 @@ def test_persisted_sketch_table_serving_path(spark, emb, tmp_path):
     a = similarity.ann_lsh_topk(emb, qv, 10).toPandas()
     b = similarity.ann_lsh_topk(emb, qv, 10, sketches=persisted).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_ivf_recall_and_determinism(spark, sf_dir):
+    """IVF probe recall vs exact brute-force top-k, plus determinism
+    across two full runs (frozen-golden prerequisite)."""
+    from pke_spark.ops import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    import math
+    q = [round(math.sin(i * 0.7 + 0.3), 6) for i in range(64)]
+    exact = {int(r.vec_id) for r in
+             sim.ann_cosine_topk(emb, q, 10).collect()}
+    a = sim.ann_ivf_topk(emb, q, 10).collect()
+    b = sim.ann_ivf_topk(emb, q, 10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    got = {int(r.vec_id) for r in a}
+    recall = len(got & exact) / 10
+    assert recall >= 0.5, recall
+    # serving split: persisted assignment table gives identical results
+    cents = sim.ivf_centroids(emb)
+    assigned = sim.ivf_assign(emb, cents).cache()
+    c = sim.ann_ivf_topk(emb, q, 10, assigned=assigned, centroids=cents)
+    assert [tuple(r) for r in c.collect()] == [tuple(r) for r in a]
