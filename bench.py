@@ -187,6 +187,7 @@ def main() -> None:
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks")
     for key, fname in (("scaling", "scaling.json"),
+                       ("scaling_direct", "scaling_direct.json"),
                        ("scaling_cluster", "scaling_cluster.json"),
                        ("membw_evidence", "membw_evidence.json"),
                        ("phase_timing", "phase_timing.json"),

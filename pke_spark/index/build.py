@@ -522,6 +522,78 @@ def build_index(docs: DataFrame, index_dir: str, *,
         _dir_bytes(postings_path(index_dir)), input_snapshot, time.time())])
 
 
+def build_index_direct(docs: DataFrame, index_dir: str, *,
+                       n_docs: int | None = None,
+                       n_salts: int = 8,
+                       hot_threshold: int | None = None,
+                       block_size: int = codec.BLOCK_SIZE,
+                       input_snapshot: str = "",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """ONE-PASS ephemeral build: tokenize -> per-doc count -> chunk
+    sort -> run encode COMPOSED inside a single mapInArrow (generator
+    pipeline, one python-worker crossing), then the fragment-salted
+    shuffle and the postings write. No segments, no staging: the
+    fragments ARE the durable state (Lucene does not persist its raw
+    token stream either), which removes two full materializations of
+    the token table from the critical path.
+
+    Trade-offs vs ``build_index`` (its segments are the checkpoint):
+    no per-partition resume, no FULL streaming refresh (incremental
+    fold still works — it only encodes new epochs), sparse doc_ids
+    only. Stats stay exact: n_docs from the caller or a count over the
+    input (parquet sources answer from footers), total tokens =
+    sum(cf) over fragment METADATA (every posting's tf counted exactly
+    once because fragments partition the postings).
+    """
+    spark = docs.sparkSession
+    build_id = uuid.uuid4().hex[:12]
+    import shutil
+    cur = f"{index_dir}/POSTINGS_CURRENT"
+    if os.path.exists(cur):
+        with open(cur) as f:
+            prev = f.read().strip()
+        os.remove(cur)
+        shutil.rmtree(f"{index_dir}/{prev}", ignore_errors=True)
+        shutil.rmtree(docmap_path(f"{index_dir}/{prev}"), ignore_errors=True)
+    shutil.rmtree(docmap_path(f"{index_dir}/postings"), ignore_errors=True)
+
+    prepared = docs.select(F.lit(0).alias("part"),
+                           F.col(id_col).alias("doc_id"),
+                           F.col(text_col).alias("text"))
+
+    def pipe(batch_iter):
+        return _encode_runs(_fused_count_batches(batch_iter), block_size)
+
+    runs = prepared.mapInArrow(pipe, POSTINGS_SCHEMA)
+    frag_key = F.xxhash64("term", F.element_at("blocks", 1)["first_doc"])
+    salted = runs.withColumn(
+        "shard", F.pmod(frag_key, F.lit(n_salts)).cast("int"))
+    (salted.repartition("term", "shard")
+     .write.mode("overwrite").parquet(f"{index_dir}/postings"))
+
+    if n_docs is None:
+        n_docs = docs.count()
+    # exact avgdl from fragment metadata (vocab-scale driver read)
+    import duckdb
+    total_tf = duckdb.connect().execute(
+        f"SELECT coalesce(sum(cf), 0) FROM "
+        f"read_parquet('{index_dir}/postings/*.parquet')").fetchone()[0] \
+        if _dir_bytes(f"{index_dir}/postings") <= DRIVER_STATS_MAX_BYTES \
+        else spark.read.parquet(f"{index_dir}/postings")
+    if not isinstance(total_tf, (int, float)):
+        total_tf = int(total_tf.agg(F.sum("cf")).first()[0] or 0)
+    avgdl = float(total_tf) / n_docs if n_docs else 0.0
+    if hot_threshold is None:
+        hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
+    write_stats(index_dir, int(n_docs), avgdl, int(hot_threshold),
+                block_size)
+    _append_manifest(spark, index_dir, [(
+        build_id, "postings_direct", -1, "done", int(n_docs),
+        _postings_term_count(index_dir),
+        _dir_bytes(f"{index_dir}/postings"), input_snapshot, time.time())])
+
+
 def _assign_ordinals(doc_ids: DataFrame, n_ranges: int | None = None
                      ) -> tuple[DataFrame, DataFrame]:
     """(doc_id) -> (ord, doc_id): dense 0..n-1 ordinals in global
@@ -688,6 +760,12 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
     seg_path = f"{index_dir}/segments"
     stream_path = f"{index_dir}/segments_stream"
     has_stream = os.path.exists(stream_path)
+    if not os.path.isdir(seg_path):
+        raise FileNotFoundError(
+            f"{seg_path} missing — this index was built with "
+            "build_index_direct (no segment checkpoint): use "
+            "refresh_postings(incremental=True) for stream appends, or "
+            "rebuild with build_index for a refreshable index")
     tc = spark.read.parquet(seg_path).select("doc_id", "term", "tf", "dl")
     if has_stream:
         tc = tc.unionByName(spark.read.parquet(stream_path)

@@ -40,6 +40,11 @@ def main() -> None:
                          "ordinals (ordinals are the production default: "
                          "~3x smaller postings at identical results)")
     ap.add_argument("--input-snapshot", default="")
+    ap.add_argument("--direct", action="store_true",
+                    help="single-pass ephemeral build (build_index_direct): "
+                         "no segment checkpoint, sparse ids, no resume/"
+                         "full-refresh — the fastest-and-best-scaling path "
+                         "for immutable corpora")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,11 +73,17 @@ def main() -> None:
         id_col, text_col = args.id_col, args.text_col
 
     t0 = time.time()
-    build_index(docs, args.output, n_parts=args.n_parts,
-                n_salts=args.n_salts, parts_per_job=args.parts_per_job,
-                dense_doc_ids=not args.sparse_ids,
-                resume=args.resume, input_snapshot=snapshot,
-                id_col=id_col, text_col=text_col)
+    if args.direct:
+        from pke_spark.index.build import build_index_direct
+        build_index_direct(docs, args.output, n_salts=args.n_salts,
+                           input_snapshot=snapshot,
+                           id_col=id_col, text_col=text_col)
+    else:
+        build_index(docs, args.output, n_parts=args.n_parts,
+                    n_salts=args.n_salts, parts_per_job=args.parts_per_job,
+                    dense_doc_ids=not args.sparse_ids,
+                    resume=args.resume, input_snapshot=snapshot,
+                    id_col=id_col, text_col=text_col)
     print(f"index built at {args.output} in {time.time() - t0:.1f}s",
           file=sys.stderr)
 

@@ -79,8 +79,16 @@ t0 = time.time()
 # job, only the parallelism differs (the N vs 4N comparison).
 # driver_stats_max_bytes=0 forces the distributed stats path — the one a
 # 10^12-file corpus always takes (the DuckDB shortcut is a small-corpus
-# convenience and would serialize on the driver here)
-build_index(docs, ix_dir, n_parts=32, n_salts=8, driver_stats_max_bytes=0)
+# convenience and would serialize on the driver here).
+# SCALE_DIRECT=1 measures build_index_direct (the single-pass ephemeral
+# mode, no segment checkpoint) instead of the default checkpointable
+# build — both modes are reported in benchmarks/.
+import os as _os
+if _os.environ.get("SCALE_DIRECT") == "1":
+    from pke_spark.index.build import build_index_direct
+    build_index_direct(docs, ix_dir, n_docs=n_docs, n_salts=8)
+else:
+    build_index(docs, ix_dir, n_parts=32, n_salts=8, driver_stats_max_bytes=0)
 print("ELAPSED", time.time() - t0)
 shutil.rmtree(ix_dir, ignore_errors=True)
 spark.stop()
@@ -120,6 +128,9 @@ def main() -> None:
     t_hi = min(t for t, _ in hi)
     eff = (t_lo / t_hi) / (N_HIGH / N_LOW)
     out = {
+        "mode": ("direct (single-pass, no segment checkpoint)"
+                 if os.environ.get("SCALE_DIRECT") == "1"
+                 else "default (segment-checkpointed one-shot)"),
         "n_docs": n_docs,
         "n_low": N_LOW,
         "n_high": N_HIGH,
@@ -135,7 +146,9 @@ def main() -> None:
                    for t, s in hi],
     }
     os.makedirs("/root/repo/benchmarks", exist_ok=True)
-    with open("/root/repo/benchmarks/scaling.json", "w") as f:
+    fname = ("scaling_direct.json" if os.environ.get("SCALE_DIRECT") == "1"
+             else "scaling.json")
+    with open(f"/root/repo/benchmarks/{fname}", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 

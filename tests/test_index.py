@@ -403,3 +403,75 @@ def test_search_native_equals_wand(corpus, spark, index_dir):
     finally:
         W.DRIVER_FASTPATH_MAX_DF = old
     assert W.search(ix, ["zzqqnosuchterm"], 10) == []
+
+
+def test_merge_runs_eager_equals_default(corpus, spark, tmp_path):
+    """encode_postings(merge_runs=True) (eager in-build merge) must
+    produce the same decoded postings as the default fragment layout,
+    with (mostly) one row per (term, shard)."""
+    from pke_spark.index.build import build_index as bi
+    docs, _ = corpus
+    d_frag = str(tmp_path / "frag")
+    d_merged = str(tmp_path / "merged")
+    bi(docs, d_frag, n_parts=4, n_salts=4, hot_threshold=50, block_size=32)
+    bi(docs, d_merged, n_parts=4, n_salts=4, hot_threshold=50,
+       block_size=32, merge_runs=True)
+
+    def decoded(d):
+        rows = IndexReader(spark, d, cache=False).postings().collect()
+        got = []
+        for r in rows:
+            ds, ts, ls = codec.decode_blocks(r.blocks)
+            got += [(r.term, int(a), int(b), int(c))
+                    for a, b, c in zip(ds, ts, ls)]
+        return sorted(got)
+
+    assert decoded(d_frag) == decoded(d_merged)
+    frag_rows = IndexReader(spark, d_frag, cache=False).postings().count()
+    merged_rows = IndexReader(spark, d_merged, cache=False).postings().count()
+    assert merged_rows <= frag_rows
+
+
+def test_direct_build_equals_default(corpus, spark, tmp_path):
+    """build_index_direct (single-pass, no segments) must produce
+    byte-equivalent postings content and identical WAND results; a
+    stream append + INCREMENTAL fold still works on it (full refresh
+    correctly refuses)."""
+    from pke_spark import streaming
+    from pke_spark.index.build import build_index_direct
+
+    docs, texts = corpus
+    d_def = str(tmp_path / "def")
+    d_dir = str(tmp_path / "dir")
+    build_index(docs, d_def, n_parts=4, n_salts=4, hot_threshold=50,
+                block_size=32)
+    build_index_direct(docs, d_dir, n_salts=4, hot_threshold=50,
+                       block_size=32)
+
+    def decoded(d):
+        rows = IndexReader(spark, d, cache=False).postings().collect()
+        got = []
+        for r in rows:
+            ds, ts, ls = codec.decode_blocks(r.blocks)
+            got += [(r.term, int(a), int(b), int(c))
+                    for a, b, c in zip(ds, ts, ls)]
+        return sorted(got)
+
+    assert decoded(d_def) == decoded(d_dir)
+    ia, ib = IndexReader(spark, d_def), IndexReader(spark, d_dir)
+    assert ia.n_docs == ib.n_docs and abs(ia.avgdl - ib.avgdl) < 1e-9
+    for q in (["build", "index"], ["def"]):
+        a = wand_topk(ia, q, 10, n_buckets=8).toPandas()
+        b = wand_topk(ib, q, 10, n_buckets=8).toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    # full refresh refuses with a clear error; incremental fold works
+    extra = docs.select((F.col("doc_id") + 1).alias("doc_id"), "text") \
+        .limit(5)
+    streaming.append_batch(extra, d_dir, epoch_id=0, n_parts=4)
+    with pytest.raises(FileNotFoundError, match="build_index_direct"):
+        streaming.refresh_postings(spark, d_dir, n_salts=4,
+                                   block_size=32)
+    streaming.refresh_postings(spark, d_dir, n_salts=4, block_size=32,
+                               incremental=True)
+    assert IndexReader(spark, d_dir).n_docs == ia.n_docs + 5
