@@ -189,6 +189,8 @@ def main() -> None:
     for key, fname in (("scaling", "scaling.json"),
                        ("scaling_direct", "scaling_direct.json"),
                        ("scaling_cluster", "scaling_cluster.json"),
+                       ("scaling_cluster_direct",
+                        "scaling_cluster_direct.json"),
                        ("membw_evidence", "membw_evidence.json"),
                        ("phase_timing", "phase_timing.json"),
                        ("capacity_2m", "capacity_2m.json")):

@@ -97,7 +97,12 @@ docs.limit(200).select(F.explode(tokens_array("text"))).count()
 
 ix_dir = tempfile.mkdtemp(prefix=f"cluster_scale_{n_execs}_", dir="/dev/shm")
 t0 = time.time()
-build_index(docs, ix_dir, n_parts=32, n_salts=8, driver_stats_max_bytes=0)
+import os as _os
+if _os.environ.get("SCALE_DIRECT") == "1":
+    from pke_spark.index.build import build_index_direct
+    build_index_direct(docs, ix_dir, n_docs=n_docs, n_salts=8)
+else:
+    build_index(docs, ix_dir, n_parts=32, n_salts=8, driver_stats_max_bytes=0)
 print("ELAPSED", time.time() - t0, flush=True)
 shutil.rmtree(ix_dir, ignore_errors=True)
 spark.stop()
@@ -186,7 +191,7 @@ def run_build(n_execs: int, n_docs: int, zpath: str) -> tuple[float, float]:
          "--conf", "spark.ui.showConsoleProgress=false",
          child, str(n_execs), str(n_docs)],
         capture_output=True, text=True, timeout=2400,
-        env=dict(os.environ, SPARK_HOME=SPARK_HOME))
+        env=dict(os.environ, SPARK_HOME=SPARK_HOME))  # SCALE_DIRECT passes through os.environ
     tot1, st1 = _cpu_times()
     steal_pct = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
     for line in out.stdout.splitlines():
@@ -226,8 +231,10 @@ def main() -> None:
                     "steal_pct": round(s, 1)} for t, s in hi],
     }
     os.makedirs(os.path.join(REPO, "benchmarks"), exist_ok=True)
-    with open(os.path.join(REPO, "benchmarks", "scaling_cluster.json"),
-              "w") as f:
+    fname = ("scaling_cluster_direct.json"
+             if os.environ.get("SCALE_DIRECT") == "1"
+             else "scaling_cluster.json")
+    with open(os.path.join(REPO, "benchmarks", fname), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
