@@ -208,13 +208,42 @@ def main() -> None:
         "sf": sf,
         **extras,
     }
-    line = json.dumps(payload)
-    # Persist alongside stdout: the round-2 driver capture truncated the
-    # stdout tail (BENCH_r02.json parsed: null), so the file copy is the
-    # durable record.
+    # Persist the FULL record to a file: the driver captures only a
+    # ~2 KB stdout TAIL, so a 12 KB line gets truncated from the front
+    # (BENCH_r02/r03 parsed: null). The file copy is the durable record;
+    # stdout gets a compact payload that fits the capture window whole.
     os.makedirs(bench_dir, exist_ok=True)
     with open(os.path.join(bench_dir, "bench_latest.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(payload) + "\n")
+
+    def _scaling_eff(rec) -> float | None:
+        try:
+            return rec["scaling_efficiency"]
+        except (KeyError, TypeError):
+            return None
+
+    compact = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in results.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "index_build_docs_per_sec": round(docs_per_sec, 1),
+        "bm25_wand_p50_sec": round(p50, 4),
+        "bm25_batch200_qps": serving["batch200_qps"],
+        "bm25_native_qps": serving["native_qps"],
+        "scaling_efficiency": {
+            k: _scaling_eff(extras.get(k)) for k in
+            ("scaling", "scaling_direct", "scaling_cluster",
+             "scaling_cluster_direct") if k in extras},
+        "full_record": "benchmarks/bench_latest.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact.pop("queries")
+        compact["queries_in"] = "benchmarks/bench_latest.json"
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -548,15 +548,12 @@ def build_index_direct(docs: DataFrame, index_dir: str, *,
     """
     spark = docs.sparkSession
     build_id = uuid.uuid4().hex[:12]
-    import shutil
-    cur = f"{index_dir}/POSTINGS_CURRENT"
-    if os.path.exists(cur):
-        with open(cur) as f:
-            prev = f.read().strip()
-        os.remove(cur)
-        shutil.rmtree(f"{index_dir}/{prev}", ignore_errors=True)
-        shutil.rmtree(docmap_path(f"{index_dir}/{prev}"), ignore_errors=True)
-    shutil.rmtree(docmap_path(f"{index_dir}/postings"), ignore_errors=True)
+    # Build into a FRESH versioned dir and adopt it via the atomic
+    # POSTINGS_CURRENT flip (same protocol as refresh/compact), so a
+    # crash or failed job mid-build leaves the previous index fully
+    # queryable instead of deleted (ADVICE r3).
+    new_name = f"postings_{build_id}"
+    new_dir = f"{index_dir}/{new_name}"
 
     prepared = docs.select(F.lit(0).alias("part"),
                            F.col(id_col).alias("doc_id"),
@@ -570,7 +567,7 @@ def build_index_direct(docs: DataFrame, index_dir: str, *,
     salted = runs.withColumn(
         "shard", F.pmod(frag_key, F.lit(n_salts)).cast("int"))
     (salted.repartition("term", "shard")
-     .write.mode("overwrite").parquet(f"{index_dir}/postings"))
+     .write.mode("overwrite").parquet(new_dir))
 
     if n_docs is None:
         n_docs = docs.count()
@@ -578,20 +575,21 @@ def build_index_direct(docs: DataFrame, index_dir: str, *,
     import duckdb
     total_tf = duckdb.connect().execute(
         f"SELECT coalesce(sum(cf), 0) FROM "
-        f"read_parquet('{index_dir}/postings/*.parquet')").fetchone()[0] \
-        if _dir_bytes(f"{index_dir}/postings") <= DRIVER_STATS_MAX_BYTES \
-        else spark.read.parquet(f"{index_dir}/postings")
+        f"read_parquet('{new_dir}/*.parquet')").fetchone()[0] \
+        if _dir_bytes(new_dir) <= DRIVER_STATS_MAX_BYTES \
+        else spark.read.parquet(new_dir)
     if not isinstance(total_tf, (int, float)):
         total_tf = int(total_tf.agg(F.sum("cf")).first()[0] or 0)
     avgdl = float(total_tf) / n_docs if n_docs else 0.0
     if hot_threshold is None:
         hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
+    swap_postings(index_dir, new_name)
     write_stats(index_dir, int(n_docs), avgdl, int(hot_threshold),
                 block_size)
     _append_manifest(spark, index_dir, [(
         build_id, "postings_direct", -1, "done", int(n_docs),
         _postings_term_count(index_dir),
-        _dir_bytes(f"{index_dir}/postings"), input_snapshot, time.time())])
+        _dir_bytes(new_dir), input_snapshot, time.time())])
 
 
 def _assign_ordinals(doc_ids: DataFrame, n_ranges: int | None = None

@@ -275,6 +275,8 @@ def dedup_clusters(docs: DataFrame, n_hashes: int = N_MINHASH,
     ``localCheckpoint`` truncates the growing lineage so round N's plan
     does not replay rounds 1..N-1.
     """
+    from pyspark.sql import Observation
+
     pairs = minhash_lsh_pairs(docs, n_hashes, n_bands)
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
@@ -282,26 +284,107 @@ def dedup_clusters(docs: DataFrame, n_hashes: int = N_MINHASH,
                                        F.col("doc_a").alias("dst"))))
     labels = docs.select("doc_id",
                          F.col("doc_id").alias("cluster_id"))
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         neigh = (edges.join(labels,
                             edges.dst == labels.doc_id)
                  .groupBy("src").agg(F.min("cluster_id").alias("nmin")))
+        # ONE job per round: the changed-count is observed DURING the
+        # eager localCheckpoint job instead of a second join+count pass
+        obs = Observation(f"dedup_round_{i}")
         new_labels = (labels.join(neigh, labels.doc_id == neigh.src,
                                   "left")
                       .select(labels.doc_id,
                               F.least(labels.cluster_id,
                                       F.coalesce(F.col("nmin"),
                                                  labels.cluster_id))
-                              .alias("cluster_id"))
+                              .alias("cluster_id"),
+                              (F.coalesce(F.col("nmin"), labels.cluster_id)
+                               < labels.cluster_id).alias("chg"))
+                      .observe(obs, F.sum(F.col("chg").cast("long"))
+                               .alias("n_changed"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("doc_id", "cluster_id")
+        if not (obs.get["n_changed"] or 0):
+            converged = True
             break
+    if not converged:
+        # a component deeper than max_iter rounds: finish with the
+        # O(log^2 n)-round alternating-star contraction instead of
+        # returning silently-split clusters (ADVICE r3)
+        comp = _star_components(edges)
+        labels = (docs.select("doc_id")
+                  .join(comp, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce(comp.cluster_id, F.col("doc_id"))
+                          .alias("cluster_id")))
     return labels.select("doc_id", "cluster_id")
+
+
+def _star_components(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """(doc_id, cluster_id) for every node that appears in ``edges``:
+    alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — converges in
+    O(log^2 n) rounds regardless of component diameter, each round a
+    groupBy + explode (one shuffle), no driver-side data.
+
+    Invariant maintained: edge set always points "downhill" after
+    normalization (u > v stored as (u, v)); on convergence every node's
+    min neighbor IS its component minimum, so cluster_id = min(v) per u
+    plus the roots themselves.
+    """
+    from pyspark.sql import Observation
+
+    # normalize to u > v (parent pointers toward smaller ids)
+    e = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    # edge-set signature (count + xor of per-edge hashes: overflow-free
+    # under ANSI mode, order-independent) — fixpoint when stable
+    sig_cols = [F.count(F.lit(1)).alias("n_edges"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("sig")]
+    prev = e.agg(*sig_cols).first()
+    prev_sig = (prev[0], prev[1])
+    for i in range(max_rounds):
+        # large-star: every neighbor w > u links to m = min(N(u) u {u})
+        nbrs = (e.unionByName(e.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+                .groupBy("u")
+                .agg(F.min("v").alias("m"),
+                     F.collect_set("v").alias("ws")))
+        large = (nbrs.select(F.least("u", "m").alias("m"),
+                             F.explode("ws").alias("w"),
+                             F.col("u"))
+                 .filter(F.col("w") > F.col("u"))
+                 .select(F.col("w").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: every neighbor w <= u links to m; u links to m
+        snbrs = (large.groupBy("u")
+                 .agg(F.min("v").alias("m"), F.collect_set("v").alias("ws")))
+        obs = Observation(f"star_round_{i}")
+        new_e = (snbrs.select(F.col("m"),
+                              F.explode(F.array_union(
+                                  F.col("ws"), F.array(F.col("u"))))
+                              .alias("w"))
+                 .filter(F.col("w") != F.col("m"))
+                 .select(F.greatest("w", "m").alias("u"),
+                         F.least("w", "m").alias("v"))
+                 .distinct()
+                 .observe(obs, *sig_cols)
+                 .localCheckpoint(eager=True))
+        e = new_e
+        new_sig = (obs.get["n_edges"], obs.get["sig"])
+        if new_sig == prev_sig:
+            break
+        prev_sig = new_sig
+    # fixpoint: each u's v IS its component min; roots map to themselves
+    out = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    roots = (e.select(F.col("v").alias("u")).distinct()
+             .join(e.select("u").distinct(), "u", "left_anti")
+             .select("u", F.col("u").alias("cluster_id")))
+    return (out.unionByName(roots)
+            .select(F.col("u").alias("doc_id"), "cluster_id"))
 
 
 def dedup_clusters_sql(n_hashes: int = N_MINHASH,

@@ -111,32 +111,75 @@ def refresh_postings(spark: SparkSession, index_dir: str, *,
     n_docs, avgdl, hot_threshold = encode_postings(
         spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
         block_size=block_size, out_name=new_name)
-    swap_postings(index_dir, new_name)
-    write_stats(index_dir, n_docs, avgdl, hot_threshold, block_size)
-    # a full refresh consumes every epoch — record them as folded so a
-    # later incremental fold cannot double-count them
+    # a full refresh consumes every epoch — fold state must COMMIT WITH
+    # the pointer swap, so the folded-epoch set is written INSIDE the
+    # new postings dir before the flip (crash before the swap: old
+    # pointer + old fold set; after: new pointer + new set — no window
+    # where they disagree). The manifest rows below are lineage only.
     import os
     stream_path = f"{index_dir}/segments_stream"
+    epochs: list[int] = []
     if os.path.exists(stream_path):
         epochs = [int(d.split("=", 1)[1]) for d in os.listdir(stream_path)
                   if d.startswith("epoch=")]
-        if epochs:
-            _append_manifest(spark, index_dir, [(
-                f"fold_{uuid.uuid4().hex[:8]}", "refresh_fold", int(e),
-                "done", 0, 0, 0, "", time.time()) for e in epochs])
+    write_folded_epochs(f"{index_dir}/{new_name}", set(epochs))
+    swap_postings(index_dir, new_name)
+    write_stats(index_dir, n_docs, avgdl, hot_threshold, block_size)
+    if epochs:
+        _append_manifest(spark, index_dir, [(
+            f"fold_{uuid.uuid4().hex[:8]}", "refresh_fold", int(e),
+            "done", 0, 0, 0, "", time.time()) for e in epochs])
+
+
+# hidden-file name ('_' prefix): Spark, pyarrow.dataset and the DuckDB
+# '*.parquet' globs all skip it when scanning the postings dir
+FOLDED_FILE = "_folded_epochs.json"
+
+
+def write_folded_epochs(postings_dir: str, epochs: set[int]) -> None:
+    """Record the cumulative folded-epoch set inside a postings dir
+    (written BEFORE the POSTINGS_CURRENT swap adopts that dir, so fold
+    bookkeeping is atomic with the pointer)."""
+    import json
+    import os
+    os.makedirs(postings_dir, exist_ok=True)
+    tmp = f"{postings_dir}/{FOLDED_FILE}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(int(e) for e in epochs), f)
+    os.replace(tmp, f"{postings_dir}/{FOLDED_FILE}")
+
+
+def read_folded_epochs(spark: SparkSession, index_dir: str) -> set[int]:
+    """Folded epochs as seen by the CURRENT postings version. Falls
+    back to manifest 'refresh_fold' rows for indexes built before fold
+    state travelled with the postings dir."""
+    import json
+    import os
+
+    from .index.build import postings_path, read_manifest
+    p = f"{postings_path(index_dir)}/{FOLDED_FILE}"
+    if os.path.exists(p):
+        with open(p) as f:
+            return {int(e) for e in json.load(f)}
+    if os.path.exists(f"{index_dir}/manifest"):
+        m = read_manifest(spark, index_dir)
+        return {int(r.part) for r in
+                m.filter((m.phase == "refresh_fold")
+                         & (m.status == "done")).collect()}
+    return set()
 
 
 def _incremental_fold(spark: SparkSession, index_dir: str, *,
                       n_salts: int, hot_threshold: int | None,
-                      block_size: int) -> None:
+                      block_size: int,
+                      check_duplicates: bool = True) -> None:
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
     from .index.build import (POSTINGS_SCHEMA, _encode_runs, docmap_path,
-                              postings_path, read_manifest, swap_postings,
-                              write_stats)
+                              postings_path, swap_postings, write_stats)
 
     cur = postings_path(index_dir)
     if os.path.exists(docmap_path(cur)):
@@ -149,15 +192,18 @@ def _incremental_fold(spark: SparkSession, index_dir: str, *,
         return
     all_epochs = {int(d.split("=", 1)[1]) for d in os.listdir(stream_path)
                   if d.startswith("epoch=")}
-    folded: set[int] = set()
-    if os.path.exists(f"{index_dir}/manifest"):
-        m = read_manifest(spark, index_dir)
-        folded = {int(r.part) for r in
-                  m.filter((m.phase == "refresh_fold")
-                           & (m.status == "done")).collect()}
+    # fold state travels with the postings version (ADVICE r3): resolve
+    # via the CURRENT pointer, not the manifest, so a crash between
+    # bookkeeping and swap can never mark epochs folded that the live
+    # postings do not contain (or vice versa)
+    folded = read_folded_epochs(spark, index_dir)
     todo = sorted(all_epochs - folded)
     if not todo:
         return
+
+    if check_duplicates:
+        _check_no_duplicate_doc_ids(spark, index_dir, stream_path,
+                                    todo, sorted(folded))
 
     # run-encode ONLY the new epochs (same path as the batch build) and
     # write their fragments into the new versioned postings dir
@@ -192,11 +238,63 @@ def _incremental_fold(spark: SparkSession, index_dir: str, *,
     avgdl = ((float(st.avgdl) * int(st.n_docs)) + sum_new) / max(n_docs, 1)
     if hot_threshold is None:
         hot_threshold = max(2 * block_size, n_docs // max(n_salts, 1))
+    # commit: fold set INSIDE the new dir, then the atomic pointer flip
+    # (crash before the flip → old pointer still pairs with the old
+    # fold set and a retry re-folds `todo` into a fresh dir; the
+    # orphaned new dir is never referenced). Manifest rows are lineage.
+    write_folded_epochs(new_dir, folded | set(todo))
+    swap_postings(index_dir, new_name)
+    write_stats(index_dir, n_docs, avgdl, int(hot_threshold), block_size)
     _append_manifest(spark, index_dir, [(
         f"fold_{uuid.uuid4().hex[:8]}", "refresh_fold", int(e), "done",
         n_new, 0, 0, "", time.time()) for e in todo])
-    swap_postings(index_dir, new_name)
-    write_stats(index_dir, n_docs, avgdl, int(hot_threshold), block_size)
+
+
+def _check_no_duplicate_doc_ids(spark: SparkSession, index_dir: str,
+                                stream_path: str, todo: list[int],
+                                folded: list[int]) -> None:
+    """Enforce the additive-fragment contract: streamed doc_ids must be
+    NEW. A re-appended doc_id would put one (term, doc) in two
+    fragments — BM25 double-scores it and df/cf/n_docs inflate — so the
+    fold raises instead of silently corrupting the index (ADVICE r3).
+
+    Coverage: new epochs vs already-folded epochs, duplicates ACROSS
+    new epochs (within one epoch the hive-partition overwrite already
+    makes replays idempotent), and vs the base build's ``segments``
+    checkpoint when it exists (one column-pruned doc_id scan with
+    map-side partial aggregation). Direct-built indexes keep no
+    segment checkpoint, so base overlap there stays a documented
+    caller contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    seg = spark.read.parquet(stream_path)
+    parts = [seg.filter(F.col("epoch").isin([int(e) for e in todo]))
+             .select("doc_id", "epoch").distinct()]
+    if folded:
+        parts.append(seg.filter(F.col("epoch").isin(
+            [int(e) for e in folded]))
+            .select("doc_id", F.lit(-1).alias("epoch")).distinct())
+    base = f"{index_dir}/segments"
+    if os.path.isdir(base):
+        parts.append(spark.read.parquet(base)
+                     .select("doc_id", F.lit(-2).alias("epoch")).distinct())
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    bad = (u.groupBy("doc_id")
+           .agg(F.count("*").alias("n"),
+                F.max(F.col("epoch") >= 0).alias("in_new"))
+           .filter((F.col("n") > 1) & F.col("in_new"))
+           .limit(10).collect())
+    if bad:
+        ids = ", ".join(str(int(r.doc_id)) for r in bad)
+        raise ValueError(
+            "incremental fold: doc_ids already present in the index "
+            f"were re-appended (sample: {ids}). Streamed doc_ids must "
+            "be new — deduplicate upstream or run "
+            "refresh_postings(incremental=False) to rebuild.")
 
 
 def windowed_event_counts(stream_events: DataFrame,

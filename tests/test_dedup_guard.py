@@ -58,6 +58,15 @@ def test_dedup_clusters_equals_union_find(spark, sf_dir):
     from pke_spark.ops import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    try:
+        _check_clusters_vs_union_find(docs)
+    finally:
+        docs.unpersist()
+
+
+def _check_clusters_vs_union_find(docs):
+    from pke_spark.ops import dedup
+
     pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
     parent: dict[int, int] = {}
 
@@ -79,3 +88,47 @@ def test_dedup_clusters_equals_union_find(spark, sf_dir):
     got = {int(r.doc_id): int(r.cluster_id)
            for r in dedup.dedup_clusters(docs).collect()}
     assert got == want
+
+def test_star_components_path_graph(spark):
+    """Alternating large/small-star contraction on a diameter-100 path
+    (min-label would need 100 rounds) + disjoint cliques + singletons."""
+    edges = [(i, i + 1) for i in range(100)]            # path 0..100
+    edges += [(200 + i, 200 + j) for i in range(5) for j in range(i)]
+    edges += [(301, 300), (302, 300)]                   # star
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sym = df.unionByName(df.selectExpr("dst as src", "src as dst"))
+    got = {(r.doc_id, r.cluster_id)
+           for r in dedup._star_components(sym).collect()}
+    want = {(i, 0) for i in range(101)}
+    want |= {(200 + i, 200) for i in range(5)}
+    want |= {(300 + i, 300) for i in range(3)}
+    assert got == want
+
+
+def test_dedup_clusters_deep_component_fallback(spark, sf_dir):
+    """max_iter too small for convergence -> the star fallback still
+    returns the exact transitive closure (vs union-find)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(200).cache())
+    try:
+        pairs = (dedup.minhash_lsh_pairs(docs)
+                 .select("doc_a", "doc_b").collect())
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            ra, rb = find(int(r.doc_a)), find(int(r.doc_b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {int(r.doc_id): find(int(r.doc_id))
+                for r in docs.select("doc_id").collect()}
+        got = {int(r.doc_id): int(r.cluster_id)
+               for r in dedup.dedup_clusters(docs, max_iter=1).collect()}
+        assert got == want
+    finally:
+        docs.unpersist()

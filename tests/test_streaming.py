@@ -240,3 +240,69 @@ def test_full_refresh_then_incremental_fold(spark, tmp_path):
                                   _decoded(spark, ref_dir))
     assert IndexReader(spark, ix_dir).n_docs == \
         IndexReader(spark, ref_dir).n_docs
+
+
+@pytest.mark.timeout(300)
+def test_incremental_fold_rejects_reappended_doc_ids(spark, tmp_path):
+    """The additive-fragment contract is ENFORCED: re-appending an
+    already-indexed doc_id via a new epoch raises instead of silently
+    double-scoring it (one (term, doc) in two fragments)."""
+    c = with_doc_ids(synth_corpus(spark, 90, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    part_a = docs.filter("pmod(doc_id, 2) = 0")
+    part_b = docs.filter("pmod(doc_id, 2) != 0")
+
+    ix_dir = str(tmp_path / "ix_dupe")
+    build_index(part_a, ix_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    streaming.append_batch(part_b, ix_dir, epoch_id=0, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32, incremental=True)
+
+    # epoch 1 re-appends docs already folded from epoch 0
+    streaming.append_batch(part_b.limit(5), ix_dir, epoch_id=1, n_parts=4)
+    with pytest.raises(ValueError, match="re-appended"):
+        streaming.refresh_postings(spark, ix_dir, n_salts=4,
+                                   hot_threshold=30, block_size=32,
+                                   incremental=True)
+    # epoch 2 re-appends docs from the BASE build (segments overlap)
+    import shutil
+    shutil.rmtree(f"{ix_dir}/segments_stream/epoch=1")
+    streaming.append_batch(part_a.limit(5), ix_dir, epoch_id=2, n_parts=4)
+    with pytest.raises(ValueError, match="re-appended"):
+        streaming.refresh_postings(spark, ix_dir, n_salts=4,
+                                   hot_threshold=30, block_size=32,
+                                   incremental=True)
+
+
+def test_folded_epochs_travel_with_postings(spark, tmp_path):
+    """Fold bookkeeping commits WITH the pointer swap: the folded set
+    is read from the CURRENT postings dir, and a postings dir written
+    but never swapped in (simulated crash) leaves the fold set
+    unchanged; legacy indexes fall back to manifest rows."""
+    from pke_spark.index.build import postings_path
+
+    c = with_doc_ids(synth_corpus(spark, 60, partitions=2))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    part_a = docs.filter("pmod(doc_id, 2) = 0")
+    part_b = docs.filter("pmod(doc_id, 2) != 0")
+
+    ix_dir = str(tmp_path / "ix_atomic")
+    build_index(part_a, ix_dir, n_parts=2, n_salts=2, hot_threshold=30,
+                block_size=32)
+    streaming.append_batch(part_b, ix_dir, epoch_id=0, n_parts=2)
+    streaming.refresh_postings(spark, ix_dir, n_salts=2, hot_threshold=30,
+                               block_size=32, incremental=True)
+    assert streaming.read_folded_epochs(spark, ix_dir) == {0}
+
+    # simulated crash AFTER a new dir's fold record is written but
+    # BEFORE the swap: the live pointer still resolves the old set
+    orphan = f"{ix_dir}/postings_orphan"
+    streaming.write_folded_epochs(orphan, {0, 1, 2})
+    assert streaming.read_folded_epochs(spark, ix_dir) == {0}
+
+    # legacy fallback: no fold file inside the current postings dir ->
+    # manifest refresh_fold rows
+    import os
+    os.remove(f"{postings_path(ix_dir)}/{streaming.FOLDED_FILE}")
+    assert streaming.read_folded_epochs(spark, ix_dir) == {0}
