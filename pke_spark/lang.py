@@ -22,10 +22,12 @@ The engine mirrors that surface:
   algorithm, stemmer.py; Snowball variants are data-driven rule sets
   the same vectorized machinery could host).
 
-Script note: the code-aware tokenizer (tokenizer.py) is ASCII-focused
-(non-[a-z0-9] splits), which matches code + Latin-script corpora;
-Cyrillic ('ru') needs a different tokenizer profile — kept in the
-table for stoplist parity, flagged in tests.
+Script note: the tokenizer ships per-script PROFILES (tokenizer.py):
+'code' (ASCII + camel splits, the default), 'latin' (accented Latin
+letters for fr/de/es/it/pt/...), and 'cyrillic' ('ru') — all four
+implementations + the DuckDB twin stay in lockstep per profile
+(tests/test_tokenizer.py); ``tokenizer.profile_for(lang)`` resolves
+the profile the way ``stemmer_name_for`` resolves the stemmer.
 """
 
 from __future__ import annotations
@@ -114,10 +116,16 @@ def stoplist_for(lang: str) -> tuple[str, ...]:
     return STOPWORDS.get(lang, TEXT_STOPWORDS)
 
 
+# Snowball variants the engine implements from the published specs
+# (pke_spark/snowball.py); the rest keep pke's Porter fallback
+IMPLEMENTED_SNOWBALL = frozenset({"spanish", "french", "german"})
+
+
 def stemmer_name_for(lang: str) -> str:
-    """pke/base.py:111-119 semantics: english -> 'porter'; any language
-    whose Snowball variant is not implemented falls back to 'porter'
-    with a warning (never an error)."""
+    """pke/base.py:111-119 semantics: english -> 'porter'; implemented
+    Snowball languages dispatch to their variant; any language whose
+    Snowball variant is not implemented falls back to 'porter' with a
+    warning (never an error)."""
     name = LANGCODES.get(lang)
     if name is None:
         logging.warning(
@@ -126,6 +134,8 @@ def stemmer_name_for(lang: str) -> str:
         return "porter"
     if name == "english":
         return "porter"
+    if name in IMPLEMENTED_SNOWBALL:
+        return name
     logging.warning(
         "Snowball '%s' not implemented -> falling back to porter "
         "stemmer (pke/base.py:111-119 fallback).", name)

@@ -29,7 +29,11 @@ from ..stemmer import porter_stem, stem_series
 from ..tokenizer import (TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list,
                          tokens_exploded)
 
-_stem_udf = F.pandas_udf(stem_series, StringType())
+def _stem_porter(s):
+    return stem_series(s)  # single-arg shim: pandas_udf needs 1:1 sig
+
+
+_stem_udf = F.pandas_udf(_stem_porter, StringType())
 
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                                "/root/testdata/sf0.01")

@@ -167,8 +167,20 @@ def porter_stem(word: str) -> str:
     return w
 
 
-def stem_series(s: pd.Series) -> pd.Series:
+def _stemmers() -> dict:
+    """Name -> stem function registry ('porter' + the implemented
+    Snowball variants; lang.stemmer_name_for resolves langcodes to
+    these names with pke's Porter fallback for the rest)."""
+    from . import snowball
+    return {"porter": porter_stem,
+            "spanish": snowball.spanish_stem,
+            "french": snowball.french_stem,
+            "german": snowball.german_stem}
+
+
+def stem_series(s: pd.Series, stemmer: str = "porter") -> pd.Series:
     """Series[str] -> Series[str], memoized over distinct tokens."""
+    fn = _stemmers()[stemmer]
     uniq = pd.Series(s.dropna().unique())
-    memo = dict(zip(uniq, uniq.map(porter_stem)))
+    memo = dict(zip(uniq, uniq.map(fn)))
     return s.map(memo)

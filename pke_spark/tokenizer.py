@@ -14,10 +14,15 @@ with a code-aware equivalent per BASELINE.json input_hint):
 Token positions are 1-based everywhere (Spark ``posexplode`` is 0-based,
 DuckDB ``generate_subscripts`` is 1-based — we standardize on 1-based).
 
-The three implementations MUST stay in lockstep; ``tests/test_tokenizer.py``
-asserts Spark == pandas == DuckDB on fixture strings and on real tables,
-and invariance to batch size / partition count (reader-equivalence analog
-of the reference's tests/test_reading.py).
+The implementations MUST stay in lockstep; ``tests/test_tokenizer.py``
+asserts Spark == pandas == Arrow == DuckDB on fixture strings and on
+real tables, and invariance to batch size / partition count
+(reader-equivalence analog of the reference's tests/test_reading.py).
+
+Non-ASCII scripts: the spec is parameterized by PROFILES — a
+per-script token character class ('code' is the default above;
+'latin' and 'cyrillic' cover the reference's non-English languages,
+pke/lang.py:23-47) — with the same lockstep guarantee per profile.
 """
 
 from __future__ import annotations
@@ -37,6 +42,36 @@ NON_ALNUM = r"[^a-z0-9]+"
 _RE_CAMEL1 = re.compile(CAMEL1)
 _RE_CAMEL2 = re.compile(CAMEL2)
 _RE_NON_ALNUM = re.compile(NON_ALNUM)
+
+# ---- per-script tokenizer PROFILES (pke tokenizes any spaCy-supported
+# script, pke/readers.py:60-116; the engine's analog is a per-language
+# token character class, identical across all four implementations and
+# the DuckDB twin). 'code' is the default and is byte-identical to the
+# original spec; natural-language profiles drop the camelCase passes
+# (an identifier convention, not prose) and keep the script's letters.
+# All classes are plain ranges that mean the same thing in
+# java.util.regex (Spark), Python re, and RE2 (DuckDB + pyarrow). ----
+PROFILES: dict[str, dict] = {
+    # camel splits + ASCII alnum tokens (identifiers, English)
+    "code": {"camel": True, "nontoken": NON_ALNUM},
+    # accented Latin: a-z + Latin-1 Supplement lowercase letters
+    # (includes fr/de/es/it/pt/ro/da/sv/nb/fi coverage) + oe ligature
+    "latin": {"camel": False, "nontoken": "[^a-z0-9ßà-ö"
+                                          "ø-ÿœ]+"},
+    # Cyrillic + ASCII alnum (mixed ru prose quoting code/identifiers)
+    "cyrillic": {"camel": False,
+                 "nontoken": "[^a-z0-9а-яё]+"},
+}
+
+# langcode -> profile (code languages + 'en' stay on the default)
+_LANG_PROFILES = {"ru": "cyrillic"}
+_LANG_PROFILES.update({c: "latin" for c in
+                       ("fr", "de", "es", "it", "pt", "ro", "da",
+                        "sv", "nb", "fi", "nl")})
+
+
+def profile_for(lang: str) -> str:
+    return _LANG_PROFILES.get(lang, "code")
 
 # ---- language-gated stoplists (analog of pke/lang.py:23-47 per-language
 # stoplists + the POS gate F6 of SURVEY §2.4; for code langs these are the
@@ -87,10 +122,19 @@ def tokens_array(col: Column | str) -> Column:
     semantics (drop empty tokens after a literal-space split).
     """
     c = F.col(col) if isinstance(col, str) else col
-    x = F.regexp_replace(c, CAMEL1, r"$1 $2")
-    x = F.regexp_replace(x, CAMEL2, r"$1 $2")
+    return tokens_array_profiled(c, "code")
+
+
+def tokens_array_profiled(col: Column | str, profile: str) -> Column:
+    """Profile-parameterized variant of ``tokens_array`` (same Catalyst
+    shape; 'code' reproduces it exactly)."""
+    p = PROFILES[profile]
+    x = F.col(col) if isinstance(col, str) else col
+    if p["camel"]:
+        x = F.regexp_replace(x, CAMEL1, r"$1 $2")
+        x = F.regexp_replace(x, CAMEL2, r"$1 $2")
     x = F.lower(x)
-    x = F.regexp_replace(x, NON_ALNUM, " ")
+    x = F.regexp_replace(x, p["nontoken"], " ")
     x = F.trim(x)
     return F.array_remove(F.split(x, " "), "")
 
@@ -109,22 +153,27 @@ def tokens_exploded(df, text_col: str = "text", id_col: str = "doc_id"):
 #    and by the single-node oracle; .str ops are C-vectorized)
 # =====================================================================
 
-def tokenize_series(s: pd.Series) -> pd.Series:
+def tokenize_series(s: pd.Series, profile: str = "code") -> pd.Series:
     """Series[str] -> Series[list[str]] (vectorized, no per-row Python)."""
+    p = PROFILES[profile]
     x = s.fillna("").astype(str)
-    x = x.str.replace(CAMEL1, r"\1 \2", regex=True)
-    x = x.str.replace(CAMEL2, r"\1 \2", regex=True)
+    if p["camel"]:
+        x = x.str.replace(CAMEL1, r"\1 \2", regex=True)
+        x = x.str.replace(CAMEL2, r"\1 \2", regex=True)
     x = x.str.lower()
-    x = x.str.replace(NON_ALNUM, " ", regex=True)
+    x = x.str.replace(p["nontoken"], " ", regex=True)
     x = x.str.strip()
     return x.str.split(" ").map(lambda toks: [t for t in toks if t])
 
 
-def tokenize_text(text: str) -> list[str]:
+def tokenize_text(text: str, profile: str = "code") -> list[str]:
     """Single-string convenience (tests / oracle)."""
-    x = _RE_CAMEL1.sub(r"\1 \2", text)
-    x = _RE_CAMEL2.sub(r"\1 \2", x)
-    x = _RE_NON_ALNUM.sub(" ", x.lower()).strip()
+    p = PROFILES[profile]
+    x = text
+    if p["camel"]:
+        x = _RE_CAMEL1.sub(r"\1 \2", x)
+        x = _RE_CAMEL2.sub(r"\1 \2", x)
+    x = re.sub(p["nontoken"], " ", x.lower()).strip()
     return [t for t in x.split(" ") if t]
 
 
@@ -140,7 +189,8 @@ def tokenize_text(text: str) -> list[str]:
 # =====================================================================
 
 def arrow_tokenize_batch(batch, text_col: str = "text",
-                         id_col: str = "doc_id"):
+                         id_col: str = "doc_id",
+                         profile: str = "code"):
     """RecordBatch(id, text) -> RecordBatch(doc_id, term) exploded.
 
     Lockstep with the other three implementations (tests/test_tokenizer
@@ -151,11 +201,16 @@ def arrow_tokenize_batch(batch, text_col: str = "text",
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    x = pc.replace_substring_regex(batch.column(text_col),
-                                   pattern=CAMEL1, replacement=r"\1 \2")
-    x = pc.replace_substring_regex(x, pattern=CAMEL2, replacement=r"\1 \2")
+    p = PROFILES[profile]
+    x = batch.column(text_col)
+    if p["camel"]:
+        x = pc.replace_substring_regex(x, pattern=CAMEL1,
+                                       replacement=r"\1 \2")
+        x = pc.replace_substring_regex(x, pattern=CAMEL2,
+                                       replacement=r"\1 \2")
     x = pc.utf8_lower(x)
-    x = pc.replace_substring_regex(x, pattern=NON_ALNUM, replacement=" ")
+    x = pc.replace_substring_regex(x, pattern=p["nontoken"],
+                                   replacement=" ")
     x = pc.utf8_trim_whitespace(x)
     lists = pc.split_pattern(x, pattern=" ")
     flat = pc.list_flatten(lists)
@@ -183,14 +238,18 @@ def arrow_tokens_exploded(df, text_col: str = "text",
 #    'g' global flag)
 # =====================================================================
 
-def duckdb_tokens_expr(text_col: str) -> str:
+def duckdb_tokens_expr(text_col: str, profile: str = "code") -> str:
     """SQL expression: text column -> LIST of tokens."""
+    p = PROFILES[profile]
+    inner = text_col
+    if p["camel"]:
+        inner = (f"regexp_replace(regexp_replace({text_col}, "
+                 "'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
+                 "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')")
+    nontoken = p["nontoken"].replace("'", "''")
     return (
-        "list_filter(string_split(trim(regexp_replace(lower("
-        f"regexp_replace(regexp_replace({text_col}, "
-        "'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
-        "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), "
-        "'[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+        f"list_filter(string_split(trim(regexp_replace(lower({inner}), "
+        f"'{nontoken}', ' ', 'g')), ' '), t -> t <> '')"
     )
 
 

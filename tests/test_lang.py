@@ -34,8 +34,10 @@ def test_stoplist_resolution_order():
 
 def test_stemmer_fallback_semantics(caplog):
     assert lang.stemmer_name_for("en") == "porter"
+    # fr/de/es now dispatch to the implemented Snowball variants
+    assert lang.stemmer_name_for("fr") == "french"
     with caplog.at_level(logging.WARNING):
-        assert lang.stemmer_name_for("fr") == "porter"
+        assert lang.stemmer_name_for("fi") == "porter"
     assert "falling back to porter" in caplog.text
     with caplog.at_level(logging.WARNING):
         assert lang.stemmer_name_for("xx") == "porter"
