@@ -177,3 +177,26 @@ def oracle_sql() -> dict[str, str]:
         # pke_spark/golden.py.
         **golden.golden_oracles(),
     }
+
+
+def oracle_kinds() -> dict[str, str]:
+    """Provenance label per queries() entry, so gate output can tell
+    regression snapshots from independent derivations (ADVICE r3):
+    'derived' = DuckDB SQL independently re-derives the result;
+    'frozen_golden' = VALUES literal frozen from the engine's own
+    verified sf0.01 output (regression oracle; the independent
+    derivation is a pytest mirror — networkx parity, reference
+    transcription, numpy-NB, ANN recall);
+    'rows_only' = no SQL twin (driver records the weaker check).
+    """
+    frozen = set(golden.golden_names())
+    out = {}
+    sqls = oracle_sql()
+    for name in queries():
+        if name in frozen:
+            out[name] = "frozen_golden"
+        elif name in sqls:
+            out[name] = "derived"
+        else:
+            out[name] = "rows_only"
+    return out

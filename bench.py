@@ -188,6 +188,7 @@ def main() -> None:
                              "benchmarks")
     for key, fname in (("scaling", "scaling.json"),
                        ("scaling_direct", "scaling_direct.json"),
+                       ("scaling_teed", "scaling_teed.json"),
                        ("scaling_cluster", "scaling_cluster.json"),
                        ("scaling_cluster_direct",
                         "scaling_cluster_direct.json"),
@@ -235,8 +236,9 @@ def main() -> None:
         "bm25_native_qps": serving["native_qps"],
         "scaling_efficiency": {
             k: _scaling_eff(extras.get(k)) for k in
-            ("scaling", "scaling_direct", "scaling_cluster",
-             "scaling_cluster_direct") if k in extras},
+            ("scaling", "scaling_direct", "scaling_teed",
+             "scaling_cluster", "scaling_cluster_direct")
+            if k in extras},
         "full_record": "benchmarks/bench_latest.json",
     }
     line = json.dumps(compact, separators=(",", ":"))

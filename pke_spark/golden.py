@@ -54,15 +54,15 @@ def normalize(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
     return ndf, dtypes
 
 
-def golden_names() -> list[str]:
-    if not os.path.isdir(GOLDEN_DIR):
+def golden_names(golden_dir: str = GOLDEN_DIR) -> list[str]:
+    if not os.path.isdir(golden_dir):
         return []
-    return sorted(f[:-5] for f in os.listdir(GOLDEN_DIR)
+    return sorted(f[:-5] for f in os.listdir(golden_dir)
                   if f.endswith(".json"))
 
 
-def load_golden(name: str) -> dict:
-    with open(os.path.join(GOLDEN_DIR, f"{name}.json")) as f:
+def load_golden(name: str, golden_dir: str = GOLDEN_DIR) -> dict:
+    with open(os.path.join(golden_dir, f"{name}.json")) as f:
         return json.load(f)
 
 

@@ -83,27 +83,27 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
            "dat", "die", "dit", "niet", "van", "te", "ten", "ter", "hij",
            "zij", "wij", "ook", "als", "bij", "naar", "om"),
     "da": ("den", "det", "de", "en", "et", "og", "eller", "men", "i",
-           "paa", "til", "med", "uden", "for", "af", "er", "var", "at",
-           "som", "der", "ikke", "han", "hun", "vi", "ogsaa", "om",
+           "på", "til", "med", "uden", "for", "af", "er", "var", "at",
+           "som", "der", "ikke", "han", "hun", "vi", "også", "om",
            "ved", "fra", "har", "havde"),
     "sv": ("den", "det", "de", "en", "ett", "och", "eller", "men", "i",
-           "paa", "till", "med", "utan", "foer", "av", "aer", "var",
-           "att", "som", "inte", "han", "hon", "vi", "ocksaa", "om",
-           "vid", "fraan", "har", "hade"),
+           "på", "till", "med", "utan", "för", "av", "är", "var",
+           "att", "som", "inte", "han", "hon", "vi", "också", "om",
+           "vid", "från", "har", "hade"),
     "nb": ("den", "det", "de", "en", "et", "ei", "og", "eller", "men",
-           "i", "paa", "til", "med", "uten", "for", "av", "er", "var",
-           "at", "som", "ikke", "han", "hun", "vi", "ogsaa", "om",
+           "i", "på", "til", "med", "uten", "for", "av", "er", "var",
+           "at", "som", "ikke", "han", "hun", "vi", "også", "om",
            "ved", "fra", "har", "hadde"),
     "fi": ("ja", "tai", "mutta", "ei", "on", "oli", "ovat", "olivat",
-           "se", "ne", "taemae", "joka", "mikae", "ettae", "kun", "jos",
-           "han", "me", "te", "he", "myoes", "vain", "kanssa", "ilman"),
-    "ro": ("un", "o", "unui", "unei", "si", "sau", "dar", "in", "pe",
-           "la", "cu", "fara", "pentru", "de", "din", "este", "sunt",
-           "era", "ca", "care", "ce", "nu", "se", "el", "ea", "noi",
-           "voi", "ei", "ele", "mai", "acest", "aceasta"),
-    "ru": ("i", "v", "na", "s", "po", "za", "ot", "do", "iz", "ne",
-           "chto", "kak", "eto", "on", "ona", "oni", "my", "vy", "no",
-           "ili", "zhe", "by", "k", "u", "o"),
+           "se", "ne", "tämä", "joka", "mikä", "että", "kun", "jos",
+           "hän", "me", "te", "he", "myös", "vain", "kanssa", "ilman"),
+    "ro": ("un", "o", "unui", "unei", "și", "sau", "dar", "în", "pe",
+           "la", "cu", "fără", "pentru", "de", "din", "este", "sunt",
+           "era", "că", "care", "ce", "nu", "se", "el", "ea", "noi",
+           "voi", "ei", "ele", "mai", "acest", "această"),
+    "ru": ("и", "в", "на", "с", "по", "за", "от", "до", "из", "не",
+           "что", "как", "это", "он", "она", "они", "мы", "вы", "но",
+           "или", "же", "бы", "к", "у", "о"),
 }
 
 
@@ -118,7 +118,10 @@ def stoplist_for(lang: str) -> tuple[str, ...]:
 
 # Snowball variants the engine implements from the published specs
 # (pke_spark/snowball.py); the rest keep pke's Porter fallback
-IMPLEMENTED_SNOWBALL = frozenset({"spanish", "french", "german"})
+IMPLEMENTED_SNOWBALL = frozenset({
+    "spanish", "french", "german", "russian", "dutch", "swedish",
+    "norwegian", "danish", "italian", "portuguese", "romanian",
+    "finnish"})
 
 
 def stemmer_name_for(lang: str) -> str:

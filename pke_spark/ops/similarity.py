@@ -378,10 +378,23 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
                   n_iters: int = IVF_ITERS,
                   n_sample: int = IVF_SAMPLE) -> np.ndarray:
     """Deterministic Lloyd k-means (cosine/normalized: spherical
-    k-means) on the n_sample lowest vec_ids. Returns (k, dim) unit
-    centroids."""
+    k-means) over a DISTRIBUTED deterministic sample. Returns (k, dim)
+    unit centroids.
+
+    The sample is the n_sample rows with the smallest
+    ``xxhash64(vec_id)`` — a partition-independent total order, so the
+    centroids are bit-identical under any partitioning/parallelism
+    (each executor ships only its local top-n_sample:
+    TakeOrderedAndProject), and the hash order makes the sample (and
+    the k-means init, its first n_centroids rows) uniform over the
+    corpus rather than biased to the lowest ids. Only the O(n_sample x
+    dim) sample ever reaches the driver; Lloyd runs in numpy on it,
+    and the per-vector assignment stays a distributed broadcast-matmul
+    pass (``ivf_assign``). At 100 TB: same plan, n_sample ~= 100k
+    rows, centroids retrain offline."""
     sample = (_emb_double(emb).select("vec_id", "emb")
-              .orderBy("vec_id").limit(n_sample).collect())
+              .withColumn("h", F.xxhash64("vec_id"))
+              .orderBy("h", "vec_id").limit(n_sample).collect())
     x = np.asarray([r.emb for r in sample], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     c = x[:n_centroids].copy()

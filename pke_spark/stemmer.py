@@ -175,7 +175,16 @@ def _stemmers() -> dict:
     return {"porter": porter_stem,
             "spanish": snowball.spanish_stem,
             "french": snowball.french_stem,
-            "german": snowball.german_stem}
+            "german": snowball.german_stem,
+            "russian": snowball.russian_stem,
+            "dutch": snowball.dutch_stem,
+            "swedish": snowball.swedish_stem,
+            "norwegian": snowball.norwegian_stem,
+            "danish": snowball.danish_stem,
+            "italian": snowball.italian_stem,
+            "portuguese": snowball.portuguese_stem,
+            "romanian": snowball.romanian_stem,
+            "finnish": snowball.finnish_stem}
 
 
 def stem_series(s: pd.Series, stemmer: str = "porter") -> pd.Series:

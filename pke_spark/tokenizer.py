@@ -54,10 +54,12 @@ _RE_NON_ALNUM = re.compile(NON_ALNUM)
 PROFILES: dict[str, dict] = {
     # camel splits + ASCII alnum tokens (identifiers, English)
     "code": {"camel": True, "nontoken": NON_ALNUM},
-    # accented Latin: a-z + Latin-1 Supplement lowercase letters
-    # (includes fr/de/es/it/pt/ro/da/sv/nb/fi coverage) + oe ligature
-    "latin": {"camel": False, "nontoken": "[^a-z0-9ßà-ö"
-                                          "ø-ÿœ]+"},
+    # accented Latin: a-z + Latin-1 Supplement lowercase letters +
+    # Latin Extended-A (ā..ž: covers œ š ž ă ł ...) + Extended-B
+    # Ș/ș Ț/ț (Romanian). Literal characters, not \u escapes, so the
+    # pattern bytes are identical in java.util.regex, re, and RE2.
+    "latin": {"camel": False,
+              "nontoken": "[^a-z0-9ßà-öø-ÿĀ-ſȘ-ț]+"},
     # Cyrillic + ASCII alnum (mixed ru prose quoting code/identifiers)
     "cyrillic": {"camel": False,
                  "nontoken": "[^a-z0-9а-яё]+"},

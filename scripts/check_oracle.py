@@ -50,10 +50,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    kinds = entry.oracle_kinds()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        kind = kinds.get(name, "derived")
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"  {name:28s} rows={len(sdf):6d}  (rows-only, no oracle)")
@@ -74,7 +76,7 @@ def main() -> int:
                              b[neq].head(3).add_suffix("_duck")], axis=1))
             ok = False
         if ok:
-            print(f"  {name:28s} rows={len(a):6d}  OK")
+            print(f"  {name:28s} rows={len(a):6d}  OK  [{kind}]")
         else:
             failures.append(name)
     spark.stop()

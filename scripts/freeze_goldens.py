@@ -42,8 +42,8 @@ ROWS_ONLY = [
     "ann_lsh_topk", "ann_ivf_topk", "yake_full", "kea_predict",
     "wingnus_predict",
 ]
-SF_DIR = "/root/testdata/sf0.01"
-GOLDEN_DIR = "/root/repo/tests/golden"
+SF_DIR = os.environ.get("FREEZE_SF_DIR", "/root/testdata/sf0.01")
+GOLDEN_DIR = os.environ.get("FREEZE_GOLDEN_DIR", "/root/repo/tests/golden")
 
 
 def normalize(df):

@@ -87,6 +87,11 @@ import os as _os
 if _os.environ.get("SCALE_DIRECT") == "1":
     from pke_spark.index.build import build_index_direct
     build_index_direct(docs, ix_dir, n_docs=n_docs, n_salts=8)
+elif _os.environ.get("SCALE_TEED") == "1":
+    # teed checkpointed mode: segments written as a side effect of the
+    # single fused encode pass (VERDICT r3 item 3)
+    from pke_spark.index.build import build_index_teed
+    build_index_teed(docs, ix_dir, n_docs=n_docs, n_parts=32, n_salts=8)
 else:
     build_index(docs, ix_dir, n_parts=32, n_salts=8, driver_stats_max_bytes=0)
 print("ELAPSED", time.time() - t0)
@@ -130,6 +135,8 @@ def main() -> None:
     out = {
         "mode": ("direct (single-pass, no segment checkpoint)"
                  if os.environ.get("SCALE_DIRECT") == "1"
+                 else "teed (single-pass, segments teed as side effect)"
+                 if os.environ.get("SCALE_TEED") == "1"
                  else "default (segment-checkpointed one-shot)"),
         "n_docs": n_docs,
         "n_low": N_LOW,
@@ -147,6 +154,7 @@ def main() -> None:
     }
     os.makedirs("/root/repo/benchmarks", exist_ok=True)
     fname = ("scaling_direct.json" if os.environ.get("SCALE_DIRECT") == "1"
+             else "scaling_teed.json" if os.environ.get("SCALE_TEED") == "1"
              else "scaling.json")
     with open(f"/root/repo/benchmarks/{fname}", "w") as f:
         json.dump(out, f, indent=2)

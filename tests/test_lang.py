@@ -25,11 +25,14 @@ def test_stoplist_resolution_order():
     assert "der" in lang.stoplist_for("de")
     assert lang.stoplist_for("en") == TEXT_STOPWORDS
     assert lang.stoplist_for("zz") == TEXT_STOPWORDS  # unknown -> default
-    # every natural-language entry is usable as-is by the tokenizer
-    # pipeline: lowercase ASCII tokens (the tokenizer's alphabet)
+    # every natural-language entry survives its OWN language's
+    # tokenizer profile unchanged (real accented/Cyrillic forms since
+    # the Unicode profiles landed)
+    from pke_spark.tokenizer import profile_for
     for code, words in lang.STOPWORDS.items():
+        prof = profile_for(code)
         for w in words:
-            assert tokenize_text(w) == [w], (code, w)
+            assert tokenize_text(w, prof) == [w], (code, prof, w)
 
 
 def test_stemmer_fallback_semantics(caplog):
@@ -37,7 +40,7 @@ def test_stemmer_fallback_semantics(caplog):
     # fr/de/es now dispatch to the implemented Snowball variants
     assert lang.stemmer_name_for("fr") == "french"
     with caplog.at_level(logging.WARNING):
-        assert lang.stemmer_name_for("fi") == "porter"
+        assert lang.stemmer_name_for("zz") == "porter"
     assert "falling back to porter" in caplog.text
     with caplog.at_level(logging.WARNING):
         assert lang.stemmer_name_for("xx") == "porter"

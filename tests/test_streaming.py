@@ -306,3 +306,53 @@ def test_folded_epochs_travel_with_postings(spark, tmp_path):
     import os
     os.remove(f"{postings_path(ix_dir)}/{streaming.FOLDED_FILE}")
     assert streaming.read_folded_epochs(spark, ix_dir) == {0}
+
+
+@pytest.mark.timeout(300)
+def test_teed_build_equals_batch_and_refreshes(spark, tmp_path):
+    """build_index_teed: one fused pass whose teed segments must (a)
+    reproduce the batch build's postings + stats exactly and (b) keep
+    the full streaming lifecycle working (append + incremental fold,
+    then a FULL refresh from the teed segments)."""
+    from pke_spark.index.build import build_index_teed
+
+    c = with_doc_ids(synth_corpus(spark, 150, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+    part_a = docs.filter("pmod(doc_id, 3) != 2")
+    part_c = docs.filter("pmod(doc_id, 3) = 2")
+
+    ix_dir = str(tmp_path / "ix_teed")
+    build_index_teed(part_a, ix_dir, n_parts=4, n_salts=4,
+                     hot_threshold=30, block_size=32)
+    ref_dir = str(tmp_path / "ix_batch_teed")
+    build_index(part_a, ref_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
+                                  _decoded(spark, ref_dir))
+    ia, ib = IndexReader(spark, ix_dir), IndexReader(spark, ref_dir)
+    assert (ia.n_docs, round(ia.avgdl, 9)) == (ib.n_docs,
+                                               round(ib.avgdl, 9))
+
+    # streaming lifecycle on top of the teed segments
+    streaming.append_batch(part_c, ix_dir, epoch_id=0, n_parts=4)
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32, incremental=True)
+    full_dir = str(tmp_path / "ix_batch_full")
+    build_index(docs, full_dir, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
+                                  _decoded(spark, full_dir))
+    # FULL refresh re-encodes from teed segments + stream epochs
+    streaming.refresh_postings(spark, ix_dir, n_salts=4, hot_threshold=30,
+                               block_size=32)
+    pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
+                                  _decoded(spark, full_dir))
+    # identical BM25 end to end
+    pdf = docs.toPandas()
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    got = wand_topk(IndexReader(spark, ix_dir), ["build", "index"], 10,
+                    n_buckets=8).toPandas()
+    want = oracle.bm25_topk(texts, ["build", "index"], 10)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+        check_exact=False, atol=1e-9)
