@@ -26,6 +26,37 @@ from pke_spark.ops import (core, dedup, events, grammar,  # noqa: E402
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
+
+def _bm25_after_delete(s: SparkSession, d: str) -> DataFrame:
+    """Index delete path end-to-end: build -> tombstone every doc with
+    doc_id % 17 == 3 -> purge -> Block-Max WAND top-10. The purge
+    recomputes n_docs/avgdl/df exactly from the surviving postings, so
+    the DuckDB twin is simply BM25 over documents minus the deleted
+    rows (`bm25_topk_sql` with a filtered subselect). Materialized to
+    literal rows so the temp index dir can be removed eagerly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pke_spark.index.build import IndexReader, build_index
+    from pke_spark.index.delete import delete_docs, purge_deleted
+    from pke_spark.index.wand import search
+
+    docs = _docs(s, d).select("doc_id", "text")
+    ixd = tempfile.mkdtemp(prefix="pke_bm25_del_")
+    try:
+        build_index(docs, ixd, n_parts=8, n_salts=8)
+        delete_docs(s, ixd,
+                    docs.filter(F.col("doc_id") % 17 == 3).select("doc_id"))
+        purge_deleted(s, ixd)
+        rows = search(IndexReader(s, ixd), BM25_QUERY, 10)
+    finally:
+        shutil.rmtree(ixd, ignore_errors=True)
+    return s.createDataFrame(
+        [(int(r), int(dd), float(sc)) for r, dd, sc in rows],
+        "rank int, doc_id long, score double")
+
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
 BM25_QUERY = ["spark", "join", "window"]
@@ -57,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": lambda s, d: core.bm25_topk(_docs(s, d), BM25_QUERY, 10),
         "bm25_hot": lambda s, d: core.bm25_topk(_docs(s, d), BM25_HOT_QUERY, 10),
         "bm25_miss": lambda s, d: core.bm25_topk(_docs(s, d), BM25_MISS_QUERY, 10),
+        "bm25_after_delete": _bm25_after_delete,
         "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
             _docs(s, d)),
         "tfidf_stemmed": lambda s, d: stemmed.tfidf_stemmed_topk(_docs(s, d), 3),
@@ -138,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": core.bm25_topk_sql(BM25_QUERY, 10),
         "bm25_hot": core.bm25_topk_sql(BM25_HOT_QUERY, 10),
         "bm25_miss": core.bm25_topk_sql(BM25_MISS_QUERY, 10),
+        "bm25_after_delete": core.bm25_topk_sql(
+            BM25_QUERY, 10,
+            table="(SELECT * FROM documents WHERE NOT (doc_id % 17 = 3))"),
         "token_counts_stemmed": stemmed.token_counts_stemmed_sql(),
         "tfidf_stemmed": stemmed.tfidf_stemmed_topk_sql(3),
         "stemmed_candidates": stemmed.stemmed_candidates_sql(),

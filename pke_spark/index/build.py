@@ -1071,6 +1071,11 @@ class IndexReader:
         self.cache = cache
         self._post: DataFrame | None = None
         self._term_df: dict[str, int] | None = None
+        # tombstones resolve at construction, like the postings pointer:
+        # a reader serves the live set it saw when built (cheap — a glob
+        # plus a small parquet read only when deletes exist)
+        from .delete import load_tombstones
+        self._tomb = load_tombstones(index_dir)
         st = spark.read.parquet(f"{index_dir}/stats").first()
         self.n_docs = st.n_docs
         self.avgdl = st.avgdl
@@ -1123,6 +1128,14 @@ class IndexReader:
                 if cache[t] > 0:
                     out[t] = cache[t]
         return out
+
+    def tombstones(self):
+        """Sorted int64 array of tombstoned ids in posting space
+        (ordinals when dense) — empty array when the index has no
+        deletes. Loaded at construction: like the postings-pointer
+        resolution, a reader serves the live set it saw at
+        construction; deletes issued later need a new reader."""
+        return self._tomb
 
     def doc_stats(self) -> DataFrame:
         """(doc_id, dl) derived from segments (norms are embedded in the

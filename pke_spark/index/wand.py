@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from . import codec
 from .build import IndexReader
+from .delete import keep_mask
 
 K1 = 1.2
 B = 0.75
@@ -94,11 +95,18 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
     if not stats_rows:
         stats = stats.filter(F.lit(False))
 
+    tomb = ix.tombstones()
+    tb = ix.spark.sparkContext.broadcast(tomb) if tomb.size else None
+
     def _decode(pdf_iter):
+        t = tb.value if tb is not None else None
         for pdf in pdf_iter:
             frames = []
             for _, r in pdf.iterrows():
                 docs, tfs, dls = codec.decode_blocks(r["blocks"])
+                if t is not None:
+                    m = keep_mask(docs, t)
+                    docs, tfs, dls = docs[m], tfs[m], dls[m]
                 frames.append(pd.DataFrame(
                     {"term": r["term"], "doc_id": docs, "tf": tfs, "dl": dls}))
             if frames:
@@ -134,6 +142,7 @@ def _driver_rows(ix: IndexReader, terms: list[str], k: int,
         f"SELECT term, blocks FROM "
         f"read_parquet('{ix.postings_dir}/*.parquet') "
         f"WHERE term IN ({inlist})").fetchall()
+    tomb = ix.tombstones()
     n, avgdl = float(ix.n_docs), float(ix.avgdl)
     dfs = ix.term_dfs(terms)
     acc = pd.Series(dtype=np.float64)
@@ -145,6 +154,9 @@ def _driver_rows(ix: IndexReader, terms: list[str], k: int,
             # DuckDB returns the struct array as a list of dicts, which
             # codec.decode_blocks accepts directly
             d, tf, dl = codec.decode_blocks(blocks)
+            if tomb.size:
+                m = keep_mask(d, tomb)
+                d, tf, dl = d[m], tf[m], dl[m]
             tff = tf.astype(np.float64)
             dlf = dl.astype(np.float64)
             c = idf * (tff * (k1 + 1.0)) / \
@@ -232,6 +244,8 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
                 .drop("b1", "b2"))
 
     idfs = {t: _idf(n_docs, df) for t, df in term_df.items()}
+    tombs = ix.tombstones()
+    tb = ix.spark.sparkContext.broadcast(tombs) if tombs.size else None
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         """Exact two-pass block-max top-k for one docID-range bucket.
@@ -278,6 +292,8 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
                 row = g.iloc[j]
                 d, tf, dl = codec.decode_block(row)
                 m = (d >= lo) & (d <= hi)
+                if tb is not None:
+                    m &= keep_mask(d, tb.value)
                 cache[key] = (d[m], tf[m], dl[m])
             return cache[key]
 
@@ -377,11 +393,18 @@ def bm25_topk_batch(ix: IndexReader, queries: dict[str, list[str]],
         sorted(dfs.items()), "term string, df long"))
     post = ix.term_postings(sorted(dfs))
 
+    tomb = ix.tombstones()
+    tb2 = ix.spark.sparkContext.broadcast(tomb) if tomb.size else None
+
     def _decode(pdf_iter):
+        t = tb2.value if tb2 is not None else None
         for pdf in pdf_iter:
             frames = []
             for _, r in pdf.iterrows():
                 docs, tfs, dls = codec.decode_blocks(r["blocks"])
+                if t is not None:
+                    m = keep_mask(docs, t)
+                    docs, tfs, dls = docs[m], tfs[m], dls[m]
                 frames.append(pd.DataFrame(
                     {"term": r["term"], "doc_id": docs,
                      "tf": tfs, "dl": dls}))

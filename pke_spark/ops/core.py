@@ -104,9 +104,14 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tc GROUP BY term
 
 
 def bm25_topk_sql(query_terms: list[str], k: int = 10,
-                  k1: float = K1, b: float = B) -> str:
+                  k1: float = K1, b: float = B,
+                  table: str = "documents") -> str:
+    """``table`` may be any relation expression (e.g. a filtered
+    subselect) — used by the delete-path oracle, where BM25 over the
+    purged index must equal BM25 over the corpus minus the deleted
+    docs."""
     qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
-    return f"""WITH {duckdb_toks_cte()},
+    return f"""WITH {duckdb_toks_cte(table=table)},
 tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
 g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
