@@ -22,7 +22,16 @@ engine's immutable-fragment LSM layout:
   pass through byte-identical), recomputes n_docs/avgdl exactly from
   the surviving postings, and adopts the result with the same
   crash-safe versioned-dir + POSTINGS_CURRENT pointer swap as
-  build/refresh/compact. Tombstone batches that existed when the
+  build/refresh/compact. It ALSO filters the durable token
+  checkpoints (``segments/``, ``segments_stream/``) via
+  ``purge_segment_checkpoints`` so a later full refresh, resume, or
+  duplicate-guard scan never sees the deleted docs — without this a
+  rebuild would resurrect them. ``refresh_postings(incremental=False)``
+  applies outstanding tombstones the same way before re-encoding (a
+  full refresh is a rewrite anyway — the natural purge moment, like a
+  Lucene segment merge) and clears them after its pointer swap;
+  essential for DENSE indexes, where a rebuild reassigns ordinals and
+  stale ordinal-space tombstones would otherwise mask the wrong docs. Tombstone batches that existed when the
   purge STARTED are unlinked after the swap; batches appended during
   the purge survive it (their docs were not purged). A crash between
   swap and unlink leaves stale tombstones whose docs are already
@@ -117,6 +126,105 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     return int(n)
 
 
+def load_tombstone_doc_ids(index_dir: str) -> np.ndarray:
+    """Tombstoned ids in RAW doc_id space (the ``doc_id`` column kept
+    alongside ``pid`` at delete time), sorted unique int64. Used to
+    filter the segments checkpoints, which store raw doc_ids even when
+    the postings are dense-ordinal."""
+    files = _tombstone_files(index_dir)
+    if not files:
+        return np.empty(0, np.int64)
+    import duckdb
+    pat = os.path.join(index_dir, TOMBSTONE_DIR, "del_*", "*.parquet")
+    rows = duckdb.connect().execute(
+        f"SELECT DISTINCT doc_id FROM read_parquet('{pat}') ORDER BY doc_id"
+    ).fetchall()
+    return np.asarray([r[0] for r in rows], np.int64)
+
+
+def clear_tombstones(index_dir: str, snapshot: list[str] | None = None):
+    """Unlink applied tombstone batches (the files in ``snapshot``, or
+    all current ones) and sweep empty del_* dirs. Batches appended
+    after the snapshot was taken survive — their docs were not
+    applied."""
+    import shutil
+    for f in (snapshot if snapshot is not None
+              else _tombstone_files(index_dir)):
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+    for d in _glob.glob(os.path.join(index_dir, TOMBSTONE_DIR, "del_*")):
+        try:
+            if not any(x.endswith(".parquet") for x in os.listdir(d)):
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def purge_segment_checkpoints(spark: SparkSession, index_dir: str) -> int:
+    """Filter tombstoned docs out of the durable token checkpoints
+    (``segments/`` and ``segments_stream/``), so a later full refresh
+    or resume cannot resurrect deleted docs and the streaming
+    duplicate guard accepts a re-append of a purged doc_id.
+
+    Crash-safe with NO pointer machinery: each parquet file is
+    rewritten independently (read -> mask -> write sibling tmp ->
+    ``os.replace``, atomic per file), files without hits are left
+    byte-identical, and the tombstones that drove the filter are only
+    unlinked by the CALLER after everything else commits — so a crash
+    at any point leaves a mix of filtered and unfiltered files plus
+    intact tombstones, and a retry simply re-filters (a no-op on
+    already-clean files). Distributed: the file list fans out over
+    executors; each task touches only its own files. Returns rows
+    removed. (Single-filesystem rename semantics, like the build's
+    hardlink-adopt path — on a DFS deployment this maps to the store's
+    atomic per-file rename.)"""
+    dead = load_tombstone_doc_ids(index_dir)
+    if dead.size == 0:
+        return 0
+    files = sorted(
+        _glob.glob(os.path.join(index_dir, "segments", "*", "*.parquet"))
+        + _glob.glob(os.path.join(index_dir, "segments_stream",
+                                  "*", "*", "*.parquet")))
+    if not files:
+        return 0
+    bc = spark.sparkContext.broadcast(dead)
+
+    def _filter_files(pdf_iter):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        t = bc.value
+        for pdf in pdf_iter:
+            removed = []
+            for p in pdf["path"]:
+                tbl = pq.read_table(p)
+                ids = tbl.column("doc_id").to_numpy()
+                keep = keep_mask(ids, t)
+                n_dead = int(len(ids) - keep.sum())
+                if n_dead:
+                    tmp = p + ".purge.tmp"
+                    pq.write_table(tbl.filter(pa.array(keep)), tmp)
+                    os.replace(tmp, p)
+                    # Hadoop's local FS keeps .<name>.crc checksum
+                    # sidecars; a stale one turns the rewritten file
+                    # into a ChecksumException on the next Spark read
+                    crc = os.path.join(os.path.dirname(p),
+                                       f".{os.path.basename(p)}.crc")
+                    try:
+                        os.unlink(crc)
+                    except OSError:
+                        pass
+                removed.append(n_dead)
+            yield pd.DataFrame({"removed": removed})
+
+    fdf = spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(min(len(files), 64))
+    n = fdf.mapInPandas(_filter_files, "removed long") \
+        .agg(F.sum("removed").alias("n")).first().n
+    return int(n or 0)
+
+
 def keep_mask(docs: np.ndarray, tomb: np.ndarray) -> np.ndarray:
     """Boolean mask of docs NOT in the sorted tombstone array."""
     if tomb.size == 0:
@@ -139,6 +247,10 @@ def purge_deleted(spark: SparkSession, index_dir: str, *,
     tomb = load_tombstones(index_dir)
     if tomb.size == 0:
         return 0
+    # durable token checkpoints first (idempotent, per-file atomic):
+    # a crash after this leaves clean segments + intact tombstones, and
+    # the retry's segment pass is a no-op
+    purge_segment_checkpoints(spark, index_dir)
     bc = spark.sparkContext.broadcast(tomb)
     cur = postings_path(index_dir)
     p = spark.read.parquet(cur)
@@ -214,16 +326,5 @@ def purge_deleted(spark: SparkSession, index_dir: str, *,
         new_name, "purge_deleted", -1, "done", int(tomb.size), 0, 0,
         "", time.time())])
     # applied tombstones: best-effort unlink of the start-time snapshot
-    for f in snapshot:
-        try:
-            os.unlink(f)
-        except OSError:
-            pass
-    for d in _glob.glob(os.path.join(index_dir, TOMBSTONE_DIR, "del_*")):
-        try:
-            if not any(x.endswith(".parquet") for x in os.listdir(d)):
-                import shutil
-                shutil.rmtree(d, ignore_errors=True)
-        except OSError:
-            pass
+    clear_tombstones(index_dir, snapshot)
     return int(tomb.size)

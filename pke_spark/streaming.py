@@ -107,6 +107,17 @@ def refresh_postings(spark: SparkSession, index_dir: str, *,
                           hot_threshold=hot_threshold,
                           block_size=block_size)
         return
+    # apply outstanding deletes BEFORE re-encoding: a full refresh is a
+    # rewrite anyway (the natural purge moment, like a Lucene segment
+    # merge), and a DENSE rebuild reassigns ordinals — stale
+    # ordinal-space tombstones would mask the wrong docs. Segment
+    # filtering is idempotent/per-file-atomic; the tombstones are
+    # cleared only after the pointer swap commits, so any crash retries
+    # cleanly (see delete.py::purge_segment_checkpoints).
+    from .index.delete import (_tombstone_files, clear_tombstones,
+                               purge_segment_checkpoints)
+    tomb_snapshot = _tombstone_files(index_dir)
+    purge_segment_checkpoints(spark, index_dir)
     new_name = f"postings_{uuid.uuid4().hex[:12]}"
     n_docs, avgdl, hot_threshold = encode_postings(
         spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
@@ -125,6 +136,7 @@ def refresh_postings(spark: SparkSession, index_dir: str, *,
     write_folded_epochs(f"{index_dir}/{new_name}", set(epochs))
     swap_postings(index_dir, new_name)
     write_stats(index_dir, n_docs, avgdl, hot_threshold, block_size)
+    clear_tombstones(index_dir, tomb_snapshot)
     if epochs:
         _append_manifest(spark, index_dir, [(
             f"fold_{uuid.uuid4().hex[:8]}", "refresh_fold", int(e),

@@ -187,6 +187,89 @@ def test_dense_delete_translates_and_matches_sparse(
             atol=1e-9, obj=f"dense post-purge q={q}")
 
 
+def test_purge_cleans_segment_checkpoints_no_resurrection(
+        corpus, spark, deleted_index, tmp_path):
+    """The durable segments/ checkpoint must also drop purged docs —
+    otherwise refresh_postings(incremental=False) re-encodes them back
+    into the postings (resurrection)."""
+    from pke_spark import streaming
+    _, texts = corpus
+    src, deleted = deleted_index
+    d = str(tmp_path / "ixr")
+    shutil.copytree(src, d)
+    purge_deleted(spark, d)
+    seg = spark.read.parquet(f"{d}/segments")
+    assert seg.filter(seg.doc_id.isin([int(x) for x in deleted])).count() == 0
+    streaming.refresh_postings(spark, d, n_salts=4, hot_threshold=50,
+                               block_size=32, incremental=False)
+    surviving = {k: v for k, v in texts.items() if k not in set(deleted)}
+    ix = IndexReader(spark, d)
+    assert ix.n_docs == len(surviving)
+    for q in QUERIES[:3]:
+        want = oracle.bm25_topk(surviving, q, 10)
+        got = wand_topk(ix, q, 10, n_buckets=8).toPandas()
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": "int64"}), want, check_exact=False,
+            atol=1e-9, obj=f"post-refresh q={q}")
+
+
+def test_full_refresh_applies_outstanding_tombstones(
+        corpus, spark, deleted_index, tmp_path):
+    """refresh_postings(incremental=False) with tombstones outstanding
+    = purge: segments filtered, stats exact, tombstones consumed."""
+    from pke_spark import streaming
+    _, texts = corpus
+    src, deleted = deleted_index
+    d = str(tmp_path / "ixf")
+    shutil.copytree(src, d)  # tombstones present, NOT purged
+    assert load_tombstones(d).size == len(deleted)
+    streaming.refresh_postings(spark, d, n_salts=4, hot_threshold=50,
+                               block_size=32, incremental=False)
+    assert load_tombstones(d).size == 0
+    surviving = {k: v for k, v in texts.items() if k not in set(deleted)}
+    ix = IndexReader(spark, d)
+    assert ix.n_docs == len(surviving)
+    for q in QUERIES[:3]:
+        want = oracle.bm25_topk(surviving, q, 10)
+        got = wand_topk(ix, q, 10, n_buckets=8).toPandas()
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": "int64"}), want, check_exact=False,
+            atol=1e-9, obj=f"refresh-applies q={q}")
+
+
+def test_update_lifecycle_delete_purge_reappend_fold(
+        corpus, spark, tmp_path):
+    """Document UPDATE = delete -> purge -> re-append (same doc_id,
+    new text) -> incremental fold. The duplicate guard must accept the
+    re-append (the purged id is gone from every checkpoint) and
+    queries must reflect the NEW text."""
+    from pke_spark import streaming
+    docs, texts = corpus
+    d = str(tmp_path / "ixu")
+    _build(docs, d)
+    victim = int(sorted(texts)[0])
+    delete_docs(spark, d, [victim])
+    purge_deleted(spark, d)
+    new_text = "zzupdated zzupdated freshly updated document body"
+    upd = spark.createDataFrame([(victim, new_text)], "doc_id long, text string")
+    streaming.append_batch(upd, d, epoch_id=0, n_parts=4)
+    # duplicate guard must NOT raise: the old version was purged
+    streaming.refresh_postings(spark, d, n_salts=4, hot_threshold=50,
+                               block_size=32, incremental=True)
+    expected = dict(texts)
+    expected[victim] = new_text
+    ix = IndexReader(spark, d)
+    assert ix.n_docs == len(expected)
+    got = wand_topk(ix, ["zzupdated"], 10, n_buckets=8).toPandas()
+    assert got.doc_id.tolist() == [victim]
+    for q in QUERIES[:2]:
+        want = oracle.bm25_topk(expected, q, 10)
+        g = wand_topk(ix, q, 10, n_buckets=8).toPandas()
+        pd.testing.assert_frame_equal(
+            g.astype({"rank": "int64"}), want, check_exact=False,
+            atol=1e-9, obj=f"post-update q={q}")
+
+
 def test_delete_empty_and_manifest(spark, corpus, tmp_path):
     docs, _ = corpus
     d = str(tmp_path / "ixm")
