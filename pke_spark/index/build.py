@@ -317,8 +317,10 @@ def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def _varint_each(values) -> list[bytes]:
-    """Per-value LEB128 bytes for an array (one vectorized encode, then
-    C-level slicing)."""
+    """Per-value single-value TAGGED varint streams for an array (one
+    vectorized encode, then C-level slicing + tag prefix) — the df==1
+    fast path's equivalent of ``codec.encode_stream`` per value (a
+    1-value stream is always cheapest as varint)."""
     import numpy as np
     v = np.asarray(values, dtype=np.uint64)
     buf = codec.varint_encode(v)
@@ -329,7 +331,8 @@ def _varint_each(values) -> list[bytes]:
         tmp >>= np.uint64(7)
     offs = np.zeros(len(v) + 1, dtype=np.int64)
     np.cumsum(nb, out=offs[1:])
-    return [buf[offs[i]:offs[i + 1]] for i in range(len(v))]
+    tag = bytes([codec.TAG_VARINT])
+    return [tag + buf[offs[i]:offs[i + 1]] for i in range(len(v))]
 
 
 def _arrow_block_type():

@@ -48,3 +48,40 @@ def test_blockmax_metadata_consistent(ids, block_size):
         assert b["max_tf"] == int(span_tfs.max())
         off += n
     assert off == len(docs)
+
+
+_u64_vals = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=7),          # sub-byte widths
+        st.integers(min_value=0, max_value=2**16 - 1),
+        st.integers(min_value=0, max_value=2**64 - 1)), # full domain
+    min_size=0, max_size=300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_u64_vals)
+def test_stream_roundtrip_any_u64(vals):
+    """encode_stream picks varint or PForDelta per stream; either way
+    the roundtrip must be exact over the full uint64 domain, including
+    adversarial mixes (tiny values + 2^63 outliers = PFOR exceptions)."""
+    v = np.array(vals, dtype=np.uint64)
+    buf = codec.encode_stream(v)
+    out = codec.decode_stream(buf, len(v))
+    assert np.array_equal(out, v)
+    if len(v):
+        assert buf[0] in (codec.TAG_VARINT, codec.TAG_PFOR)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=255),
+       st.integers(min_value=0, max_value=6))
+def test_stream_pfor_beats_varint_on_narrow_values(n, width):
+    """The reason PFOR exists: n small-width values cost ~n*b bits
+    packed vs >= 8n bits as varint. The cost model must actually pick
+    it (and win) for uniform narrow streams of non-trivial length."""
+    v = (np.arange(n, dtype=np.uint64) % (1 << width)).astype(np.uint64)
+    buf = codec.encode_stream(v)
+    assert np.array_equal(codec.decode_stream(buf, n), v)
+    if n >= 32:
+        assert buf[0] == codec.TAG_PFOR
+        assert len(buf) < 1 + len(codec.varint_encode(v))
