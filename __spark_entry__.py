@@ -18,7 +18,7 @@ import math  # noqa: E402
 
 from pke_spark import golden  # noqa: E402
 from pke_spark.ops import (core, dedup, events, grammar,  # noqa: E402
-                           graph, keyphrase, similarity, stemmed,
+                           graph, keyphrase, phrase, similarity, stemmed,
                            supervised, textstats, topicrank, tpr, wingnus,
                            yake)
 
@@ -66,6 +66,14 @@ BM25_MISS_QUERY = ["zzqqxunseen"]
 # fixed ANN query vector (literal on both sides; embeddings are 64-dim)
 ANN_QUERY_VEC = [round(math.sin(i * 0.7 + 0.3), 6) for i in range(64)]
 
+# fixed positional queries (phrase = adjacent in order; proximity =
+# ordered pair within a token window). The repeated-term phrase is
+# included deliberately — it exercises the distinct-offset matching.
+PHRASE_QUERY = ["merge", "slow"]
+PHRASE_QUERY3 = ["slow", "hash", "batch"]
+PHRASE_QUERY_REP = ["batch", "batch"]
+PROX_QUERY = ("spark", "join", 5)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -89,6 +97,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hot": lambda s, d: core.bm25_topk(_docs(s, d), BM25_HOT_QUERY, 10),
         "bm25_miss": lambda s, d: core.bm25_topk(_docs(s, d), BM25_MISS_QUERY, 10),
         "bm25_after_delete": _bm25_after_delete,
+        "phrase_search": lambda s, d: phrase.phrase_topk(
+            _docs(s, d), PHRASE_QUERY, 10),
+        "phrase_search3": lambda s, d: phrase.phrase_topk(
+            _docs(s, d), PHRASE_QUERY3, 10),
+        "phrase_search_rep": lambda s, d: phrase.phrase_topk(
+            _docs(s, d), PHRASE_QUERY_REP, 10),
+        "proximity_search": lambda s, d: phrase.proximity_topk(
+            _docs(s, d), *PROX_QUERY, 10),
         "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
             _docs(s, d)),
         "tfidf_stemmed": lambda s, d: stemmed.tfidf_stemmed_topk(_docs(s, d), 3),
@@ -173,6 +189,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_after_delete": core.bm25_topk_sql(
             BM25_QUERY, 10,
             table="(SELECT * FROM documents WHERE NOT (doc_id % 17 = 3))"),
+        "phrase_search": phrase.phrase_topk_sql(PHRASE_QUERY, 10),
+        "phrase_search3": phrase.phrase_topk_sql(PHRASE_QUERY3, 10),
+        "phrase_search_rep": phrase.phrase_topk_sql(PHRASE_QUERY_REP, 10),
+        "proximity_search": phrase.proximity_topk_sql(*PROX_QUERY, 10),
         "token_counts_stemmed": stemmed.token_counts_stemmed_sql(),
         "tfidf_stemmed": stemmed.tfidf_stemmed_topk_sql(3),
         "stemmed_candidates": stemmed.stemmed_candidates_sql(),

@@ -109,6 +109,25 @@ def main() -> None:
                     10).count()
     results["bm25_batch21"] = round(time.time() - t0, 3)
 
+    # ---- headline 2c: positional sidecar + phrase/proximity queries --
+    from pke_spark.index.positions import (build_positions, positions_dir,
+                                           phrase_topk_indexed,
+                                           proximity_topk_indexed)
+    t0 = time.time()
+    build_positions(docs, ix_dir, n_salts=8)
+    results["positions_build"] = round(time.time() - t0, 3)
+    pos_extras = {"positions_bytes": _dir_bytes(positions_dir(ix_dir))}
+    t0 = time.time()
+    phrase_topk_indexed(spark, ix_dir, ["core", "lib"], 10).collect()
+    results["phrase_indexed_hot"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    phrase_topk_indexed(spark, ix_dir, ["marker", "uniq", "tok"],
+                        10).collect()
+    results["phrase_indexed_3term"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    proximity_topk_indexed(spark, ix_dir, "def", "return", 8, 10).collect()
+    results["proximity_indexed"] = round(time.time() - t0, 3)
+
     # ---- serving QPS: sustained 200-query load (VERDICT r2 item 8) --
     # 200 distinct queries (the 21-query set + uniq-token variants);
     # batch mode amortizes one Spark job over the set, sequential mode
@@ -183,6 +202,7 @@ def main() -> None:
         "serving": serving,
         "model_throughput": model_tput,
         **dense_extras,
+        **pos_extras,
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks")
