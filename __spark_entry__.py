@@ -17,10 +17,10 @@ sys.path.insert(0, "/root/repo")
 import math  # noqa: E402
 
 from pke_spark import golden  # noqa: E402
-from pke_spark.ops import (core, dedup, events, grammar,  # noqa: E402
-                           graph, keyphrase, phrase, similarity, stemmed,
-                           supervised, textstats, topicrank, tpr, wingnus,
-                           yake)
+from pke_spark.ops import (boolquery, core, dedup, events,  # noqa: E402
+                           grammar, graph, keyphrase, phrase, similarity,
+                           stemmed, supervised, textstats, topicrank, tpr,
+                           wingnus, yake)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,6 +74,9 @@ PHRASE_QUERY3 = ["slow", "hash", "batch"]
 PHRASE_QUERY_REP = ["batch", "batch"]
 PROX_QUERY = ("spark", "join", 5)
 
+# fixed boolean query: require both, boost one, exclude one
+BOOL_QUERY = (["spark", "join"], ["window"], ["vector"])
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -105,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), PHRASE_QUERY_REP, 10),
         "proximity_search": lambda s, d: phrase.proximity_topk(
             _docs(s, d), *PROX_QUERY, 10),
+        "boolean_search": lambda s, d: boolquery.boolean_bm25_topk(
+            _docs(s, d), *BOOL_QUERY, 10),
         "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
             _docs(s, d)),
         "tfidf_stemmed": lambda s, d: stemmed.tfidf_stemmed_topk(_docs(s, d), 3),
@@ -193,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search3": phrase.phrase_topk_sql(PHRASE_QUERY3, 10),
         "phrase_search_rep": phrase.phrase_topk_sql(PHRASE_QUERY_REP, 10),
         "proximity_search": phrase.proximity_topk_sql(*PROX_QUERY, 10),
+        "boolean_search": boolquery.boolean_bm25_topk_sql(*BOOL_QUERY, 10),
         "token_counts_stemmed": stemmed.token_counts_stemmed_sql(),
         "tfidf_stemmed": stemmed.tfidf_stemmed_topk_sql(3),
         "stemmed_candidates": stemmed.stemmed_candidates_sql(),

@@ -128,6 +128,12 @@ def main() -> None:
     proximity_topk_indexed(spark, ix_dir, "def", "return", 8, 10).collect()
     results["proximity_indexed"] = round(time.time() - t0, 3)
 
+    # ---- headline 2d: boolean-filtered BM25 (driver-native path) ----
+    from pke_spark.index.wand import boolean_search
+    t0 = time.time()
+    boolean_search(ix, ["def", "return"], ["core"], ["lexer"], 10)
+    results["boolean_indexed"] = round(time.time() - t0, 3)
+
     # ---- serving QPS: sustained 200-query load (VERDICT r2 item 8) --
     # 200 distinct queries (the 21-query set + uniq-token variants);
     # batch mode amortizes one Spark job over the set, sequential mode

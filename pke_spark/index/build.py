@@ -1074,6 +1074,9 @@ class IndexReader:
         self.cache = cache
         self._post: DataFrame | None = None
         self._term_df: dict[str, int] | None = None
+        self._decoded = None
+        self._decoded_rows = 0
+        self._duck = None
         # tombstones resolve at construction, like the postings pointer:
         # a reader serves the live set it saw when built (cheap — a glob
         # plus a small parquet read only when deletes exist)
@@ -1112,10 +1115,9 @@ class IndexReader:
         cache = self._term_df
         missing = [t for t in dict.fromkeys(terms) if t not in cache]
         if missing:
-            import duckdb
             inlist = ", ".join("'" + t.replace("'", "''") + "'"
                                for t in missing)
-            rows = duckdb.connect().execute(
+            rows = self._duckdb().execute(
                 f"SELECT term, sum(df) FROM "
                 f"read_parquet('{self.postings_dir}/*.parquet') "
                 f"WHERE term IN ({inlist}) GROUP BY term").fetchall()
@@ -1131,6 +1133,72 @@ class IndexReader:
                 if cache[t] > 0:
                     out[t] = cache[t]
         return out
+
+    # decoded-postings LRU bound, in posting ROWS (not terms): a hot
+    # term's list is n_docs long, a cold term's is 1 — bounding by rows
+    # bounds driver memory (~24 bytes/row -> ~100 MB at the default)
+    POSTINGS_CACHE_MAX_ROWS = 4_000_000
+
+    def decoded_postings(self, terms: list[str]) -> dict:
+        """term -> (doc_ids, tfs, dls) numpy arrays, concatenated over
+        the term's fragments with tombstones already applied — the
+        driver serving path's working set. Misses are fetched in ONE
+        term-pruned parquet point read (all missing terms per call) and
+        kept in an LRU bounded by total cached posting rows, so a
+        sustained query stream stops re-reading and re-decoding its hot
+        terms entirely. Sound to cache per reader: both the postings
+        pointer and the tombstone set are fixed at reader construction.
+        Empty results are cached too (repeated miss-queries are free)."""
+        from collections import OrderedDict
+        if self._decoded is None:
+            self._decoded = OrderedDict()
+            self._decoded_rows = 0
+        cache = self._decoded
+        missing = [t for t in dict.fromkeys(terms) if t not in cache]
+        if missing:
+            from . import codec
+            from .delete import keep_mask
+            inlist = ", ".join("'" + t.replace("'", "''") + "'"
+                               for t in missing)
+            rows = self._duckdb().execute(
+                f"SELECT term, blocks FROM "
+                f"read_parquet('{self.postings_dir}/*.parquet') "
+                f"WHERE term IN ({inlist})").fetchall()
+            got: dict[str, list] = {t: [] for t in missing}
+            for term, blocks in rows:
+                got[term].append(codec.decode_blocks(blocks))
+            import numpy as np
+            for t in missing:
+                if got[t]:
+                    d = np.concatenate([g[0] for g in got[t]])
+                    tf = np.concatenate([g[1] for g in got[t]])
+                    dl = np.concatenate([g[2] for g in got[t]])
+                    if self._tomb.size:
+                        m = keep_mask(d, self._tomb)
+                        d, tf, dl = d[m], tf[m], dl[m]
+                else:
+                    d = np.empty(0, np.int64)
+                    tf = dl = np.empty(0, np.int64)
+                cache[t] = (d, tf, dl)
+                self._decoded_rows += len(d)
+            while (self._decoded_rows > self.POSTINGS_CACHE_MAX_ROWS
+                   and len(cache) > len(terms)):
+                _, (d, _t, _d2) = cache.popitem(last=False)
+                self._decoded_rows -= len(d)
+        out = {}
+        for t in dict.fromkeys(terms):
+            if t in cache:
+                cache.move_to_end(t)
+                out[t] = cache[t]
+        return out
+
+    def _duckdb(self):
+        """One long-lived DuckDB connection per reader: per-query
+        connection setup is pure overhead on the serving path."""
+        if self._duck is None:
+            import duckdb
+            self._duck = duckdb.connect()
+        return self._duck
 
     def tombstones(self):
         """Sorted int64 array of tombstoned ids in posting space

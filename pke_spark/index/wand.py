@@ -135,33 +135,27 @@ DRIVER_FASTPATH_MAX_DF = 200_000
 
 def _driver_rows(ix: IndexReader, terms: list[str], k: int,
                  k1: float, b: float) -> list[tuple]:
-    """Driver fast path core: (rank, doc_id, score) tuples."""
-    import duckdb
-    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    rows = duckdb.connect().execute(
-        f"SELECT term, blocks FROM "
-        f"read_parquet('{ix.postings_dir}/*.parquet') "
-        f"WHERE term IN ({inlist})").fetchall()
-    tomb = ix.tombstones()
+    """Driver fast path core: (rank, doc_id, score) tuples.
+
+    Postings come from the reader's decoded-postings LRU
+    (IndexReader.decoded_postings): one term-pruned parquet point read
+    per cache miss, zero reads for a sustained stream's hot terms —
+    tombstones are already applied inside the cache (both are fixed at
+    reader construction)."""
     n, avgdl = float(ix.n_docs), float(ix.avgdl)
     dfs = ix.term_dfs(terms)
+    posts = ix.decoded_postings(sorted(dfs))
     acc = pd.Series(dtype=np.float64)
     for t in sorted(dfs):  # fixed summation order (SURVEY §7.3)
         idf = _idf(int(n), dfs[t])
-        for term, blocks in rows:
-            if term != t:
-                continue
-            # DuckDB returns the struct array as a list of dicts, which
-            # codec.decode_blocks accepts directly
-            d, tf, dl = codec.decode_blocks(blocks)
-            if tomb.size:
-                m = keep_mask(d, tomb)
-                d, tf, dl = d[m], tf[m], dl[m]
-            tff = tf.astype(np.float64)
-            dlf = dl.astype(np.float64)
-            c = idf * (tff * (k1 + 1.0)) / \
-                (tff + k1 * (1.0 - b + b * dlf / avgdl))
-            acc = acc.add(pd.Series(c, index=d), fill_value=0.0)
+        d, tf, dl = posts[t]
+        if not len(d):
+            continue
+        tff = tf.astype(np.float64)
+        dlf = dl.astype(np.float64)
+        c = idf * (tff * (k1 + 1.0)) / \
+            (tff + k1 * (1.0 - b + b * dlf / avgdl))
+        acc = acc.add(pd.Series(c, index=d), fill_value=0.0)
     docs = acc.index.to_numpy(np.int64)
     scores = np.round(acc.to_numpy(), 6)
     order = np.lexsort((docs, -scores))[:k]
@@ -198,6 +192,72 @@ def search(ix: IndexReader, query_terms: list[str], k: int = 10,
     df = wand_topk(ix, query_terms, k, k1, b, driver_fastpath=False)
     return [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
             for r in df.collect()]
+
+
+def boolean_search(ix: IndexReader, must: list[str],
+                   should: list[str] | None = None,
+                   must_not: list[str] | None = None,
+                   k: int = 10, k1: float = K1, b: float = B
+                   ) -> list[tuple[int, int, float]]:
+    """Index-backed boolean-filtered BM25 (semantics defined and
+    oracle-gated in ``ops/boolquery.py``; parity-tested row-for-row).
+
+    Driver-native serving path: clause postings come from the reader's
+    decoded-postings LRU, the must-intersection / must_not-difference
+    are sorted-array set ops, and only surviving docs are scored. All
+    clause lists are dictionary-bounded (a handful of terms), so like
+    ``search()`` this is coordinator work; an index-side distributed
+    variant would follow wand_topk's bucket shape if clause posting
+    lists ever exceed driver memory."""
+    import numpy as np
+    should = should or []
+    must_not = must_not or []
+    if not must:
+        raise ValueError("boolean_search needs at least one must term")
+    overlap = set(must + should) & set(must_not)
+    if overlap:
+        raise ValueError(f"terms both required and excluded: {overlap}")
+    must_u = sorted(set(must))
+    dfs_must = ix.term_dfs(must_u)
+    if len(dfs_must) < len(must_u):
+        return []  # a must term is absent from the corpus
+    score_terms = sorted(ix.term_dfs(list(dict.fromkeys(must + should))))
+    posts = ix.decoded_postings(
+        sorted(set(score_terms) | set(must_u) | set(must_not)))
+    cand = None
+    for t in must_u:
+        d = posts[t][0]
+        cand = d if cand is None else np.intersect1d(cand, d,
+                                                     assume_unique=True)
+        if not len(cand):
+            return []
+    for t in sorted(set(must_not)):
+        if t in posts and len(posts[t][0]):
+            cand = cand[~np.isin(cand, posts[t][0], assume_unique=True)]
+    if not len(cand):
+        return []
+    n, avgdl = float(ix.n_docs), float(ix.avgdl)
+    dfs = ix.term_dfs(score_terms)
+    acc = pd.Series(dtype=np.float64)
+    for t in score_terms:  # fixed summation order, as _driver_rows
+        d, tf, dl = posts[t]
+        m = np.isin(d, cand, assume_unique=True)
+        if not m.any():
+            continue
+        idf = _idf(int(n), dfs[t])
+        tff = tf[m].astype(np.float64)
+        dlf = dl[m].astype(np.float64)
+        c = idf * (tff * (k1 + 1.0)) / \
+            (tff + k1 * (1.0 - b + b * dlf / avgdl))
+        acc = acc.add(pd.Series(c, index=d[m]), fill_value=0.0)
+    docs = acc.index.to_numpy(np.int64)
+    scores = np.round(acc.to_numpy(), 6)
+    order = np.lexsort((docs, -scores))[:k]
+    out = [(i + 1, int(docs[j]), float(scores[j]))
+           for i, j in enumerate(order)]
+    if ix.dense:
+        out = _translate_rows(ix, out)
+    return [(r, int(d), float(s)) for r, d, s in out]
 
 
 def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,

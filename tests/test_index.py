@@ -475,3 +475,32 @@ def test_direct_build_equals_default(corpus, spark, tmp_path):
     streaming.refresh_postings(spark, d_dir, n_salts=4, block_size=32,
                                incremental=True)
     assert IndexReader(spark, d_dir).n_docs == ia.n_docs + 5
+
+
+def test_decoded_postings_cache_serves_without_rereads(spark, index_dir):
+    """Serving-path LRU: a repeated query must touch NO parquet at all
+    the second time (both df and decoded-postings caches hit), and the
+    row-bound eviction accounting must stay consistent."""
+    from pke_spark.index.wand import search
+    ix = IndexReader(spark, index_dir)
+    q = ["def", "return", "core"]
+    first = search(ix, q, 10)
+    assert first
+
+    class _Boom:
+        def execute(self, *_a, **_k):
+            raise AssertionError("parquet re-read on a fully cached query")
+
+    saved = ix._duck
+    ix._duck = _Boom()
+    try:
+        assert search(ix, q, 10) == first
+    finally:
+        ix._duck = saved
+
+    # eviction: force a tiny row budget, then pull a disjoint term set;
+    # accounting must match the cache's real content and stay bounded
+    ix.POSTINGS_CACHE_MAX_ROWS = 1
+    search(ix, ["import", "lib"], 10)
+    assert ix._decoded_rows == sum(len(v[0]) for v in ix._decoded.values())
+    assert len(ix._decoded) <= 3  # at most the last call's working set
