@@ -287,6 +287,67 @@ def append_positions(docs_new: DataFrame, index_dir: str, *,
     salted.repartition("term", "shard").write.mode("append").parquet(cur)
 
 
+def compact_positions(spark: SparkSession, index_dir: str, *,
+                      block_size: int = codec.BLOCK_SIZE,
+                      max_merge_docs: int = 5_000_000) -> None:
+    """Offline sidecar compaction (the LSM merge step, as in
+    ``build.compact``): co-locate each (term, shard)'s fragments and
+    merge them into one doc-sorted fragment, so a long-appended sidecar
+    reads like a fresh build. Groups whose merged df would exceed
+    ``max_merge_docs`` pass through unmerged (fragments stay valid —
+    every consumer treats rows additively). New versioned dir + atomic
+    pointer swap; crash-safe like every other rewrite in this engine."""
+    cur = positions_dir(index_dir)
+    new_name = f"positions_{uuid.uuid4().hex[:12]}"
+    out = f"{index_dir}/{new_name}"
+
+    def merge(pdf_iter):
+        import pandas as pd
+        for pdf in pdf_iter:
+            rows = {"term": [], "shard": [], "df": [], "blocks": []}
+            for (term, shard), g in pdf.groupby(["term", "shard"],
+                                                sort=False):
+                total = int(g["df"].sum())
+                if len(g) == 1 or total > max_merge_docs:
+                    for _, r in g.iterrows():
+                        rows["term"].append(term)
+                        rows["shard"].append(shard)
+                        rows["df"].append(int(r["df"]))
+                        rows["blocks"].append(r["blocks"])
+                    continue
+                ds, ts, ps = [], [], []
+                for blocks in g["blocks"]:
+                    for b in blocks:
+                        d, tf, p = _decode_pos_block(b)
+                        ds.append(d)
+                        ts.append(tf)
+                        ps.append(p)
+                d = np.concatenate(ds)
+                tf = np.concatenate(ts)
+                # positions must follow their doc through the sort:
+                # reorder the flat stream by per-doc slices
+                bounds = np.zeros(len(d) + 1, dtype=np.int64)
+                np.cumsum(tf, out=bounds[1:])
+                p = np.concatenate(ps)
+                order = np.argsort(d, kind="mergesort")
+                p = np.concatenate([p[bounds[i]:bounds[i + 1]]
+                                    for i in order]) if len(order) else p
+                d, tf = d[order], tf[order]
+                rows["term"].append(term)
+                rows["shard"].append(shard)
+                rows["df"].append(int(len(d)))
+                rows["blocks"].append(
+                    _encode_pos_blocks(d, tf, p, block_size))
+            yield pd.DataFrame(rows)
+
+    (spark.read.parquet(cur)
+     .repartition("term", "shard")
+     .sortWithinPartitions("term", "shard")
+     .mapInPandas(merge, POSITIONS_SCHEMA)
+     .write.mode("overwrite").parquet(out))
+    swap_positions(index_dir, new_name)
+
+
 # ------------------------------------------------------------------ query
 
 def term_positions(spark: SparkSession, index_dir: str,

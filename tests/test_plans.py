@@ -60,3 +60,37 @@ def test_tfidf_single_count_free(spark, docs):
     assert after == before
     assert "BroadcastNestedLoopJoin" in _plan(df) or \
         "BroadcastHashJoin" in _plan(df)
+
+
+def test_phrase_no_selfjoin_chain(spark, docs):
+    # the phrase plan is the offset-shift trick: ONE aggregation over
+    # the filtered token stream — never an (n-1)-deep self-join chain
+    # that would shuffle the token table once per phrase term
+    from pke_spark.ops import phrase as P
+    plan = _plan(P.phrase_topk(docs, ["slow", "hash", "batch"], 10))
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 0
+    # exactly the broadcast of the tiny term->offset map
+    assert "BroadcastHashJoin" in plan
+
+
+def test_positions_sidecar_scan_pruned(spark, docs, tmp_path):
+    # term predicate must reach the sidecar's parquet scan, and the
+    # scan must not read the unqueried metadata columns (df, shard)
+    from pke_spark.index import positions as PX
+    d = str(tmp_path / "posix")
+    PX.build_positions(docs.limit(50), d)
+    plan = _plan(PX.term_positions(spark, d, ["merge", "slow"]))
+    assert "PushedFilters: [In(term" in plan, plan
+    import re
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "df" not in m.group(1) and "shard" not in m.group(1)
+
+
+def test_boolean_clauses_broadcast(spark, docs):
+    from pke_spark.ops import boolquery as BQ
+    plan = _plan(BQ.boolean_bm25_topk(docs, ["spark", "join"],
+                                      ["window"], ["vector"], 10))
+    assert "CartesianProduct" not in plan
+    # must_not is an anti join against a filtered (small) doc set
+    assert "LeftAnti" in plan

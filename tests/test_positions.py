@@ -161,6 +161,30 @@ def test_incremental_append_equals_full_build(spark, sf_sidecar):
             assert a.equals(b), terms
 
 
+def test_compact_positions_parity_and_merge(spark, sf_sidecar):
+    import pyarrow.dataset as ds
+    d, docs = sf_sidecar
+    half_a = docs.where("doc_id % 2 = 0")
+    half_b = docs.where("doc_id % 2 = 1")
+    with tempfile.TemporaryDirectory(prefix="pos_cmp_") as d2:
+        PX.build_positions(half_a, d2)
+        PX.append_positions(half_b, d2)
+
+        def n_frags(p):
+            return sum(f.count_rows() for f in
+                       ds.dataset(PX.positions_dir(p), format="parquet")
+                       .get_fragments())
+
+        before = n_frags(d2)
+        PX.compact_positions(spark, d2)
+        after = n_frags(d2)
+        assert after < before
+        for terms in QUERIES:
+            a = PX.phrase_topk_indexed(spark, d, terms, 10).toPandas()
+            b = PX.phrase_topk_indexed(spark, d2, terms, 10).toPandas()
+            assert a.equals(b), terms
+
+
 # -------------------------------------------------------- 5. tombstones
 
 def test_tombstoned_docs_excluded(spark, sf_sidecar):
