@@ -133,6 +133,19 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
 DRIVER_FASTPATH_MAX_DF = 200_000
 
 
+def _fastpath_bound(ix: IndexReader) -> int:
+    """Driver fast-path routing bound on a query's total posting rows.
+
+    With the reader's decoded-postings LRU, the fast path is valid (and
+    fastest) whenever the query's working set FITS THE SERVING CACHE:
+    a hot term decodes once and serves from numpy thereafter, so the
+    old fixed per-query cost bound would mis-route exactly the traffic
+    a cache exists for. At web scale the bound still routes honestly —
+    a 10^9-row mega-term exceeds any driver cache budget and falls back
+    to the distributed block-max scorer."""
+    return max(DRIVER_FASTPATH_MAX_DF, ix.POSTINGS_CACHE_MAX_ROWS)
+
+
 def _driver_rows(ix: IndexReader, terms: list[str], k: int,
                  k1: float, b: float) -> list[tuple]:
     """Driver fast path core: (rank, doc_id, score) tuples.
@@ -145,19 +158,22 @@ def _driver_rows(ix: IndexReader, terms: list[str], k: int,
     n, avgdl = float(ix.n_docs), float(ix.avgdl)
     dfs = ix.term_dfs(terms)
     posts = ix.decoded_postings(sorted(dfs))
-    acc = pd.Series(dtype=np.float64)
-    for t in sorted(dfs):  # fixed summation order (SURVEY §7.3)
+    live = [t for t in sorted(dfs) if len(posts[t][0])]
+    if not live:
+        return []
+    docs = np.unique(np.concatenate([posts[t][0] for t in live]))
+    acc = np.zeros(len(docs), dtype=np.float64)
+    for t in live:  # fixed summation order (SURVEY §7.3): per doc the
+        # contributions add in sorted-term order, the same pairwise FP
+        # sequence as the previous Series.add chain
         idf = _idf(int(n), dfs[t])
         d, tf, dl = posts[t]
-        if not len(d):
-            continue
         tff = tf.astype(np.float64)
         dlf = dl.astype(np.float64)
         c = idf * (tff * (k1 + 1.0)) / \
             (tff + k1 * (1.0 - b + b * dlf / avgdl))
-        acc = acc.add(pd.Series(c, index=d), fill_value=0.0)
-    docs = acc.index.to_numpy(np.int64)
-    scores = np.round(acc.to_numpy(), 6)
+        acc[np.searchsorted(docs, d)] += c
+    scores = np.round(acc, 6)
     order = np.lexsort((docs, -scores))[:k]
     out = [(i + 1, int(docs[j]), float(scores[j]))
            for i, j in enumerate(order)]
@@ -186,7 +202,7 @@ def search(ix: IndexReader, query_terms: list[str], k: int = 10,
     term_df = ix.term_dfs(terms)
     if not term_df:
         return []
-    if sum(term_df.values()) <= DRIVER_FASTPATH_MAX_DF:
+    if sum(term_df.values()) <= _fastpath_bound(ix):
         rows = _driver_rows(ix, sorted(term_df), k, k1, b)
         return [(r, int(d), float(s)) for r, d, s in rows]
     df = wand_topk(ix, query_terms, k, k1, b, driver_fastpath=False)
@@ -238,7 +254,9 @@ def boolean_search(ix: IndexReader, must: list[str],
         return []
     n, avgdl = float(ix.n_docs), float(ix.avgdl)
     dfs = ix.term_dfs(score_terms)
-    acc = pd.Series(dtype=np.float64)
+    cand = np.sort(cand)
+    hit = np.zeros(len(cand), dtype=bool)
+    acc = np.zeros(len(cand), dtype=np.float64)
     for t in score_terms:  # fixed summation order, as _driver_rows
         d, tf, dl = posts[t]
         m = np.isin(d, cand, assume_unique=True)
@@ -249,9 +267,11 @@ def boolean_search(ix: IndexReader, must: list[str],
         dlf = dl[m].astype(np.float64)
         c = idf * (tff * (k1 + 1.0)) / \
             (tff + k1 * (1.0 - b + b * dlf / avgdl))
-        acc = acc.add(pd.Series(c, index=d[m]), fill_value=0.0)
-    docs = acc.index.to_numpy(np.int64)
-    scores = np.round(acc.to_numpy(), 6)
+        idx = np.searchsorted(cand, d[m])
+        acc[idx] += c
+        hit[idx] = True
+    docs = cand[hit]
+    scores = np.round(acc[hit], 6)
     order = np.lexsort((docs, -scores))[:k]
     out = [(i + 1, int(docs[j]), float(scores[j]))
            for i, j in enumerate(order)]
@@ -278,7 +298,7 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
     if not term_df:
         return _rank_topk(
             ix.spark.createDataFrame([], "doc_id long, score double"), k)
-    if driver_fastpath and sum(term_df.values()) <= DRIVER_FASTPATH_MAX_DF:
+    if driver_fastpath and sum(term_df.values()) <= _fastpath_bound(ix):
         return _driver_topk(ix, sorted(term_df), k, k1, b)
     n_docs, avgdl = int(ix.n_docs), float(ix.avgdl)
 
