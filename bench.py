@@ -215,6 +215,7 @@ def main() -> None:
     for key, fname in (("scaling", "scaling.json"),
                        ("scaling_direct", "scaling_direct.json"),
                        ("scaling_teed", "scaling_teed.json"),
+                       ("scaling_positions", "scaling_positions.json"),
                        ("scaling_cluster", "scaling_cluster.json"),
                        ("scaling_cluster_direct",
                         "scaling_cluster_direct.json"),

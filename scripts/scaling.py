@@ -87,6 +87,12 @@ import os as _os
 if _os.environ.get("SCALE_DIRECT") == "1":
     from pke_spark.index.build import build_index_direct
     build_index_direct(docs, ix_dir, n_docs=n_docs, n_salts=8)
+elif _os.environ.get("SCALE_POSITIONS") == "1":
+    # positional sidecar build (round 4): same single-pass + one
+    # compressed-fragment shuffle shape as the direct build, but the
+    # payload includes every token position
+    from pke_spark.index.positions import build_positions
+    build_positions(docs, ix_dir, n_salts=8)
 elif _os.environ.get("SCALE_TEED") == "1":
     # teed checkpointed mode: segments written as a side effect of the
     # single fused encode pass (VERDICT r3 item 3)
@@ -137,6 +143,8 @@ def main() -> None:
                  if os.environ.get("SCALE_DIRECT") == "1"
                  else "teed (single-pass, segments teed as side effect)"
                  if os.environ.get("SCALE_TEED") == "1"
+                 else "positions sidecar (single-pass, position payload)"
+                 if os.environ.get("SCALE_POSITIONS") == "1"
                  else "default (segment-checkpointed one-shot)"),
         "n_docs": n_docs,
         "n_low": N_LOW,
@@ -155,6 +163,8 @@ def main() -> None:
     os.makedirs("/root/repo/benchmarks", exist_ok=True)
     fname = ("scaling_direct.json" if os.environ.get("SCALE_DIRECT") == "1"
              else "scaling_teed.json" if os.environ.get("SCALE_TEED") == "1"
+             else "scaling_positions.json"
+             if os.environ.get("SCALE_POSITIONS") == "1"
              else "scaling.json")
     with open(f"/root/repo/benchmarks/{fname}", "w") as f:
         json.dump(out, f, indent=2)
