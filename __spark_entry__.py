@@ -18,9 +18,10 @@ import math  # noqa: E402
 
 from pke_spark import golden  # noqa: E402
 from pke_spark.ops import (boolquery, core, dedup, events,  # noqa: E402
-                           grammar, graph, keyphrase, phrase, similarity,
-                           stemmed, supervised, textstats, topicrank, tpr,
-                           wingnus, yake)
+                           fielded, grammar, graph, keyphrase, phrase,
+                           querylang, similarity, snippets, stemmed,
+                           supervised, termexpand, textstats, topicrank,
+                           tpr, wingnus, yake)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +78,20 @@ PROX_QUERY = ("spark", "join", 5)
 # fixed boolean query: require both, boost one, exclude one
 BOOL_QUERY = (["spark", "join"], ["window"], ["vector"])
 
+# fielded-retrieval fixtures: a pushable metadata predicate (Lucene
+# filter semantics — full-corpus stats) and a facet field
+FIELD_PREDICATE = "lang = 'en'"
+FACET_COL = "lang"
+
+# term-expansion fixtures: 's*' expands to several vocabulary terms
+# (df-ranked, capped); 'sparc'~1 is the canonical misspelling->match
+PREFIX_QUERY = "s"
+FUZZY_QUERY = ("sparc", 1)
+
+# query-string front door: MUST + SHOULD + MUST_NOT + phrase + field
+# filter + prefix + fuzzy in one Lucene-lite string
+QUERYSTRING = '+spark join -vector lang:en "merge slow" tab* sor~1'
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -110,6 +125,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), *PROX_QUERY, 10),
         "boolean_search": lambda s, d: boolquery.boolean_bm25_topk(
             _docs(s, d), *BOOL_QUERY, 10),
+        "filtered_bm25": lambda s, d: fielded.filtered_bm25_topk(
+            _docs(s, d), BM25_QUERY, FIELD_PREDICATE, 10),
+        "facet_counts": lambda s, d: fielded.facet_counts(
+            _docs(s, d), BM25_QUERY, FACET_COL),
+        "prefix_bm25": lambda s, d: termexpand.prefix_bm25_topk(
+            _docs(s, d), PREFIX_QUERY, 10),
+        "fuzzy_bm25": lambda s, d: termexpand.fuzzy_bm25_topk(
+            _docs(s, d), FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
+        "snippet_windows": lambda s, d: snippets.snippet_windows(
+            _docs(s, d), BM25_QUERY, 10),
+        "querystring_search": lambda s, d: querylang.querystring_topk(
+            _docs(s, d), QUERYSTRING, 10),
         "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
             _docs(s, d)),
         "tfidf_stemmed": lambda s, d: stemmed.tfidf_stemmed_topk(_docs(s, d), 3),
@@ -199,6 +226,14 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_rep": phrase.phrase_topk_sql(PHRASE_QUERY_REP, 10),
         "proximity_search": phrase.proximity_topk_sql(*PROX_QUERY, 10),
         "boolean_search": boolquery.boolean_bm25_topk_sql(*BOOL_QUERY, 10),
+        "filtered_bm25": fielded.filtered_bm25_topk_sql(
+            BM25_QUERY, FIELD_PREDICATE, 10),
+        "facet_counts": fielded.facet_counts_sql(BM25_QUERY, FACET_COL),
+        "prefix_bm25": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
+        "fuzzy_bm25": termexpand.fuzzy_bm25_topk_sql(
+            FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
+        "snippet_windows": snippets.snippet_windows_sql(BM25_QUERY, 10),
+        "querystring_search": querylang.querystring_sql(QUERYSTRING, 10),
         "token_counts_stemmed": stemmed.token_counts_stemmed_sql(),
         "tfidf_stemmed": stemmed.tfidf_stemmed_topk_sql(3),
         "stemmed_candidates": stemmed.stemmed_candidates_sql(),

@@ -207,7 +207,12 @@ def _textrank_tp_doc(pdf: pd.DataFrame, stopset: set, k: int,
     if not scores:
         return empty
     to_keep = min(math.floor(len(scores) * top_percent), len(scores))
-    top_words = set(sorted(scores, key=lambda t: (-scores[t], t))[:int(to_keep)])
+    # Round to the engine's 6-decimal convention BEFORE the cut: raw
+    # float scores can differ by an ulp across BLAS builds, and an
+    # unrounded sort key would flip which of two tied words survives
+    # the top-percent boundary (observed: doc 74 'data' vs 'key').
+    top_words = set(sorted(scores,
+                           key=lambda t: (-round(scores[t], 6), t))[:int(to_keep)])
     # C4: maximal runs of tokens in the keyword set, with first offsets
     cands: dict[str, tuple[float, int]] = {}
     run: list[str] = []

@@ -1,0 +1,346 @@
+"""Lucene-lite query-string language: parse + compile to one plan.
+
+The front door that ties the whole retrieval surface together — the
+engine's analog of Lucene's classic QueryParser, restricted to the
+operators the engine actually implements (every construct below
+compiles onto an existing, independently oracle-gated scorer):
+
+    +required -excluded bare "an exact phrase" lang:en tab* spar~1
+
+Grammar (whitespace-separated clauses; quotes group):
+
+- ``word``        SHOULD term (scores, not required — unless the query
+                  has no MUST/phrase clause, in which case Lucene's
+                  BooleanQuery rule applies: a doc must match >=1
+                  scoring term to be a candidate).
+- ``+word``       MUST term (candidate docs contain it; also scores).
+- ``-word``       MUST_NOT term (candidate docs do not contain it;
+                  never scores).
+- ``"w1 w2"``     phrase: candidate docs contain the exact token
+                  sequence; its terms also score. ``+"w1 w2"`` is the
+                  same (phrases are always required); ``-"…"`` is not
+                  supported.
+- ``field:value`` metadata equality filter over the documents table
+                  (fields: ``lang``, ``source``). Non-scoring,
+                  Lucene-filter semantics: corpus stats unaffected.
+- ``word*``       prefix expansion (PrefixQuery): expands against the
+                  term dictionary, df-ranked, capped; expansions score
+                  as SHOULD terms.
+- ``word~``/``word~2``  fuzzy expansion (FuzzyQuery, max_edits 1 or 2,
+                  prefixLength 1): expansions score as SHOULD terms.
+
+Analysis: every term and phrase runs through the ENGINE tokenizer
+(``tokenize_text``), exactly as Lucene analyzes query text with the
+index analyzer — ``CamelCase`` in a query splits into the same tokens
+indexing split it into. A single word that analyzes to multiple tokens
+becomes a phrase (required if it was MUST, scoring-only if SHOULD);
+multi-token MUST_NOT / prefix / fuzzy bodies are rejected. Field
+values are metadata, never analyzed.
+
+Scoring: full-corpus-stats BM25 (k1=1.2, b=0.75, same rounding and
+(score DESC, doc_id ASC) tie-break as ``core.bm25_topk``) over the
+union of scoring terms, restricted to candidate docs.
+
+Plan shape at scale: clause lists and expansion sets are tiny and
+broadcast; candidates are semi-/anti-joins on doc_id (the shuffle key
+scoring already uses); phrase constraints reuse the single-groupBy
+phrase matcher; metadata filters are pushable predicates on the
+documents scan. One scoring aggregation, one TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import duckdb_toks_cte, sql_str_list, tokenize_text, tokens_exploded
+from .core import B, K1
+
+FILTER_FIELDS = ("lang", "source")
+_CLAUSE_RE = re.compile(r'[+-]?"[^"]*"|\S+')
+
+
+@dataclass
+class ParsedQuery:
+    must: list = field(default_factory=list)       # [str]
+    should: list = field(default_factory=list)     # [str]
+    must_not: list = field(default_factory=list)   # [str]
+    phrases: list = field(default_factory=list)    # [[str]] (required)
+    soft_phrases: list = field(default_factory=list)  # [[str]] (SHOULD
+    # words that analyzed to >1 token: their terms score, not required)
+    prefixes: list = field(default_factory=list)   # [str]
+    fuzzies: list = field(default_factory=list)    # [(str, int)]
+    filters: list = field(default_factory=list)    # [(field, value)]
+
+    @property
+    def literal_score_terms(self) -> list:
+        """Ordered-dedup union of every literal scoring term."""
+        seen: dict = {}
+        for t in self.must + self.should:
+            seen.setdefault(t, None)
+        for ph in self.phrases + self.soft_phrases:
+            for t in ph:
+                seen.setdefault(t, None)
+        return list(seen)
+
+    @property
+    def has_required(self) -> bool:
+        return bool(self.must or self.phrases)
+
+
+def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
+    pq = ParsedQuery()
+    clauses = _CLAUSE_RE.findall(qs)
+    if not clauses:
+        raise ValueError("empty query string")
+    for raw in clauses:
+        sign = ""
+        body = raw
+        if body[:1] in "+-":
+            sign, body = body[0], body[1:]
+        if not body:
+            raise ValueError(f"dangling sign in clause {raw!r}")
+        if body[0] == '"':
+            if not body.endswith('"') or len(body) < 2:
+                raise ValueError(f"unterminated quote in {raw!r}")
+            if sign == "-":
+                raise ValueError("negated phrases are not supported")
+            terms = tokenize_text(body[1:-1], profile)
+            if not terms:
+                raise ValueError(f"phrase {raw!r} analyzed to no tokens")
+            pq.phrases.append(terms)
+            continue
+        m = re.match(r"^([A-Za-z_]+):(.+)$", body)
+        if m and m.group(1) in FILTER_FIELDS:
+            if sign:
+                raise ValueError("signed field filters are not supported")
+            pq.filters.append((m.group(1), m.group(2)))
+            continue
+        if m:
+            raise ValueError(f"unknown filter field {m.group(1)!r} "
+                             f"(allowed: {FILTER_FIELDS})")
+        if body.endswith("*"):
+            if sign:
+                raise ValueError("signed prefix clauses are not supported")
+            stem = body[:-1]
+            toks = tokenize_text(stem, profile)
+            if len(toks) != 1:
+                raise ValueError(f"prefix body {stem!r} must analyze to "
+                                 f"exactly one token, got {toks}")
+            pq.prefixes.append(toks[0])
+            continue
+        fm = re.match(r"^(.+?)~([0-9]*)$", body)
+        if fm:
+            if sign:
+                raise ValueError("signed fuzzy clauses are not supported")
+            edits = int(fm.group(2)) if fm.group(2) else 1
+            if edits not in (1, 2):
+                raise ValueError("fuzzy max_edits must be 1 or 2")
+            toks = tokenize_text(fm.group(1), profile)
+            if len(toks) != 1:
+                raise ValueError(f"fuzzy body {fm.group(1)!r} must analyze "
+                                 f"to exactly one token, got {toks}")
+            pq.fuzzies.append((toks[0], edits))
+            continue
+        toks = tokenize_text(body, profile)
+        if not toks:
+            raise ValueError(f"clause {raw!r} analyzed to no tokens")
+        if len(toks) > 1:
+            if sign == "-":
+                raise ValueError(f"MUST_NOT clause {raw!r} analyzed to "
+                                 f"multiple tokens {toks}")
+            if sign == "+":
+                pq.phrases.append(toks)
+            else:
+                pq.soft_phrases.append(toks)
+        elif sign == "+":
+            pq.must.append(toks[0])
+        elif sign == "-":
+            pq.must_not.append(toks[0])
+        else:
+            pq.should.append(toks[0])
+    if not (pq.literal_score_terms or pq.prefixes or pq.fuzzies):
+        raise ValueError("query has no scoring clause (pure-negative or "
+                         "filter-only queries match nothing in Lucene)")
+    bad = set(pq.must_not) & set(pq.literal_score_terms)
+    if bad:
+        raise ValueError(f"terms both required and excluded: {sorted(bad)}")
+    return pq
+
+
+# ----------------------------------------------------------------- Spark
+
+def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
+                     max_expansions: int = 32,
+                     k1: float = K1, b: float = B) -> DataFrame:
+    """(rank, doc_id, score) for a parsed+compiled query string."""
+    from .phrase import _term_offsets
+    from .termexpand import expand_fuzzy, expand_prefix
+
+    pq = parse_querystring(qs)
+    spark = docs.sparkSession
+    toks = tokens_exploded(docs)
+
+    parts = []
+    lits = pq.literal_score_terms
+    if lits:
+        parts.append(spark.createDataFrame([(t,) for t in lits],
+                                           "term string"))
+    for p in pq.prefixes:
+        parts.append(expand_prefix(docs, p, max_expansions).select("term"))
+    for t, e in pq.fuzzies:
+        parts.append(expand_fuzzy(docs, t, e, 1, max_expansions)
+                     .select("term"))
+    qdf = parts[0]
+    for extra in parts[1:]:
+        qdf = qdf.unionByName(extra)
+    qdf = qdf.distinct()
+
+    tc_q = (toks.join(F.broadcast(qdf), "term")
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored_src = tc_q
+    if pq.filters:
+        pred = " AND ".join(
+            f"{f_} = '{v.replace(chr(39), chr(39) * 2)}'"
+            for f_, v in pq.filters)
+        scored_src = scored_src.join(
+            docs.filter(F.expr(pred)).select("doc_id"), "doc_id",
+            "left_semi")
+    if pq.must:
+        mdf = spark.createDataFrame(
+            [(t,) for t in dict.fromkeys(pq.must)], "term string")
+        m_ids = (toks.join(F.broadcast(mdf), "term")
+                 .groupBy("doc_id")
+                 .agg(F.countDistinct("term").alias("nm"))
+                 .where(F.col("nm") == len(set(pq.must)))
+                 .select("doc_id"))
+        scored_src = scored_src.join(m_ids, "doc_id", "left_semi")
+    for ph in pq.phrases:
+        n = len(ph)
+        hits = (toks.join(F.broadcast(_term_offsets(spark, ph)), "term")
+                .select("doc_id",
+                        (F.col("pos") - F.col("off")).alias("start"), "off"))
+        ph_ids = (hits.groupBy("doc_id", "start")
+                  .agg(F.countDistinct("off").alias("n_off"))
+                  .where(F.col("n_off") == n)
+                  .select("doc_id").distinct())
+        scored_src = scored_src.join(ph_ids, "doc_id", "left_semi")
+    if pq.must_not:
+        ndf = spark.createDataFrame(
+            [(t,) for t in dict.fromkeys(pq.must_not)], "term string")
+        n_ids = (toks.join(F.broadcast(ndf), "term")
+                 .select("doc_id").distinct())
+        scored_src = scored_src.join(n_ids, "doc_id", "left_anti")
+
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (scored_src.join(F.broadcast(stats_q), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(g))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
+              .select("rank", "doc_id", "score")
+
+
+# --------------------------------------------------------------- DuckDB
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
+                    k1: float = K1, b: float = B) -> str:
+    """DuckDB twin: the same parse, compiled to one CTE chain."""
+    pq = parse_querystring(qs)
+    ctes = [duckdb_toks_cte()]
+    qterm_selects = []
+    lits = pq.literal_score_terms
+    if lits:
+        qterm_selects.append(
+            "SELECT unnest([" + ", ".join(_sq(t) for t in lits)
+            + "]) AS term")
+    if pq.prefixes or pq.fuzzies:
+        ctes.append("vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT"
+                    " AS df FROM toks GROUP BY term)")
+    for i, p in enumerate(pq.prefixes):
+        ctes.append(
+            f"exp_p{i} AS (SELECT term FROM vocab "
+            f"WHERE starts_with(term, {_sq(p)}) "
+            f"ORDER BY df DESC, term ASC LIMIT {max_expansions})")
+        qterm_selects.append(f"SELECT term FROM exp_p{i}")
+    for i, (t, e) in enumerate(pq.fuzzies):
+        ctes.append(
+            f"exp_f{i} AS (SELECT term FROM vocab "
+            f"WHERE abs(length(term) - {len(t)}) <= {e} "
+            f"AND starts_with(term, {_sq(t[:1])}) "
+            f"AND levenshtein(term, {_sq(t)}) <= {e} "
+            f"ORDER BY levenshtein(term, {_sq(t)}) ASC, df DESC, term ASC "
+            f"LIMIT {max_expansions})")
+        qterm_selects.append(f"SELECT term FROM exp_f{i}")
+    ctes.append("qterms AS (SELECT DISTINCT term FROM ("
+                + " UNION ALL ".join(qterm_selects) + "))")
+    ctes.append("tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
+                "FROM toks WHERE term IN (SELECT term FROM qterms) "
+                "GROUP BY doc_id, term)")
+    ctes.append("dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks "
+                "GROUP BY doc_id)")
+    ctes.append("g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl "
+                "FROM dl)")
+    ctes.append("stats AS (SELECT term, count(*)::BIGINT AS df FROM tc "
+                "GROUP BY term)")
+
+    constraints = []
+    if pq.filters:
+        pred = " AND ".join(f"{f_} = {_sq(v)}" for f_, v in pq.filters)
+        constraints.append(
+            f"tc.doc_id IN (SELECT doc_id FROM documents WHERE {pred})")
+    if pq.must:
+        musts = sorted(set(pq.must))
+        constraints.append(
+            f"tc.doc_id IN (SELECT doc_id FROM toks "
+            f"WHERE term IN {sql_str_list(musts)} GROUP BY doc_id "
+            f"HAVING count(DISTINCT term) = {len(musts)})")
+    for i, ph in enumerate(pq.phrases):
+        vals = ", ".join(f"({_sq(t)}, {j})" for j, t in enumerate(ph))
+        ctes.append(
+            f"ph{i} AS (SELECT DISTINCT doc_id FROM ("
+            f"SELECT doc_id, pos - off AS start, off FROM toks "
+            f"JOIN (SELECT * FROM (VALUES {vals})) m(term, off) "
+            f"USING (term)) h GROUP BY doc_id, start "
+            f"HAVING count(DISTINCT off) = {len(ph)})")
+        constraints.append(f"tc.doc_id IN (SELECT doc_id FROM ph{i})")
+    if pq.must_not:
+        constraints.append(
+            f"tc.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "
+            f"WHERE term IN {sql_str_list(sorted(set(pq.must_not)))})")
+    where = ("WHERE " + " AND ".join(constraints)) if constraints else ""
+    cte_block = ",\n".join(ctes)
+
+    return f"""WITH {cte_block},
+scored AS (
+  SELECT tc.doc_id,
+         round(sum( ln(1 + (g.n - s.df + 0.5)/(s.df + 0.5))
+              * (tc.tf * ({k1} + 1.0))
+              / (tc.tf + {k1} * (1.0 - {b} + {b} * dl.dl / g.avgdl)) ), 6) AS score
+  FROM tc
+  JOIN stats s USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+  {where}
+  GROUP BY tc.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""

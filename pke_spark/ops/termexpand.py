@@ -1,0 +1,173 @@
+"""Multi-term query expansion: prefix (wildcard) and fuzzy BM25.
+
+Lucene's PrefixQuery / FuzzyQuery: a query atom that is not a literal
+term expands against the TERM DICTIONARY into a bounded set of real
+terms, then scores as an OR (bag-of-expanded-terms BM25 — identical
+scoring constants, rounding, and tie-breaking to ``core.bm25_topk``).
+
+Expansion semantics (shared by Spark and the DuckDB twins, and by the
+index-backed driver path in ``index/wand.py``):
+
+- ``prefix``: vocabulary terms with the given prefix, ranked
+  (df DESC, term ASC), capped at ``max_expansions`` (Lucene's
+  MultiTermQuery rewrite cap — highest-df terms win, deterministic).
+- ``fuzzy``: vocabulary terms within ``max_edits`` Levenshtein edits
+  of the query term whose first ``prefix_len`` chars match (Lucene's
+  FuzzyQuery prefixLength — keeps the dictionary scan bounded),
+  ranked (distance ASC, df DESC, term ASC), capped at
+  ``max_expansions``. The exact query term itself, when present in
+  the vocabulary, is distance 0 and always survives the cap first.
+
+Plan shape at scale: the vocabulary is the term-stats aggregation the
+index already maintains (A1); the prefix filter is a sargable range
+(term >= p AND term < p || U+10FFFF) that parquet row-group min/max
+stats prune, and the fuzzy scan is pre-gated by the same prefix range
+plus a length band (|len(term) - len(q)| <= max_edits) before any
+edit-distance evaluation (JVM-side ``levenshtein``). The chosen
+expansion set is <= max_expansions rows -> broadcast back into the
+token-stream filter, so scoring costs exactly one bm25_topk over a
+small OR set. No driver collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import duckdb_toks_cte
+from .core import B, K1
+
+
+def _bm25_over_expansion(docs: DataFrame, expanded: DataFrame,
+                         k: int, k1: float, b: float) -> DataFrame:
+    """BM25 top-k where the query-term set is a (term) DataFrame of
+    <= max_expansions rows (broadcast into the token-stream filter)."""
+    from ..tokenizer import tokens_exploded
+    toks = tokens_exploded(docs)
+    tc_q = (toks.join(F.broadcast(expanded.select("term")), "term")
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (tc_q.join(F.broadcast(stats_q), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(g))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
+              .select("rank", "doc_id", "score")
+
+
+def _vocab(docs: DataFrame) -> DataFrame:
+    """(term, df) over the corpus — the A1 term dictionary."""
+    from ..tokenizer import tokens_exploded
+    return (tokens_exploded(docs).select("doc_id", "term").distinct()
+            .groupBy("term").agg(F.count("*").alias("df")))
+
+
+def expand_prefix(docs: DataFrame, prefix: str,
+                  max_expansions: int = 32) -> DataFrame:
+    """(term, df) expansion set for a prefix query."""
+    if not prefix:
+        raise ValueError("empty prefix would expand the whole vocabulary")
+    return (_vocab(docs)
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions))
+
+
+def expand_fuzzy(docs: DataFrame, term: str, max_edits: int = 1,
+                 prefix_len: int = 1, max_expansions: int = 32
+                 ) -> DataFrame:
+    """(term, df, dist) expansion set for a fuzzy query."""
+    if max_edits < 1:
+        raise ValueError("max_edits must be >= 1 (0 is a TermQuery)")
+    v = _vocab(docs)
+    if prefix_len > 0:
+        v = v.filter(F.col("term").startswith(term[:prefix_len]))
+    v = v.filter(
+        F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
+    v = v.withColumn("dist", F.levenshtein(F.col("term"), F.lit(term))) \
+         .filter(F.col("dist") <= max_edits)
+    return v.orderBy(F.asc("dist"), F.desc("df"), F.asc("term")) \
+            .limit(max_expansions)
+
+
+def prefix_bm25_topk(docs: DataFrame, prefix: str, k: int = 10,
+                     max_expansions: int = 32,
+                     k1: float = K1, b: float = B) -> DataFrame:
+    """(rank, doc_id, score): BM25 top-k for the wildcard query
+    ``prefix*``."""
+    return _bm25_over_expansion(
+        docs, expand_prefix(docs, prefix, max_expansions), k, k1, b)
+
+
+def fuzzy_bm25_topk(docs: DataFrame, term: str, max_edits: int = 1,
+                    k: int = 10, prefix_len: int = 1,
+                    max_expansions: int = 32,
+                    k1: float = K1, b: float = B) -> DataFrame:
+    """(rank, doc_id, score): BM25 top-k for the fuzzy query
+    ``term~max_edits``."""
+    return _bm25_over_expansion(
+        docs, expand_fuzzy(docs, term, max_edits, prefix_len,
+                           max_expansions), k, k1, b)
+
+
+# --------------------------------------------------------------- DuckDB
+
+_BM25_TAIL = """tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+       WHERE term IN (SELECT term FROM expanded) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+stats AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term),
+scored AS (
+  SELECT tc.doc_id,
+         round(sum( ln(1 + (g.n - s.df + 0.5)/(s.df + 0.5))
+              * (tc.tf * ({k1} + 1.0))
+              / (tc.tf + {k1} * (1.0 - {b} + {b} * dl.dl / g.avgdl)) ), 6) AS score
+  FROM tc
+  JOIN stats s USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+  GROUP BY tc.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def prefix_bm25_topk_sql(prefix: str, k: int = 10,
+                         max_expansions: int = 32,
+                         k1: float = K1, b: float = B) -> str:
+    return f"""WITH {duckdb_toks_cte()},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+expanded AS (SELECT term FROM vocab
+             WHERE starts_with(term, {_sq(prefix)})
+             ORDER BY df DESC, term ASC LIMIT {max_expansions}),
+{_BM25_TAIL.format(k1=k1, b=b, k=k)}"""
+
+
+def fuzzy_bm25_topk_sql(term: str, max_edits: int = 1, k: int = 10,
+                        prefix_len: int = 1, max_expansions: int = 32,
+                        k1: float = K1, b: float = B) -> str:
+    pfx = ""
+    if prefix_len > 0:
+        pfx = f"AND starts_with(term, {_sq(term[:prefix_len])})"
+    return f"""WITH {duckdb_toks_cte()},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+expanded AS (SELECT term FROM vocab
+             WHERE abs(length(term) - {len(term)}) <= {max_edits} {pfx}
+               AND levenshtein(term, {_sq(term)}) <= {max_edits}
+             ORDER BY levenshtein(term, {_sq(term)}) ASC, df DESC, term ASC
+             LIMIT {max_expansions}),
+{_BM25_TAIL.format(k1=k1, b=b, k=k)}"""
