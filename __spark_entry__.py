@@ -97,6 +97,64 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_SERVED: dict = {}
+
+
+def _served_reader(spark: SparkSession, sf_dir: str):
+    """One dense index + positional sidecar per sf_dir, built into a
+    temp dir and cached for the process lifetime — the serving-path
+    gate entries (querystring/prefix/fuzzy/snippets _indexed) all
+    query the same index, as a serving tier would."""
+    if sf_dir not in _SERVED:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pke_spark.index.build import IndexReader, build_index
+        from pke_spark.index.positions import build_positions
+
+        d = tempfile.mkdtemp(prefix="pke_gate_ix_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(docs, d, n_parts=8, n_salts=8, dense_doc_ids=True)
+        build_positions(docs, d, n_salts=8)
+        _SERVED[sf_dir] = IndexReader(spark, d)
+    return _SERVED[sf_dir]
+
+
+def _rows_df(s: SparkSession, rows, schema: str) -> DataFrame:
+    return s.createDataFrame([tuple(r) for r in rows], schema)
+
+
+def _querystring_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import querystring_search_indexed
+    rows = querystring_search_indexed(
+        _served_reader(s, d), QUERYSTRING, 10,
+        docs_parquet=f"{d}/documents.parquet")
+    return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
+def _prefix_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import prefix_search
+    rows = prefix_search(_served_reader(s, d), PREFIX_QUERY, 10)
+    return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
+def _fuzzy_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import fuzzy_search
+    rows = fuzzy_search(_served_reader(s, d), FUZZY_QUERY[0],
+                        FUZZY_QUERY[1], 10)
+    return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
+def _snippets_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import snippet_search
+    rows = snippet_search(_served_reader(s, d), BM25_QUERY, 10)
+    return _rows_df(
+        s, rows, "rank int, doc_id long, score double, "
+        "win_start long, win_end long, n_terms long")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -137,6 +195,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), BM25_QUERY, 10),
         "querystring_search": lambda s, d: querylang.querystring_topk(
             _docs(s, d), QUERYSTRING, 10),
+        # index-backed serving twins: same grammar/fixtures compiled
+        # onto the inverted index + positional sidecar + term
+        # dictionary (pke_spark/index/serving.py); they share the
+        # DataFrame ops' derived DuckDB oracles verbatim
+        "querystring_indexed": _querystring_indexed,
+        "prefix_indexed": _prefix_indexed,
+        "fuzzy_indexed": _fuzzy_indexed,
+        "snippets_indexed": _snippets_indexed,
         "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
             _docs(s, d)),
         "tfidf_stemmed": lambda s, d: stemmed.tfidf_stemmed_topk(_docs(s, d), 3),
@@ -234,6 +300,11 @@ def oracle_sql() -> dict[str, str]:
             FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
         "snippet_windows": snippets.snippet_windows_sql(BM25_QUERY, 10),
         "querystring_search": querylang.querystring_sql(QUERYSTRING, 10),
+        "querystring_indexed": querylang.querystring_sql(QUERYSTRING, 10),
+        "prefix_indexed": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
+        "fuzzy_indexed": termexpand.fuzzy_bm25_topk_sql(
+            FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
+        "snippets_indexed": snippets.snippet_windows_sql(BM25_QUERY, 10),
         "token_counts_stemmed": stemmed.token_counts_stemmed_sql(),
         "tfidf_stemmed": stemmed.tfidf_stemmed_topk_sql(3),
         "stemmed_candidates": stemmed.stemmed_candidates_sql(),

@@ -134,6 +134,23 @@ def main() -> None:
     boolean_search(ix, ["def", "return"], ["core"], ["lexer"], 10)
     results["boolean_indexed"] = round(time.time() - t0, 3)
 
+    # ---- headline 2e: query-language serving against the same index
+    # (term-dictionary expansion, query-string compile, snippets) ----
+    from pke_spark.index import serving as SV
+    t0 = time.time()
+    SV.prefix_search(ix, "re", 10)
+    results["prefix_serve"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SV.fuzzy_search(ix, "retur", 1, 10)
+    results["fuzzy_serve"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SV.querystring_search_indexed(
+        ix, '+def return -lexer "core lib" ind* retur~1', 10)
+    results["querystring_serve"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SV.snippet_search(ix, ["def", "return", "core"], 10)
+    results["snippet_serve"] = round(time.time() - t0, 3)
+
     # ---- serving QPS: sustained 200-query load (VERDICT r2 item 8) --
     # 200 distinct queries (the 21-query set + uniq-token variants);
     # batch mode amortizes one Spark job over the set, sequential mode
@@ -162,6 +179,11 @@ def main() -> None:
     serving["native_qps"] = round(200 / dt, 1)
 
     # ---- per-query suite: EVERY queries() entry at sf_dir ----
+    # pre-build the cached gate index the *_indexed entries share, as
+    # its own metric — so those entries time QUERIES, not the build
+    t0 = time.time()
+    entry._served_reader(spark, sf_dir)
+    results["gate_index_build"] = round(time.time() - t0, 3)
     qs = entry.queries()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     model_tput = {}
@@ -269,7 +291,20 @@ def main() -> None:
         "full_record": "benchmarks/bench_latest.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # stay inside the driver's tail window
+    # stay inside the driver's ~2 KB stdout tail window: shed headline
+    # extras FIRST (they live in bench_latest.json anyway) — the
+    # "queries" dict is the driver contract and goes last
+    if len(line) > 1900:
+        for k in ("scaling_efficiency", "bm25_batch200_qps",
+                  "bm25_native_qps", "bm25_wand_p50_sec",
+                  "index_build_docs_per_sec"):
+            compact.pop(k, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 1)
+                              for k, v in results.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact.pop("queries")
         compact["queries_in"] = "benchmarks/bench_latest.json"
         line = json.dumps(compact, separators=(",", ":"))

@@ -1,0 +1,343 @@
+"""Index-backed serving for the full query surface: term-dictionary
+expansion (prefix / fuzzy), the Lucene-lite query-string language, and
+snippet highlighting — all answered FROM THE INDEX, never by rescanning
+the corpus.
+
+This is the 100-TB counterpart of ``ops/termexpand.py`` /
+``ops/querylang.py`` / ``ops/snippets.py`` (which define the semantics
+relationally and carry the DuckDB oracles): at scale a query must touch
+only (a) the term dictionary rows its atoms prune to, (b) the posting
+lists of its (expanded) terms, (c) the positional sidecar blocks of its
+phrase terms, and (d) a metadata filter set — exactly what this module
+reads. Row-for-row parity with the DataFrame ops is asserted in
+``tests/test_serving_lang.py``.
+
+Physical shapes:
+
+- **dictionary expansion**: one DuckDB point read over the postings
+  parquet metadata columns. The prefix predicate is the sargable range
+  ``term >= p AND term < p + U+10FFFF`` (parquet row-group min/max
+  prune; the ``blocks`` column is never touched), the fuzzy scan adds
+  a length band before any edit-distance evaluation — mirroring
+  Lucene's MultiTermQuery rewrite against its terms dict.
+- **query-string execution**: expansions + literal terms score via the
+  reader's decoded-postings LRU (sorted-array accumulation, the
+  ``_driver_rows`` discipline); MUST / MUST_NOT are sorted-array set
+  ops on posting doc arrays; phrase clauses decode only their terms'
+  positional blocks (a Spark job over the sidecar — the one part of a
+  query that is corpus-sized in the worst case); metadata filters
+  resolve to a doc-set once per query (Lucene's filter bitset), via
+  one DuckDB scan of the documents parquet joined to the docmap when
+  the index is dense.
+- **snippets**: top-k first, then positional blocks for (query terms x
+  k docs) only — the match-position table is tiny by construction.
+
+Like ``wand.search``, these are coordinator-serving paths: posting
+lists are dictionary-bounded per query. A query whose lists exceed
+driver memory falls back to the distributed scorer for ranking
+(``wand_topk``), and constraint sets stay numpy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ..ops.querylang import ParsedQuery, parse_querystring
+from .build import IndexReader
+from .positions import term_positions
+from .wand import B, K1, _idf, _translate_rows
+
+#: cap on driver-side fast-path scoring work, in posting rows summed
+#: over the query's terms (matches wand._fastpath_bound's intent: the
+#: distributed block-max scorer takes over for hot unions)
+_MAX_DRIVER_ROWS = 2_000_000
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ------------------------------------------------------------ expansion
+
+def expand_prefix_indexed(ix: IndexReader, prefix: str,
+                          max_expansions: int = 32) -> list[str]:
+    """Expansion terms for ``prefix*`` from the index term dictionary,
+    (df DESC, term ASC)-ranked and capped — identical semantics to
+    ``ops.termexpand.expand_prefix`` (parity-tested). One pushdown
+    range read; df is summed over LSM fragments (each (term, doc)
+    lives in exactly one fragment, so the sum IS the df)."""
+    if not prefix:
+        raise ValueError("empty prefix would expand the whole vocabulary")
+    hi = prefix + chr(0x10FFFF)
+    rows = ix._duckdb().execute(
+        f"SELECT term FROM read_parquet('{ix.postings_dir}/*.parquet') "
+        f"WHERE term >= {_sq(prefix)} AND term < {_sq(hi)} "
+        f"GROUP BY term ORDER BY sum(df) DESC, term ASC "
+        f"LIMIT {int(max_expansions)}").fetchall()
+    return [r[0] for r in rows]
+
+
+def expand_fuzzy_indexed(ix: IndexReader, term: str, max_edits: int = 1,
+                         prefix_len: int = 1,
+                         max_expansions: int = 32) -> list[str]:
+    """Expansion terms for ``term~max_edits`` from the index term
+    dictionary: prefixLength range + length band gate the dictionary
+    scan BEFORE any levenshtein evaluation, then (distance ASC,
+    df DESC, term ASC), capped — identical semantics to
+    ``ops.termexpand.expand_fuzzy``."""
+    if max_edits < 1:
+        raise ValueError("max_edits must be >= 1 (0 is a TermQuery)")
+    pfx = ""
+    if prefix_len > 0:
+        p = term[:prefix_len]
+        pfx = (f"AND term >= {_sq(p)} AND term < {_sq(p + chr(0x10FFFF))} ")
+    rows = ix._duckdb().execute(
+        f"SELECT term FROM read_parquet('{ix.postings_dir}/*.parquet') "
+        f"WHERE abs(length(term) - {len(term)}) <= {int(max_edits)} {pfx}"
+        f"GROUP BY term "
+        f"HAVING levenshtein(term, {_sq(term)}) <= {int(max_edits)} "
+        f"ORDER BY levenshtein(term, {_sq(term)}) ASC, sum(df) DESC, "
+        f"term ASC LIMIT {int(max_expansions)}").fetchall()
+    return [r[0] for r in rows]
+
+
+# ------------------------------------------------------- doc-set helpers
+
+def _docids_to_postspace(ix: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
+    """Translate raw doc_ids into posting space (ordinals when the
+    index is dense, identity otherwise). One docmap join on the
+    driver's DuckDB connection — the set is a query-scoped filter
+    bitset, never the corpus."""
+    if not ix.dense:
+        return np.sort(np.asarray(doc_ids, dtype=np.int64))
+    import pandas as pd
+    from .build import docmap_path
+    con = ix._duckdb()
+    con.register("_filter_ids",
+                 pd.DataFrame({"doc_id": np.asarray(doc_ids, np.int64)}))
+    rows = con.execute(
+        f"SELECT m.ord FROM "
+        f"read_parquet('{docmap_path(ix.postings_dir)}/*.parquet') m "
+        f"JOIN _filter_ids USING (doc_id) ORDER BY m.ord").fetchall()
+    con.unregister("_filter_ids")
+    return np.asarray([r[0] for r in rows], dtype=np.int64)
+
+
+def _metadata_filter_set(ix: IndexReader, docs_parquet: str,
+                         filters: list) -> np.ndarray:
+    """Posting-space doc set satisfying every (field, value) equality —
+    Lucene's filter bitset, resolved once per query by a column-pruned
+    predicate-pushdown scan of the documents parquet."""
+    pred = " AND ".join(f"{f_} = {_sq(v)}" for f_, v in filters)
+    rows = ix._duckdb().execute(
+        f"SELECT doc_id FROM read_parquet('{docs_parquet}') "
+        f"WHERE {pred}").fetchall()
+    return _docids_to_postspace(
+        ix, np.asarray([r[0] for r in rows], dtype=np.int64))
+
+
+def _phrase_doc_set(ix: IndexReader, phrase: list[str]) -> np.ndarray:
+    """Posting-space doc set containing the exact token sequence,
+    computed from the positional sidecar (decodes only the phrase
+    terms' blocks; the start-alignment groupBy is the same plan
+    ``positions.phrase_topk_indexed`` is parity-gated on)."""
+    pos = term_positions(ix.spark, ix.index_dir, phrase)
+    off = ix.spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "term string, off int")
+    hits = (pos.join(F.broadcast(off), "term")
+            .select("doc_id", (F.col("pos") - F.col("off")).alias("start"),
+                    "off"))
+    ids = (hits.groupBy("doc_id", "start")
+           .agg(F.countDistinct("off").alias("n_off"))
+           .where(F.col("n_off") == len(phrase))
+           .select("doc_id").distinct().collect())
+    return _docids_to_postspace(
+        ix, np.asarray([r.doc_id for r in ids], dtype=np.int64))
+
+
+# ------------------------------------------------------------- scoring
+
+def _score_candidates(ix: IndexReader, score_terms: list[str],
+                      cand: np.ndarray | None, k: int,
+                      k1: float, b: float) -> list[tuple[int, int, float]]:
+    """BM25 over ``score_terms`` restricted to ``cand`` (posting-space;
+    None = union of the score terms' postings). Fixed summation order,
+    6-decimal rounding, (score DESC, doc_id ASC) — the ``_driver_rows``
+    discipline, so scores are bit-identical to every other path."""
+    dfs = ix.term_dfs(sorted(set(score_terms)))
+    live = sorted(dfs)
+    if not live:
+        return []
+    posts = ix.decoded_postings(live)
+    live = [t for t in live if len(posts[t][0])]
+    if not live:
+        return []
+    if cand is None:
+        cand = np.unique(np.concatenate([posts[t][0] for t in live]))
+    else:
+        cand = np.unique(np.asarray(cand, dtype=np.int64))
+    if not len(cand):
+        return []
+    n, avgdl = float(ix.n_docs), float(ix.avgdl)
+    hit = np.zeros(len(cand), dtype=bool)
+    acc = np.zeros(len(cand), dtype=np.float64)
+    for t in live:
+        d, tf, dl = posts[t]
+        m = np.isin(d, cand, assume_unique=True)
+        if not m.any():
+            continue
+        idf = _idf(int(n), dfs[t])
+        tff = tf[m].astype(np.float64)
+        dlf = dl[m].astype(np.float64)
+        c = idf * (tff * (k1 + 1.0)) / \
+            (tff + k1 * (1.0 - b + b * dlf / avgdl))
+        idx = np.searchsorted(cand, d[m])
+        acc[idx] += c
+        hit[idx] = True
+    docs = cand[hit]
+    scores = np.round(acc[hit], 6)
+    order = np.lexsort((docs, -scores))[:k]
+    out = [(i + 1, int(docs[j]), float(scores[j]))
+           for i, j in enumerate(order)]
+    if ix.dense:
+        out = _translate_rows(ix, out)
+    return [(r, int(d), float(s)) for r, d, s in out]
+
+
+def prefix_search(ix: IndexReader, prefix: str, k: int = 10,
+                  max_expansions: int = 32,
+                  k1: float = K1, b: float = B
+                  ) -> list[tuple[int, int, float]]:
+    """Index-backed ``prefix*`` BM25 top-k (parity:
+    ``ops.termexpand.prefix_bm25_topk``)."""
+    return _score_candidates(
+        ix, expand_prefix_indexed(ix, prefix, max_expansions), None, k,
+        k1, b)
+
+
+def fuzzy_search(ix: IndexReader, term: str, max_edits: int = 1,
+                 k: int = 10, prefix_len: int = 1,
+                 max_expansions: int = 32,
+                 k1: float = K1, b: float = B
+                 ) -> list[tuple[int, int, float]]:
+    """Index-backed ``term~e`` BM25 top-k (parity:
+    ``ops.termexpand.fuzzy_bm25_topk``)."""
+    return _score_candidates(
+        ix, expand_fuzzy_indexed(ix, term, max_edits, prefix_len,
+                                 max_expansions), None, k, k1, b)
+
+
+def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
+                               max_expansions: int = 32,
+                               docs_parquet: str | None = None,
+                               k1: float = K1, b: float = B
+                               ) -> list[tuple[int, int, float]]:
+    """Execute a Lucene-lite query string against the index: the same
+    parse as ``ops.querylang`` (one grammar, two engines), compiled to
+    dictionary expansion + posting-set algebra + positional phrase
+    matching + a metadata filter set. ``docs_parquet`` is required only
+    when the query has ``field:value`` clauses (the index stores no
+    metadata — like Lucene, filters consult stored fields).
+
+    Row-for-row parity with ``ops.querylang.querystring_topk`` is
+    asserted in tests; both share the oracle SQL
+    ``ops.querylang.querystring_sql``."""
+    pq: ParsedQuery = parse_querystring(qs)
+    score_terms = list(pq.literal_score_terms)
+    for p in pq.prefixes:
+        score_terms += expand_prefix_indexed(ix, p, max_expansions)
+    for t, e in pq.fuzzies:
+        score_terms += expand_fuzzy_indexed(ix, t, e, 1, max_expansions)
+    score_terms = sorted(set(score_terms))
+
+    cand: np.ndarray | None = None  # None = union of score-term postings
+
+    def constrain(doc_set: np.ndarray) -> np.ndarray | None:
+        nonlocal cand
+        if cand is None:
+            return np.sort(np.asarray(doc_set, dtype=np.int64))
+        return np.intersect1d(cand, doc_set, assume_unique=True)
+
+    if pq.must:
+        musts = sorted(set(pq.must))
+        mdfs = ix.term_dfs(musts)
+        if len(mdfs) < len(musts):
+            return []  # a required term is absent from the corpus
+        posts = ix.decoded_postings(musts)
+        for t in musts:
+            d = posts[t][0]
+            if not len(d):
+                return []
+            cand = constrain(d)
+            if not len(cand):
+                return []
+    for ph in pq.phrases:
+        cand = constrain(_phrase_doc_set(ix, ph))
+        if not len(cand):
+            return []
+    if pq.filters:
+        if docs_parquet is None:
+            raise ValueError(
+                "query has field filters; pass docs_parquet (the index "
+                "stores no document metadata)")
+        cand = constrain(_metadata_filter_set(ix, docs_parquet, pq.filters))
+        if not len(cand):
+            return []
+    if pq.must_not:
+        nots = sorted(set(pq.must_not))
+        nposts = ix.decoded_postings(nots)
+        excl = [nposts[t][0] for t in nots if len(nposts[t][0])]
+        if excl:
+            excl_set = np.unique(np.concatenate(excl))
+            if cand is None:
+                dfs = ix.term_dfs(score_terms)
+                sposts = ix.decoded_postings(sorted(dfs))
+                arrs = [sposts[t][0] for t in sorted(dfs)
+                        if len(sposts[t][0])]
+                if not arrs:
+                    return []
+                cand = np.unique(np.concatenate(arrs))
+            cand = cand[~np.isin(cand, excl_set, assume_unique=True)]
+            if not len(cand):
+                return []
+    return _score_candidates(ix, score_terms, cand, k, k1, b)
+
+
+# ------------------------------------------------------------- snippets
+
+def snippet_search(ix: IndexReader, query_terms: list[str], k: int = 10,
+                   width: int = 20, k1: float = K1, b: float = B
+                   ) -> list[tuple[int, int, float, int, int, int]]:
+    """(rank, doc_id, score, win_start, win_end, n_terms): BM25 top-k
+    with the best ``width``-token highlight window per hit, from the
+    positional sidecar — the stored text is never read. Window
+    semantics identical to ``ops.snippets.snippet_windows`` (max
+    distinct query terms, earliest start; windows anchor at match
+    positions), parity-tested row-for-row."""
+    from .wand import search
+    top = search(ix, query_terms, k, k1, b)
+    if not top:
+        return []
+    ids = [d for _, d, _ in top]
+    rows = (term_positions(ix.spark, ix.index_dir, list(set(query_terms)))
+            .where(F.col("doc_id").isin(ids)).collect())
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(int(r.doc_id), []).append((int(r.pos), r.term))
+    out = []
+    for rank, doc_id, score in top:
+        matches = sorted(by_doc.get(int(doc_id), []))
+        if not matches:
+            continue  # unreachable: a top-k doc contains >=1 query term
+        positions = np.asarray([p for p, _ in matches], dtype=np.int64)
+        best = (-1, 0)  # (n_terms, -win_start) maximized
+        for a in sorted(set(int(p) for p in positions)):
+            in_win = [t for p, t in matches if a <= p < a + width]
+            n_terms = len(set(in_win))
+            if n_terms > best[0]:
+                best = (n_terms, a)
+        n_terms, start = best
+        out.append((rank, int(doc_id), float(score), int(start),
+                    int(start + width - 1), int(n_terms)))
+    return out

@@ -1,0 +1,164 @@
+"""Index-backed serving for expansion / query-string / snippets
+(``pke_spark/index/serving.py``).
+
+Layers of evidence:
+1. dictionary expansion semantics on a hand-built corpus with
+   independently known answers (df ranking, caps, length band,
+   prefixLength gate);
+2. parity on real sf0.001 data: every serving path returns row-for-row
+   what its DataFrame op returns — and those ops are themselves
+   oracle-gated against DuckDB by the driver (prefix_bm25, fuzzy_bm25,
+   querystring_search, snippet_windows entries);
+3. edge semantics: absent MUST term, miss-only query, filter-only
+   candidates, phrase+must interplay, repeated-term phrase;
+4. determinism: results identical for a dense-ordinal and a raw-id
+   index over the same corpus.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pke_spark.index import serving as SV
+from pke_spark.index.build import IndexReader, build_index
+from pke_spark.index.positions import build_positions
+from pke_spark.ops import querylang as QL
+from pke_spark.ops import snippets as SN
+from pke_spark.ops import termexpand as TE
+
+SF = "/root/testdata/sf0.001"
+
+FIXTURE = [
+    (1, "alpha alpine albatross beta"),
+    (2, "alpha alpha beta gamma"),
+    (3, "alpine beta beta delta"),
+    (4, "gamma delta epsilon"),
+    (5, "alpha albatross zeta"),
+]
+
+
+@pytest.fixture(scope="module")
+def fx_ix(spark):
+    docs = spark.createDataFrame(FIXTURE, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="svfx_")
+    build_index(docs, d, n_parts=4, n_salts=2)
+    build_positions(docs, d, n_salts=2)
+    yield IndexReader(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["raw_ids", "dense"])
+def sf_ix(request, spark, sf_docs):
+    d = tempfile.mkdtemp(prefix="svsf_")
+    build_index(sf_docs.select("doc_id", "text"), d, n_parts=8,
+                n_salts=4, dense_doc_ids=request.param)
+    build_positions(sf_docs.select("doc_id", "text"), d, n_salts=4)
+    yield IndexReader(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------- 1. expansion semantics
+
+def test_prefix_expansion_df_ranked_capped(fx_ix):
+    # dfs: alpha 3, alpine 2, albatross 2 -> df DESC, term ASC
+    assert SV.expand_prefix_indexed(fx_ix, "al") == [
+        "alpha", "albatross", "alpine"]
+    assert SV.expand_prefix_indexed(fx_ix, "al", max_expansions=2) == [
+        "alpha", "albatross"]
+    assert SV.expand_prefix_indexed(fx_ix, "alb") == ["albatross"]
+    assert SV.expand_prefix_indexed(fx_ix, "zz") == []
+    with pytest.raises(ValueError):
+        SV.expand_prefix_indexed(fx_ix, "")
+
+
+def test_fuzzy_expansion_semantics(fx_ix):
+    # exact term survives at distance 0; 'alpho'~1 -> alpha only
+    assert SV.expand_fuzzy_indexed(fx_ix, "alpha", 1)[0] == "alpha"
+    assert SV.expand_fuzzy_indexed(fx_ix, "alpho", 1) == ["alpha"]
+    # length band: albatross (9) never evaluated for a 4-char query
+    assert "albatross" not in SV.expand_fuzzy_indexed(fx_ix, "beta", 2)
+    # prefixLength gate: 'zeta'~2 can't reach 'beta' when prefix_len=1
+    assert SV.expand_fuzzy_indexed(fx_ix, "zeta", 2, prefix_len=1) == ["zeta"]
+    assert "beta" in SV.expand_fuzzy_indexed(fx_ix, "zeta", 2, prefix_len=0)
+    with pytest.raises(ValueError):
+        SV.expand_fuzzy_indexed(fx_ix, "beta", 0)
+
+
+# ------------------------------------------------------ 2. sf0.001 parity
+
+def _rows3(df):
+    return [(r.rank, r.doc_id, r.score) for r in df.collect()]
+
+
+def test_prefix_search_parity(sf_ix, sf_docs):
+    assert SV.prefix_search(sf_ix, "s", 10) == \
+        _rows3(TE.prefix_bm25_topk(sf_docs, "s", 10))
+
+
+def test_fuzzy_search_parity(sf_ix, sf_docs):
+    assert SV.fuzzy_search(sf_ix, "sparc", 1, 10) == \
+        _rows3(TE.fuzzy_bm25_topk(sf_docs, "sparc", 1, 10))
+
+
+QS_CASES = [
+    'spark join window',                       # pure SHOULD
+    '+spark +join window',                     # MUST + SHOULD
+    'spark -vector',                           # SHOULD + MUST_NOT
+    '"merge slow" spark',                      # phrase + SHOULD
+    '+"batch batch" key',                      # repeated-term phrase, MUST
+    'lang:en spark join',                      # filter + SHOULD
+    '+spark join -vector lang:en "merge slow" tab* sor~1',  # everything
+    'sp* window',                              # prefix expansion
+    'sparc~1',                                 # fuzzy only
+]
+
+
+@pytest.mark.parametrize("qs", QS_CASES)
+def test_querystring_parity(sf_ix, sf_docs, qs):
+    got = SV.querystring_search_indexed(
+        sf_ix, qs, 10, docs_parquet=f"{SF}/documents.parquet")
+    want = _rows3(QL.querystring_topk(sf_docs, qs, 10))
+    assert got == want
+
+
+def test_snippet_parity(sf_ix, sf_docs):
+    got = SV.snippet_search(sf_ix, ["spark", "join", "window"], 10)
+    want = [(r.rank, r.doc_id, r.score, r.win_start, r.win_end, r.n_terms)
+            for r in SN.snippet_windows(
+                sf_docs, ["spark", "join", "window"], 10).collect()]
+    assert got == want
+
+
+# --------------------------------------------------------- 3. edge cases
+
+def test_absent_must_term_empty(sf_ix):
+    assert SV.querystring_search_indexed(
+        sf_ix, "+zzqqxunseen spark", 10) == []
+
+
+def test_miss_only_query_empty(sf_ix):
+    assert SV.querystring_search_indexed(sf_ix, "zzqqxunseen", 10) == []
+
+
+def test_filter_requires_docs_parquet(sf_ix):
+    with pytest.raises(ValueError, match="docs_parquet"):
+        SV.querystring_search_indexed(sf_ix, "lang:en spark", 10)
+
+
+def test_fixture_querystring_end_to_end(fx_ix):
+    # must=alpha (docs 1,2,5), not=gamma (drops 2,4) -> 1,5 score
+    rows = SV.querystring_search_indexed(fx_ix, "+alpha -gamma beta", 10)
+    assert [d for _, d, _ in rows] and \
+        set(d for _, d, _ in rows) == {1, 5}
+    # phrase "beta beta" only in doc 3
+    rows = SV.querystring_search_indexed(fx_ix, '"beta beta"', 10)
+    assert [d for _, d, _ in rows] == [3]
