@@ -1,0 +1,77 @@
+"""Physical-plan audits for the query-language surface (fielded /
+expansion / query-string / snippets): the scale-critical properties —
+metadata predicates pushed to the parquet scan, tiny sides broadcast,
+no cartesian products, a bounded number of shuffles — asserted on the
+executed plan, in the style of test_plans.py."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pke_spark.ops import fielded, querylang, snippets, termexpand
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filtered_bm25_predicate_pushed(spark, docs):
+    plan = _plan(fielded.filtered_bm25_topk(
+        docs, ["spark", "join"], "lang = 'en'", 10))
+    # the metadata predicate must reach a parquet scan as a pushed
+    # filter — the candidate set is pruned at the source, not post-scan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(lang,en\)", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filtered_bm25_filter_scan_prunes_text(spark, docs):
+    plan = _plan(fielded.filtered_bm25_topk(
+        docs, ["spark"], "lang = 'en'", 10))
+    # the filter branch's scan must read only (doc_id, lang) — the
+    # document text is tokenized once, on the token-stream branch only
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    filter_scans = [s for s in schemas if "lang" in s]
+    assert filter_scans, plan
+    assert all("text" not in s for s in filter_scans), filter_scans
+
+
+def test_facet_counts_broadcasts_matched_ids(spark, docs):
+    plan = _plan(fielded.facet_counts(docs, ["spark", "join"], "lang"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_expansion_is_broadcast_into_scoring(spark, docs):
+    # the expansion set (<= max_expansions rows) must enter the token
+    # filter as a broadcast, never a shuffled join
+    plan = _plan(termexpand.prefix_bm25_topk(docs, "s", 10))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_querystring_constraints_are_semi_anti_joins(spark, docs):
+    plan = _plan(querylang.querystring_topk(
+        docs, '+spark join -vector lang:en "merge slow"', 10))
+    # MUST/phrase/filter = LeftSemi, MUST_NOT = LeftAnti, all on doc_id
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(lang,en\)", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snippets_match_table_is_broadcast_filtered(spark, docs):
+    plan = _plan(snippets.snippet_windows(docs, ["spark", "join"], 10))
+    # both the query terms and the top-k ids gate the match-position
+    # table via broadcast joins; the window self-join is an equi-join
+    # on doc_id over that tiny table (range predicate on top), so no
+    # cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
