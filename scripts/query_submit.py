@@ -7,6 +7,11 @@ Usage:
   # or a whole query set (one job for all of them):
   spark-submit ... scripts/query_submit.py --index <dir> \
       --query-file queries.txt [--k 10]   # one query per line
+  # or the Lucene-lite query-string language (expansion / phrases /
+  # boolean clauses / metadata filters), answered from the index:
+  spark-submit ... scripts/query_submit.py --index <dir> \
+      --querystring '+spark join -vector lang:en "merge slow" tab*' \
+      [--docs <documents.parquet>] [--snippets] [--k 10]
 """
 
 from __future__ import annotations
@@ -24,6 +29,15 @@ def main() -> None:
     g.add_argument("--query-file",
                    help="text file, one query per line; the whole set "
                         "runs as ONE batched Spark job")
+    g.add_argument("--querystring",
+                   help="Lucene-lite query string (+must -not bare "
+                        '"a phrase" lang:en tab* spar~1), compiled '
+                        "onto the index serving path")
+    ap.add_argument("--docs", help="documents parquet (required only "
+                    "when --querystring has field:value filters)")
+    ap.add_argument("--snippets", action="store_true",
+                    help="with --query: return best highlight windows "
+                         "from the positional sidecar")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["wand", "exhaustive"], default="wand")
     args = ap.parse_args()
@@ -54,7 +68,30 @@ def main() -> None:
                         for qid, v in sorted(out.items())}}))
         return
 
+    if args.querystring:
+        from pke_spark.index.serving import querystring_search_indexed
+        t0 = time.time()
+        rows = querystring_search_indexed(
+            ix, args.querystring, args.k, docs_parquet=args.docs)
+        print(json.dumps({
+            "querystring": args.querystring, "mode": "querystring",
+            "latency_sec": round(time.time() - t0, 4),
+            "results": [{"rank": r, "doc_id": d, "score": s}
+                        for r, d, s in rows]}))
+        return
+
     terms = tokenize_text(args.query)
+    if args.snippets:
+        from pke_spark.index.serving import snippet_search
+        t0 = time.time()
+        rows = snippet_search(ix, terms, args.k)
+        print(json.dumps({
+            "query": terms, "mode": "snippets",
+            "latency_sec": round(time.time() - t0, 4),
+            "results": [{"rank": r, "doc_id": d, "score": s,
+                         "win_start": ws, "win_end": we, "n_terms": nt}
+                        for r, d, s, ws, we, nt in rows]}))
+        return
     t0 = time.time()
     fn = wand_topk if args.mode == "wand" else bm25_indexed
     rows = fn(ix, terms, args.k).collect()
