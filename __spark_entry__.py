@@ -147,6 +147,13 @@ def _fuzzy_indexed(s: SparkSession, d: str) -> DataFrame:
     return _rows_df(s, rows, "rank int, doc_id long, score double")
 
 
+def _facets_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import facet_counts_indexed
+    rows = facet_counts_indexed(_served_reader(s, d), BM25_QUERY,
+                                FACET_COL, f"{d}/documents.parquet")
+    return _rows_df(s, rows, "facet string, n_docs long")
+
+
 def _snippets_indexed(s: SparkSession, d: str) -> DataFrame:
     from pke_spark.index.serving import snippet_search
     rows = snippet_search(_served_reader(s, d), BM25_QUERY, 10)
@@ -202,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_indexed": _querystring_indexed,
         "prefix_indexed": _prefix_indexed,
         "fuzzy_indexed": _fuzzy_indexed,
+        "facets_indexed": _facets_indexed,
         "snippets_indexed": _snippets_indexed,
         "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
             _docs(s, d)),
@@ -304,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_indexed": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
         "fuzzy_indexed": termexpand.fuzzy_bm25_topk_sql(
             FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
+        "facets_indexed": fielded.facet_counts_sql(BM25_QUERY, FACET_COL),
         "snippets_indexed": snippets.snippet_windows_sql(BM25_QUERY, 10),
         "token_counts_stemmed": stemmed.token_counts_stemmed_sql(),
         "tfidf_stemmed": stemmed.tfidf_stemmed_topk_sql(3),

@@ -304,6 +304,48 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
     return _score_candidates(ix, score_terms, cand, k, k1, b)
 
 
+def facet_counts_indexed(ix: IndexReader, query_terms: list[str],
+                         facet_col: str, docs_parquet: str,
+                         topn: int = 10) -> list[tuple[str, int]]:
+    """(facet, n_docs) over the query's full match set, from the index:
+    the match set is the union of the query terms' postings (tombstones
+    already applied by the LRU), translated to raw doc_ids when dense,
+    then one DuckDB group-by against the documents parquet — Lucene's
+    FacetsCollector, with stored fields playing the doc-values role.
+    Parity: ``ops.fielded.facet_counts`` (same ordering: n_docs DESC,
+    facet ASC)."""
+    import pandas as pd
+    dfs = ix.term_dfs(sorted(set(query_terms)))
+    if not dfs:
+        return []
+    posts = ix.decoded_postings(sorted(dfs))
+    arrs = [posts[t][0] for t in sorted(dfs) if len(posts[t][0])]
+    if not arrs:
+        return []
+    matched = np.unique(np.concatenate(arrs))
+    con = ix._duckdb()
+    if ix.dense:
+        from .build import docmap_path
+        con.register("_facet_ords", pd.DataFrame({"ord": matched}))
+        rows = con.execute(
+            f"SELECT d.{facet_col}, count(*) FROM "
+            f"read_parquet('{docmap_path(ix.postings_dir)}/*.parquet') m "
+            f"JOIN _facet_ords USING (ord) "
+            f"JOIN read_parquet('{docs_parquet}') d USING (doc_id) "
+            f"GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT {int(topn)}"
+        ).fetchall()
+        con.unregister("_facet_ords")
+    else:
+        con.register("_facet_ids", pd.DataFrame({"doc_id": matched}))
+        rows = con.execute(
+            f"SELECT d.{facet_col}, count(*) FROM _facet_ids "
+            f"JOIN read_parquet('{docs_parquet}') d USING (doc_id) "
+            f"GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT {int(topn)}"
+        ).fetchall()
+        con.unregister("_facet_ids")
+    return [(f, int(n)) for f, n in rows]
+
+
 # ------------------------------------------------------------- snippets
 
 def snippet_search(ix: IndexReader, query_terms: list[str], k: int = 10,

@@ -25,6 +25,7 @@ import pytest
 from pke_spark.index import serving as SV
 from pke_spark.index.build import IndexReader, build_index
 from pke_spark.index.positions import build_positions
+from pke_spark.ops import fielded as F_OPS
 from pke_spark.ops import querylang as QL
 from pke_spark.ops import snippets as SN
 from pke_spark.ops import termexpand as TE
@@ -128,6 +129,17 @@ def test_querystring_parity(sf_ix, sf_docs, qs):
         sf_ix, qs, 10, docs_parquet=f"{SF}/documents.parquet")
     want = _rows3(QL.querystring_topk(sf_docs, qs, 10))
     assert got == want
+
+
+def test_facet_counts_parity(sf_ix, sf_docs):
+    got = SV.facet_counts_indexed(
+        sf_ix, ["spark", "join", "window"], "lang",
+        f"{SF}/documents.parquet")
+    want = [(r.facet, r.n_docs) for r in F_OPS.facet_counts(
+        sf_docs, ["spark", "join", "window"], "lang").collect()]
+    assert got == want
+    assert SV.facet_counts_indexed(
+        sf_ix, ["zzqqxunseen"], "lang", f"{SF}/documents.parquet") == []
 
 
 def test_snippet_parity(sf_ix, sf_docs):
