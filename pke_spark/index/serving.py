@@ -137,21 +137,27 @@ def _metadata_filter_set(ix: IndexReader, docs_parquet: str,
         ix, np.asarray([r[0] for r in rows], dtype=np.int64))
 
 
-def _phrase_doc_set(ix: IndexReader, phrase: list[str]) -> np.ndarray:
-    """Posting-space doc set containing the exact token sequence,
-    computed from the positional sidecar (decodes only the phrase
-    terms' blocks; the start-alignment groupBy is the same plan
-    ``positions.phrase_topk_indexed`` is parity-gated on)."""
+def _phrase_ids_df(ix: IndexReader, phrase: list[str]):
+    """RAW doc_ids (DataFrame, one column ``doc_id``) containing the
+    exact token sequence, computed from the positional sidecar
+    (decodes only the phrase terms' blocks; the start-alignment
+    groupBy is the same plan ``positions.phrase_topk_indexed`` is
+    parity-gated on)."""
     pos = term_positions(ix.spark, ix.index_dir, phrase)
     off = ix.spark.createDataFrame(
         [(t, i) for i, t in enumerate(phrase)], "term string, off int")
     hits = (pos.join(F.broadcast(off), "term")
             .select("doc_id", (F.col("pos") - F.col("off")).alias("start"),
                     "off"))
-    ids = (hits.groupBy("doc_id", "start")
-           .agg(F.countDistinct("off").alias("n_off"))
-           .where(F.col("n_off") == len(phrase))
-           .select("doc_id").distinct().collect())
+    return (hits.groupBy("doc_id", "start")
+            .agg(F.countDistinct("off").alias("n_off"))
+            .where(F.col("n_off") == len(phrase))
+            .select("doc_id").distinct())
+
+
+def _phrase_doc_set(ix: IndexReader, phrase: list[str]) -> np.ndarray:
+    """Posting-space doc set for a phrase clause (driver path)."""
+    ids = _phrase_ids_df(ix, phrase).collect()
     return _docids_to_postspace(
         ix, np.asarray([r.doc_id for r in ids], dtype=np.int64))
 
@@ -228,6 +234,92 @@ def fuzzy_search(ix: IndexReader, term: str, max_edits: int = 1,
                                  max_expansions), None, k, k1, b)
 
 
+def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
+                                 max_expansions: int = 32,
+                                 docs_parquet: str | None = None,
+                                 k1: float = K1, b: float = B):
+    """Distributed index-backed query-string execution: the same parse
+    and clause algebra as the driver path, but posting lists stay a
+    DataFrame end to end — the hot-query shape. Returns the ranked
+    (rank, doc_id, score) DataFrame.
+
+    Plan: score-term postings decode off a term-pruned parquet scan
+    (``wand.decoded_tc``); when the index is dense the decoded stream
+    joins the docmap ONCE (an equi-join bounded by the query's posting
+    rows, not the corpus) so every later constraint — MUST groupBy,
+    phrase ids from the sidecar, pushed-down metadata filters, MUST_NOT
+    anti-join — works in raw doc_id space; one scoring aggregation, one
+    TakeOrderedAndProject. Same scores/tie-breaking as every other
+    path (parity-tested)."""
+    pq: ParsedQuery = parse_querystring(qs)
+    spark = ix.spark
+    score_terms = list(pq.literal_score_terms)
+    for p in pq.prefixes:
+        score_terms += expand_prefix_indexed(ix, p, max_expansions)
+    for t, e in pq.fuzzies:
+        score_terms += expand_fuzzy_indexed(ix, t, e, 1, max_expansions)
+    score_terms = sorted(set(score_terms))
+    from .wand import _rank_topk, decoded_tc
+
+    def raw_ids(df):
+        """posting-space -> raw doc_id translation (docmap equi-join,
+        bounded by the query's posting rows)."""
+        if not ix.dense:
+            return df
+        return (df.withColumnRenamed("doc_id", "ord")
+                .join(ix.docmap(), "ord").drop("ord"))
+
+    dfs_map = ix.term_dfs(score_terms)
+    stats_rows = sorted(dfs_map.items())
+    empty = spark.createDataFrame(
+        [], "rank int, doc_id long, score double")
+    if not stats_rows:
+        return empty
+    stats = spark.createDataFrame(stats_rows, "term string, df long")
+    tc = raw_ids(decoded_tc(ix, score_terms))
+
+    scored_src = tc
+    if pq.must:
+        musts = sorted(set(pq.must))
+        if len(ix.term_dfs(musts)) < len(musts):
+            return empty
+        m_ids = (raw_ids(decoded_tc(ix, musts))
+                 .groupBy("doc_id")
+                 .agg(F.countDistinct("term").alias("nm"))
+                 .where(F.col("nm") == len(musts))
+                 .select("doc_id"))
+        scored_src = scored_src.join(m_ids, "doc_id", "left_semi")
+    for ph in pq.phrases:
+        scored_src = scored_src.join(_phrase_ids_df(ix, ph), "doc_id",
+                                     "left_semi")
+    if pq.filters:
+        if docs_parquet is None:
+            raise ValueError(
+                "query has field filters; pass docs_parquet (the index "
+                "stores no document metadata)")
+        pred = " AND ".join(
+            f"{f_} = '{v.replace(chr(39), chr(39) * 2)}'"
+            for f_, v in pq.filters)
+        f_ids = (spark.read.parquet(docs_parquet)
+                 .filter(F.expr(pred)).select("doc_id"))
+        scored_src = scored_src.join(f_ids, "doc_id", "left_semi")
+    if pq.must_not:
+        nots = sorted(set(pq.must_not))
+        n_ids = (raw_ids(decoded_tc(ix, nots))
+                 .select("doc_id").distinct())
+        scored_src = scored_src.join(n_ids, "doc_id", "left_anti")
+
+    n, avgdl = float(ix.n_docs), float(ix.avgdl)
+    idf = F.log(F.lit(1.0)
+                + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (scored_src.join(F.broadcast(stats), "term")
+              .groupBy("doc_id")
+              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+    return _rank_topk(scored, k)
+
+
 def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
                                max_expansions: int = 32,
                                docs_parquet: str | None = None,
@@ -242,7 +334,13 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
 
     Row-for-row parity with ``ops.querylang.querystring_topk`` is
     asserted in tests; both share the oracle SQL
-    ``ops.querylang.querystring_sql``."""
+    ``ops.querylang.querystring_sql``.
+
+    Routing: like ``wand.search``, the driver answers queries whose
+    clause posting lists fit the fast-path budget; hotter queries run
+    on the distributed plan (``querystring_topk_distributed``) and
+    collect its <= k rows — identical results either way
+    (parity-tested)."""
     pq: ParsedQuery = parse_querystring(qs)
     score_terms = list(pq.literal_score_terms)
     for p in pq.prefixes:
@@ -250,6 +348,14 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
     for t, e in pq.fuzzies:
         score_terms += expand_fuzzy_indexed(ix, t, e, 1, max_expansions)
     score_terms = sorted(set(score_terms))
+
+    from .wand import _fastpath_bound
+    touched = ix.term_dfs(score_terms + sorted(set(pq.must_not)))
+    if sum(touched.values()) > _fastpath_bound(ix):
+        df = querystring_topk_distributed(
+            ix, qs, k, max_expansions, docs_parquet, k1, b)
+        return [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+                for r in df.collect()]
 
     cand: np.ndarray | None = None  # None = union of score-term postings
 

@@ -84,17 +84,12 @@ def _translate_ords(ix: IndexReader, ranked: DataFrame) -> DataFrame:
         _translate_rows(ix, rows) or [], "rank int, doc_id long, score double")
 
 
-def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
-                 k1: float = K1, b: float = B) -> DataFrame:
-    """Exhaustive BM25 from the index (decode + DataFrame scoring)."""
-    terms = sorted(set(query_terms))
-    post = ix.term_postings(terms)
-    stats_rows = sorted(ix.term_dfs(terms).items())
-    stats = ix.spark.createDataFrame(stats_rows or [("", 0)],
-                                     "term string, df long")
-    if not stats_rows:
-        stats = stats.filter(F.lit(False))
-
+def decoded_tc(ix: IndexReader, terms: list[str]) -> DataFrame:
+    """(term, doc_id, tf, dl) DataFrame decoded from the queried terms'
+    posting blocks (term-pruned parquet scan; tombstones applied in the
+    decode pass). doc_id is in POSTING space — ordinals when the index
+    is dense."""
+    post = ix.term_postings(sorted(set(terms)))
     tomb = ix.tombstones()
     tb = ix.spark.sparkContext.broadcast(tomb) if tomb.size else None
 
@@ -112,8 +107,20 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    tc = post.select("term", "blocks").mapInPandas(
+    return post.select("term", "blocks").mapInPandas(
         _decode, "term string, doc_id long, tf long, dl long")
+
+
+def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
+                 k1: float = K1, b: float = B) -> DataFrame:
+    """Exhaustive BM25 from the index (decode + DataFrame scoring)."""
+    terms = sorted(set(query_terms))
+    stats_rows = sorted(ix.term_dfs(terms).items())
+    stats = ix.spark.createDataFrame(stats_rows or [("", 0)],
+                                     "term string, df long")
+    if not stats_rows:
+        stats = stats.filter(F.lit(False))
+    tc = decoded_tc(ix, terms)
     n, avgdl = float(ix.n_docs), float(ix.avgdl)
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1.0)) / \

@@ -131,6 +131,27 @@ def test_querystring_parity(sf_ix, sf_docs, qs):
     assert got == want
 
 
+@pytest.mark.parametrize("qs", QS_CASES)
+def test_querystring_distributed_parity(sf_ix, sf_docs, qs):
+    # the hot-query plan: posting lists stay a DataFrame end to end —
+    # must match the driver path (and hence the corpus path) exactly
+    got = _rows3(SV.querystring_topk_distributed(
+        sf_ix, qs, 10, docs_parquet=f"{SF}/documents.parquet"))
+    want = _rows3(QL.querystring_topk(sf_docs, qs, 10))
+    assert got == want
+
+
+def test_querystring_hot_routing(sf_ix, monkeypatch):
+    # force the fast-path budget to 0: every query routes through the
+    # distributed plan; results must be identical to the driver path
+    driver = SV.querystring_search_indexed(sf_ix, "spark join -vector", 10)
+    from pke_spark.index import wand as W
+    monkeypatch.setattr(W, "_fastpath_bound", lambda ix: 0)
+    monkeypatch.setattr(SV, "_fastpath_bound", lambda ix: 0, raising=False)
+    routed = SV.querystring_search_indexed(sf_ix, "spark join -vector", 10)
+    assert routed == driver
+
+
 def test_facet_counts_parity(sf_ix, sf_docs):
     got = SV.facet_counts_indexed(
         sf_ix, ["spark", "join", "window"], "lang",
