@@ -146,3 +146,77 @@ def test_compiled_matches_duckdb_twin(fixture_docs, tmp_path):
         assert got.shape == want.shape, qs
         assert (got["doc_id"] == want["doc_id"]).all(), qs
         assert (got["score"].round(6) == want["score"].round(6)).all(), qs
+
+
+# ------------------------------------------------- property (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pke_spark.ops.querylang import ParsedQuery
+
+_word = st.text(alphabet="abcdefghij", min_size=2, max_size=8)
+
+
+@st.composite
+def _querystrings(draw):
+    """Random syntactically-valid query strings with >=1 scoring
+    clause, built from the grammar itself."""
+    clauses = []
+    n = draw(st.integers(min_value=1, max_value=6))
+    kinds = draw(st.lists(
+        st.sampled_from(["should", "must", "not", "phrase", "prefix",
+                         "fuzzy", "filter"]),
+        min_size=n, max_size=n))
+    if not any(k in ("should", "must", "phrase", "prefix", "fuzzy")
+               for k in kinds):
+        kinds.append("should")
+    # MUST_NOT may not overlap score terms: draw disjoint vocab halves
+    for k in kinds:
+        w = draw(_word)
+        if k == "should":
+            clauses.append(w)
+        elif k == "must":
+            clauses.append("+" + w)
+        elif k == "not":
+            clauses.append("-z" + w)  # 'z' prefix keeps it disjoint
+        elif k == "phrase":
+            w2 = draw(_word)
+            clauses.append(f'"{w} {w2}"')
+        elif k == "prefix":
+            clauses.append(w + "*")
+        elif k == "fuzzy":
+            clauses.append(w + "~" + draw(st.sampled_from(["", "1", "2"])))
+        elif k == "filter":
+            clauses.append("lang:" + w)
+    return " ".join(clauses)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_querystrings())
+def test_parse_total_on_valid_grammar(qs):
+    pq = parse_querystring(qs)
+    assert isinstance(pq, ParsedQuery)
+    # every clause landed in exactly one bucket
+    n_clauses = len(qs.split())
+    n_parsed = (len(pq.must) + len(pq.should) + len(pq.must_not)
+                + len(pq.phrases) + len(pq.soft_phrases)
+                + len(pq.prefixes) + len(pq.fuzzies) + len(pq.filters))
+    # phrases consume two whitespace-separated words
+    assert n_parsed == n_clauses - len(pq.phrases) - len(pq.soft_phrases)
+    # the parser's own invariants
+    assert not (set(pq.must_not) & set(pq.literal_score_terms))
+    assert pq.literal_score_terms or pq.prefixes or pq.fuzzies
+    for t, e in pq.fuzzies:
+        assert e in (1, 2)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=0, max_size=40))
+def test_parse_never_crashes_on_arbitrary_input(s):
+    # arbitrary input either parses or raises ValueError — never any
+    # other exception type (the serving front door's contract)
+    try:
+        parse_querystring(s)
+    except ValueError:
+        pass
