@@ -1154,7 +1154,16 @@ class IndexReader:
             self._decoded = OrderedDict()
             self._decoded_rows = 0
         cache = self._decoded
-        missing = [t for t in dict.fromkeys(terms) if t not in cache]
+        req = list(dict.fromkeys(terms))
+        # protect THIS query's cached terms from the eviction below by
+        # moving them to the LRU tail first — without this, a query
+        # mixing one old cached hot term with fresh hot terms could
+        # evict the old one mid-call and KeyError at scoring (seen at
+        # 2M docs, where single posting lists approach the row budget)
+        for t in req:
+            if t in cache:
+                cache.move_to_end(t)
+        missing = [t for t in req if t not in cache]
         if missing:
             from . import codec
             from .delete import keep_mask
@@ -1181,16 +1190,14 @@ class IndexReader:
                     tf = dl = np.empty(0, np.int64)
                 cache[t] = (d, tf, dl)
                 self._decoded_rows += len(d)
+            # oldest-first eviction only ever reaches non-requested
+            # entries: every requested term now sits at the tail, and
+            # the len guard stops before the cache shrinks below them
             while (self._decoded_rows > self.POSTINGS_CACHE_MAX_ROWS
-                   and len(cache) > len(terms)):
+                   and len(cache) > len(req)):
                 _, (d, _t, _d2) = cache.popitem(last=False)
                 self._decoded_rows -= len(d)
-        out = {}
-        for t in dict.fromkeys(terms):
-            if t in cache:
-                cache.move_to_end(t)
-                out[t] = cache[t]
-        return out
+        return {t: cache[t] for t in req}
 
     def _duckdb(self):
         """One long-lived DuckDB connection per reader: per-query

@@ -504,3 +504,27 @@ def test_decoded_postings_cache_serves_without_rereads(spark, index_dir):
     search(ix, ["import", "lib"], 10)
     assert ix._decoded_rows == sum(len(v[0]) for v in ix._decoded.values())
     assert len(ix._decoded) <= 3  # at most the last call's working set
+
+
+def test_decoded_postings_eviction_never_drops_requested_terms(
+        spark, index_dir):
+    """Regression (found by the 2M-doc capacity bench): a query mixing
+    an ALREADY-CACHED term with fresh terms whose fetch blows the row
+    budget must not evict the cached term mid-call — every requested
+    term must be present in the returned dict (the scorer KeyErrors
+    otherwise)."""
+    ix = IndexReader(spark, index_dir)
+    ix.POSTINGS_CACHE_MAX_ROWS = 1  # every fetch overflows the budget
+    ix.decoded_postings(["def"])    # 'def' now sits at the LRU front
+    out = ix.decoded_postings(["def", "return", "core", "lib"])
+    assert set(out) == {"def", "return", "core", "lib"}
+    assert all(len(v) == 3 for v in out.values())
+    # and the scorer path that crashed at capacity scale works
+    from pke_spark.index.wand import search
+    ix2 = IndexReader(spark, index_dir)
+    ix2.POSTINGS_CACHE_MAX_ROWS = 1
+    baseline = search(IndexReader(spark, index_dir), ["def"], 10)
+    search(ix2, ["def"], 10)
+    assert search(ix2, ["def", "return", "core", "lib"], 10)
+    # cache thrash must not change results
+    assert search(ix2, ["def"], 10) == baseline
