@@ -82,6 +82,40 @@ def main() -> None:
     out["compact_parity"] = "identical top-10 (rank, doc, score) on all "\
         f"{len(BENCH_QUERIES)} queries"
 
+    # ---- query-language serving at capacity (round 4) ----
+    # positional sidecar + the full serving surface on the 2M-doc
+    # index: phrase, proximity, prefix/fuzzy dictionary expansion,
+    # querystring (driver-vs-distributed routing decides itself),
+    # snippets. The synthetic corpus has no metadata columns, so
+    # field-filter clauses are exercised at sf scale instead.
+    from pke_spark.index import serving as SV
+    from pke_spark.index.positions import (build_positions,
+                                           phrase_topk_indexed,
+                                           proximity_topk_indexed)
+    t0 = time.time()
+    build_positions(docs, ix_dir, n_salts=8)
+    out["positions_build_sec"] = round(time.time() - t0, 2)
+    ixq = IndexReader(spark, ix_dir)
+    t0 = time.time()
+    phrase_topk_indexed(spark, ix_dir, ["core", "lib"], 10).collect()
+    out["phrase_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    proximity_topk_indexed(spark, ix_dir, "def", "return", 8, 10).collect()
+    out["proximity_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SV.prefix_search(ixq, "re", 10)
+    out["prefix_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SV.fuzzy_search(ixq, "retur", 1, 10)
+    out["fuzzy_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SV.querystring_search_indexed(
+        ixq, '+def return -lexer "core lib" ind* retur~1', 10)
+    out["querystring_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    SV.snippet_search(ixq, ["def", "return", "core"], 10)
+    out["snippet_sec"] = round(time.time() - t0, 3)
+
     # ---- stream-append + refresh ----
     # new doc space: reuse synth content but derive doc ids with a salt
     # so the appended docs are genuinely new documents
