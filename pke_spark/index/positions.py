@@ -351,23 +351,46 @@ def compact_positions(spark: SparkSession, index_dir: str, *,
 # ------------------------------------------------------------------ query
 
 def term_positions(spark: SparkSession, index_dir: str,
-                   terms: list[str]) -> DataFrame:
+                   terms: list[str], doc_ids=None) -> DataFrame:
     """Decode the sidecar for exactly ``terms`` -> (doc_id, pos, term),
     the same shape as ``tokenizer.tokens_exploded`` restricted to those
     terms. The parquet scan prunes on the term predicate (fragments are
     term-clustered by the build's repartition); only queried terms'
-    blocks are ever decoded."""
+    blocks are ever decoded.
+
+    ``doc_ids`` (optional, small — e.g. a top-k hit list) prunes INSIDE
+    the decode: blocks whose [first_doc, last_doc] range misses the set
+    are skipped without decoding (a filter above mapInPandas could not
+    push through the UDF boundary, so a hot term would otherwise emit
+    its full corpus-wide position stream to highlight 10 docs)."""
     frags = (spark.read.parquet(positions_dir(index_dir))
              .where(F.col("term").isin(list(set(terms))))
              .select("term", "blocks"))
+    wanted = (np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+              if doc_ids is not None else None)
+    w_bc = (spark.sparkContext.broadcast(wanted)
+            if wanted is not None else None)
 
     def decode(pdf_iter):
         import pandas as pd
+        w = w_bc.value if w_bc is not None else None
         for pdf in pdf_iter:
             outs = []
             for term, blocks in zip(pdf["term"], pdf["blocks"]):
                 for b in blocks:
+                    if w is not None:
+                        get = (b.get if isinstance(b, dict)
+                               else lambda k, _b=b: getattr(_b, k))
+                        lo = np.searchsorted(w, int(get("first_doc")))
+                        if lo >= len(w) or w[lo] > int(get("last_doc")):
+                            continue  # no wanted doc in this block
                     d, tfs, p = _decode_pos_block(b)
+                    if w is not None:
+                        m = np.isin(d, w, assume_unique=True)
+                        if not m.any():
+                            continue
+                        p = p[np.repeat(m, tfs)]  # flat-pos mask first
+                        d, tfs = d[m], tfs[m]
                     outs.append(pd.DataFrame({
                         "doc_id": np.repeat(d, tfs),
                         "pos": p.astype(np.int32),

@@ -44,18 +44,19 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from ..ops.querylang import ParsedQuery, parse_querystring
+from ..tokenizer import sql_quote as _sq
 from .build import IndexReader
 from .positions import term_positions
 from .wand import B, K1, _idf, _translate_rows
 
-#: cap on driver-side fast-path scoring work, in posting rows summed
-#: over the query's terms (matches wand._fastpath_bound's intent: the
-#: distributed block-max scorer takes over for hot unions)
-_MAX_DRIVER_ROWS = 2_000_000
 
 
-def _sq(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+def _over_budget(ix: IndexReader, terms: list[str]) -> bool:
+    """True when the terms' total posting rows exceed the driver
+    fast-path budget (same routing rule as ``wand.search``) — the
+    caller must take the distributed plan."""
+    from .wand import _fastpath_bound
+    return sum(ix.term_dfs(terms).values()) > _fastpath_bound(ix)
 
 
 # ------------------------------------------------------------ expansion
@@ -211,15 +212,30 @@ def _score_candidates(ix: IndexReader, score_terms: list[str],
     return [(r, int(d), float(s)) for r, d, s in out]
 
 
+def _expansion_search(ix: IndexReader, expanded: list[str], k: int,
+                      k1: float, b: float
+                      ) -> list[tuple[int, int, float]]:
+    """Score an expansion set: driver fast path when its posting rows
+    fit the budget, else the distributed exhaustive scorer (expansion
+    deliberately picks the HIGHEST-df dictionary terms, so a short
+    prefix on a big index is exactly the hot-union case)."""
+    if not expanded:
+        return []
+    if _over_budget(ix, expanded):
+        from .wand import bm25_indexed
+        return [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+                for r in bm25_indexed(ix, expanded, k, k1, b).collect()]
+    return _score_candidates(ix, expanded, None, k, k1, b)
+
+
 def prefix_search(ix: IndexReader, prefix: str, k: int = 10,
                   max_expansions: int = 32,
                   k1: float = K1, b: float = B
                   ) -> list[tuple[int, int, float]]:
     """Index-backed ``prefix*`` BM25 top-k (parity:
     ``ops.termexpand.prefix_bm25_topk``)."""
-    return _score_candidates(
-        ix, expand_prefix_indexed(ix, prefix, max_expansions), None, k,
-        k1, b)
+    return _expansion_search(
+        ix, expand_prefix_indexed(ix, prefix, max_expansions), k, k1, b)
 
 
 def fuzzy_search(ix: IndexReader, term: str, max_edits: int = 1,
@@ -229,9 +245,9 @@ def fuzzy_search(ix: IndexReader, term: str, max_edits: int = 1,
                  ) -> list[tuple[int, int, float]]:
     """Index-backed ``term~e`` BM25 top-k (parity:
     ``ops.termexpand.fuzzy_bm25_topk``)."""
-    return _score_candidates(
+    return _expansion_search(
         ix, expand_fuzzy_indexed(ix, term, max_edits, prefix_len,
-                                 max_expansions), None, k, k1, b)
+                                 max_expansions), k, k1, b)
 
 
 def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
@@ -349,9 +365,24 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
         score_terms += expand_fuzzy_indexed(ix, t, e, 1, max_expansions)
     score_terms = sorted(set(score_terms))
 
-    from .wand import _fastpath_bound
-    touched = ix.term_dfs(score_terms + sorted(set(pq.must_not)))
-    if sum(touched.values()) > _fastpath_bound(ix):
+    route_distributed = _over_budget(
+        ix, score_terms + sorted(set(pq.must_not)))
+    if not route_distributed and pq.filters:
+        # posting rows aren't the only driver-side set: an unselective
+        # metadata filter ('lang:en' matching most of the corpus) would
+        # materialize a corpus-sized doc set on the driver even when
+        # the score terms are rare. One COUNT(*) point read decides.
+        if docs_parquet is None:
+            raise ValueError(
+                "query has field filters; pass docs_parquet (the index "
+                "stores no document metadata)")
+        from .wand import _fastpath_bound
+        pred = " AND ".join(f"{f_} = {_sq(v)}" for f_, v in pq.filters)
+        n_match = ix._duckdb().execute(
+            f"SELECT count(*) FROM read_parquet('{docs_parquet}') "
+            f"WHERE {pred}").fetchone()[0]
+        route_distributed = int(n_match) > _fastpath_bound(ix)
+    if route_distributed:
         df = querystring_topk_distributed(
             ix, qs, k, max_expansions, docs_parquet, k1, b)
         return [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
@@ -419,11 +450,27 @@ def facet_counts_indexed(ix: IndexReader, query_terms: list[str],
     then one DuckDB group-by against the documents parquet — Lucene's
     FacetsCollector, with stored fields playing the doc-values role.
     Parity: ``ops.fielded.facet_counts`` (same ordering: n_docs DESC,
-    facet ASC)."""
+    facet ASC). Hot query terms (posting rows past the driver budget)
+    take the distributed plan: match set from ``decoded_tc``, docmap
+    translation, one facet aggregation."""
     import pandas as pd
     dfs = ix.term_dfs(sorted(set(query_terms)))
     if not dfs:
         return []
+    if _over_budget(ix, sorted(dfs)):
+        from .wand import decoded_tc
+        matched = decoded_tc(ix, sorted(dfs)).select("doc_id").distinct()
+        if ix.dense:
+            matched = (matched.withColumnRenamed("doc_id", "ord")
+                       .join(ix.docmap(), "ord").drop("ord"))
+        docs_meta = ix.spark.read.parquet(docs_parquet).select(
+            "doc_id", facet_col)
+        rows = (matched.join(docs_meta, "doc_id")
+                .groupBy(F.col(facet_col).alias("facet"))
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy(F.desc("n_docs"), F.asc("facet"))
+                .limit(int(topn)).collect())
+        return [(r.facet, int(r.n_docs)) for r in rows]
     posts = ix.decoded_postings(sorted(dfs))
     arrs = [posts[t][0] for t in sorted(dfs) if len(posts[t][0])]
     if not arrs:
@@ -468,8 +515,11 @@ def snippet_search(ix: IndexReader, query_terms: list[str], k: int = 10,
     if not top:
         return []
     ids = [d for _, d, _ in top]
-    rows = (term_positions(ix.spark, ix.index_dir, list(set(query_terms)))
-            .where(F.col("doc_id").isin(ids)).collect())
+    # doc-bounded decode: blocks outside the k hit docs are skipped
+    # inside the UDF (a .where() above mapInPandas cannot push through
+    # it, and would decode a hot term's full corpus-wide positions)
+    rows = term_positions(ix.spark, ix.index_dir,
+                          list(set(query_terms)), doc_ids=ids).collect()
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(int(r.doc_id), []).append((int(r.pos), r.term))

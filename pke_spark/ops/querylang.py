@@ -56,7 +56,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tokenizer import duckdb_toks_cte, sql_str_list, tokenize_text, tokens_exploded
+from ..tokenizer import (duckdb_toks_cte, sql_quote, sql_str_list,
+                         tokenize_text, tokens_exploded)
+
+_sq = sql_quote
 from .core import B, K1
 
 FILTER_FIELDS = ("lang", "source")
@@ -255,8 +258,6 @@ def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
 
 # --------------------------------------------------------------- DuckDB
 
-def _sq(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
 
 
 def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,

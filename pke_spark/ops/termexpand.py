@@ -34,7 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tokenizer import duckdb_toks_cte
+from ..tokenizer import duckdb_toks_cte, sql_quote
+
+_sq = sql_quote
 from .core import B, K1
 
 
@@ -142,8 +144,6 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
-def _sq(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
 
 
 def prefix_bm25_topk_sql(prefix: str, k: int = 10,

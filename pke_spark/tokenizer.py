@@ -266,6 +266,11 @@ def duckdb_toks_cte(table: str = "documents", text_col: str = "text",
     )
 
 
+def sql_quote(s: str) -> str:
+    """SQL single-quoted string literal (the one escaping site)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def sql_str_list(items) -> str:
     """('a','b') -> "('a','b')" for IN clauses (items must be sql-safe)."""
-    return "(" + ", ".join("'" + i.replace("'", "''") + "'" for i in items) + ")"
+    return "(" + ", ".join(sql_quote(i) for i in items) + ")"
