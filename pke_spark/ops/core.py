@@ -50,31 +50,41 @@ def term_stats(docs: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
 
 
-def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
-              k1: float = K1, b: float = B) -> DataFrame:
-    """Exhaustive BM25 top-k as pure DataFrame ops (the M1 scorer).
+def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
+                   k1: float = K1, b: float = B,
+                   constrain=None) -> DataFrame:
+    """THE corpus-side BM25 kernel: rank docs against a (term)
+    DataFrame of query terms. Every DataFrame scorer (plain / fielded
+    / expansion / query-string) delegates here, so the scoring math,
+    6-decimal rounding, and (score DESC, doc_id ASC) tie-break exist
+    in exactly one place.
+
+    ``constrain`` (optional) maps the per-doc term-count table to its
+    candidate-restricted form (semi/anti joins on doc_id) — Lucene's
+    filter/required clauses. Corpus-level statistics (n, avgdl, df)
+    are ALWAYS computed on the unconstrained corpus, matching Lucene:
+    a filter never changes term stats.
 
     Plan shape at scale: query terms are broadcast; per-term stats are
     broadcast (tiny after the semi-join on query terms); the only big
-    shuffle is tc⋈dl on doc_id, then a partial-aggregated groupBy(doc_id)
-    and a TakeOrderedAndProject global top-k.
+    shuffle is tc⋈dl on doc_id, then a partial-aggregated
+    groupBy(doc_id) and a TakeOrderedAndProject global top-k.
     """
-    spark = docs.sparkSession
     toks = tokens_exploded(docs)
-    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
     # push the query-term filter BELOW both term-side aggregations:
     # Catalyst will not push a join under a groupBy, so filter the token
     # stream first — df for a term only needs that term's rows. Only the
     # doc-length table (n, avgdl) requires the full corpus pass.
-    tc_q = (toks.join(F.broadcast(q), "term")
+    tc_q = (toks.join(F.broadcast(qdf.select("term")), "term")
             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
+    scored_src = tc_q if constrain is None else constrain(tc_q)
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1.0)) / \
         (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-    scored = (tc_q.join(F.broadcast(stats_q), "term")
+    scored = (scored_src.join(F.broadcast(stats_q), "term")
               .join(dl, "doc_id")
               .crossJoin(F.broadcast(g))
               .groupBy("doc_id")
@@ -83,6 +93,14 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int")) \
               .select("rank", "doc_id", "score")
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = K1, b: float = B) -> DataFrame:
+    """Exhaustive BM25 top-k as pure DataFrame ops (the M1 scorer)."""
+    q = docs.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string")
+    return bm25_rank_over(docs, q, k, k1, b)
 
 
 # --------------------------------------------------------------- DuckDB

@@ -28,7 +28,7 @@ a tiny facet-value aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..tokenizer import duckdb_toks_cte, sql_str_list, tokens_exploded
@@ -50,30 +50,15 @@ def filtered_bm25_topk(docs: DataFrame, query_terms: list[str],
     the result. Identical scoring constants, rounding, and (score DESC,
     doc_id ASC) tie-breaking to ``core.bm25_topk``.
     """
-    spark = docs.sparkSession
-    toks = tokens_exploded(docs)
-    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
-    tc_q = (toks.join(F.broadcast(q), "term")
-            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
+    from .core import bm25_rank_over
+    q = docs.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string")
     # the filter: pushable predicate on the documents scan, pruned to
     # (doc_id) after evaluation
     cand = docs.filter(F.expr(predicate)).select("doc_id")
-    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_part = (F.col("tf") * (k1 + 1.0)) / \
-        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-    scored = (tc_q.join(cand, "doc_id", "left_semi")
-              .join(F.broadcast(stats_q), "term")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(g))
-              .groupBy("doc_id")
-              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
-              .select("rank", "doc_id", "score")
+    return bm25_rank_over(
+        docs, q, k, k1, b,
+        constrain=lambda tc: tc.join(cand, "doc_id", "left_semi"))
 
 
 def facet_counts(docs: DataFrame, query_terms: list[str],

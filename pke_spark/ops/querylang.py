@@ -53,7 +53,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..tokenizer import (duckdb_toks_cte, sql_quote, sql_str_list,
@@ -183,6 +183,8 @@ def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
     from .phrase import _term_offsets
     from .termexpand import expand_fuzzy, expand_prefix
 
+    from .core import bm25_rank_over
+
     pq = parse_querystring(qs)
     spark = docs.sparkSession
     toks = tokens_exploded(docs)
@@ -202,58 +204,43 @@ def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
         qdf = qdf.unionByName(extra)
     qdf = qdf.distinct()
 
-    tc_q = (toks.join(F.broadcast(qdf), "term")
-            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
+    def constrain(tc_q: DataFrame) -> DataFrame:
+        scored_src = tc_q
+        if pq.filters:
+            pred = " AND ".join(
+                f"{f_} = {sql_quote(v)}" for f_, v in pq.filters)
+            scored_src = scored_src.join(
+                docs.filter(F.expr(pred)).select("doc_id"), "doc_id",
+                "left_semi")
+        if pq.must:
+            mdf = spark.createDataFrame(
+                [(t,) for t in dict.fromkeys(pq.must)], "term string")
+            m_ids = (toks.join(F.broadcast(mdf), "term")
+                     .groupBy("doc_id")
+                     .agg(F.countDistinct("term").alias("nm"))
+                     .where(F.col("nm") == len(set(pq.must)))
+                     .select("doc_id"))
+            scored_src = scored_src.join(m_ids, "doc_id", "left_semi")
+        for ph in pq.phrases:
+            n = len(ph)
+            hits = (toks.join(F.broadcast(_term_offsets(spark, ph)), "term")
+                    .select("doc_id",
+                            (F.col("pos") - F.col("off")).alias("start"),
+                            "off"))
+            ph_ids = (hits.groupBy("doc_id", "start")
+                      .agg(F.countDistinct("off").alias("n_off"))
+                      .where(F.col("n_off") == n)
+                      .select("doc_id").distinct())
+            scored_src = scored_src.join(ph_ids, "doc_id", "left_semi")
+        if pq.must_not:
+            ndf = spark.createDataFrame(
+                [(t,) for t in dict.fromkeys(pq.must_not)], "term string")
+            n_ids = (toks.join(F.broadcast(ndf), "term")
+                     .select("doc_id").distinct())
+            scored_src = scored_src.join(n_ids, "doc_id", "left_anti")
+        return scored_src
 
-    scored_src = tc_q
-    if pq.filters:
-        pred = " AND ".join(
-            f"{f_} = '{v.replace(chr(39), chr(39) * 2)}'"
-            for f_, v in pq.filters)
-        scored_src = scored_src.join(
-            docs.filter(F.expr(pred)).select("doc_id"), "doc_id",
-            "left_semi")
-    if pq.must:
-        mdf = spark.createDataFrame(
-            [(t,) for t in dict.fromkeys(pq.must)], "term string")
-        m_ids = (toks.join(F.broadcast(mdf), "term")
-                 .groupBy("doc_id")
-                 .agg(F.countDistinct("term").alias("nm"))
-                 .where(F.col("nm") == len(set(pq.must)))
-                 .select("doc_id"))
-        scored_src = scored_src.join(m_ids, "doc_id", "left_semi")
-    for ph in pq.phrases:
-        n = len(ph)
-        hits = (toks.join(F.broadcast(_term_offsets(spark, ph)), "term")
-                .select("doc_id",
-                        (F.col("pos") - F.col("off")).alias("start"), "off"))
-        ph_ids = (hits.groupBy("doc_id", "start")
-                  .agg(F.countDistinct("off").alias("n_off"))
-                  .where(F.col("n_off") == n)
-                  .select("doc_id").distinct())
-        scored_src = scored_src.join(ph_ids, "doc_id", "left_semi")
-    if pq.must_not:
-        ndf = spark.createDataFrame(
-            [(t,) for t in dict.fromkeys(pq.must_not)], "term string")
-        n_ids = (toks.join(F.broadcast(ndf), "term")
-                 .select("doc_id").distinct())
-        scored_src = scored_src.join(n_ids, "doc_id", "left_anti")
-
-    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_part = (F.col("tf") * (k1 + 1.0)) / \
-        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-    scored = (scored_src.join(F.broadcast(stats_q), "term")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(g))
-              .groupBy("doc_id")
-              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
-              .select("rank", "doc_id", "score")
+    return bm25_rank_over(docs, qdf, k, k1, b, constrain)
 
 
 # --------------------------------------------------------------- DuckDB

@@ -31,7 +31,7 @@ small OR set. No driver collect anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..tokenizer import duckdb_toks_cte, sql_quote
@@ -44,25 +44,8 @@ def _bm25_over_expansion(docs: DataFrame, expanded: DataFrame,
                          k: int, k1: float, b: float) -> DataFrame:
     """BM25 top-k where the query-term set is a (term) DataFrame of
     <= max_expansions rows (broadcast into the token-stream filter)."""
-    from ..tokenizer import tokens_exploded
-    toks = tokens_exploded(docs)
-    tc_q = (toks.join(F.broadcast(expanded.select("term")), "term")
-            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-    stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_part = (F.col("tf") * (k1 + 1.0)) / \
-        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-    scored = (tc_q.join(F.broadcast(stats_q), "term")
-              .join(dl, "doc_id")
-              .crossJoin(F.broadcast(g))
-              .groupBy("doc_id")
-              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
-              .select("rank", "doc_id", "score")
+    from .core import bm25_rank_over
+    return bm25_rank_over(docs, expanded, k, k1, b)
 
 
 def _vocab(docs: DataFrame) -> DataFrame:
