@@ -91,6 +91,13 @@ FUZZY_QUERY = ("sparc", 1)
 # query-string front door: MUST + SHOULD + MUST_NOT + phrase + field
 # filter + prefix + fuzzy in one Lucene-lite string
 QUERYSTRING = '+spark join -vector lang:en "merge slow" tab* sor~1'
+# clause boosts (sum-of-clauses weights, incl. a boosted expansion and
+# a duplicated term) + a numeric range filter
+QUERYSTRING_BOOSTED = '+spark^2 join merge^0.5 join tab*^3 ' \
+                      'n_chars:[200 TO 1500]'
+# minimum_should_match: candidates must satisfy >= 2 of the 4 SHOULD
+# clauses (3 bare terms + 1 boosted term)
+QUERYSTRING_MSM = ('spark join window merge^2', 2)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,6 +138,23 @@ def _querystring_indexed(s: SparkSession, d: str) -> DataFrame:
     rows = querystring_search_indexed(
         _served_reader(s, d), QUERYSTRING, 10,
         docs_parquet=f"{d}/documents.parquet")
+    return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
+def _querystring_boosted_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import querystring_search_indexed
+    rows = querystring_search_indexed(
+        _served_reader(s, d), QUERYSTRING_BOOSTED, 10,
+        docs_parquet=f"{d}/documents.parquet")
+    return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
+def _querystring_msm_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import querystring_search_indexed
+    rows = querystring_search_indexed(
+        _served_reader(s, d), QUERYSTRING_MSM[0], 10,
+        docs_parquet=f"{d}/documents.parquet",
+        min_should_match=QUERYSTRING_MSM[1])
     return _rows_df(s, rows, "rank int, doc_id long, score double")
 
 
@@ -202,11 +226,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), BM25_QUERY, 10),
         "querystring_search": lambda s, d: querylang.querystring_topk(
             _docs(s, d), QUERYSTRING, 10),
+        "querystring_boosted": lambda s, d: querylang.querystring_topk(
+            _docs(s, d), QUERYSTRING_BOOSTED, 10),
+        "querystring_msm": lambda s, d: querylang.querystring_topk(
+            _docs(s, d), QUERYSTRING_MSM[0], 10,
+            min_should_match=QUERYSTRING_MSM[1]),
         # index-backed serving twins: same grammar/fixtures compiled
         # onto the inverted index + positional sidecar + term
         # dictionary (pke_spark/index/serving.py); they share the
         # DataFrame ops' derived DuckDB oracles verbatim
         "querystring_indexed": _querystring_indexed,
+        "querystring_boosted_indexed": _querystring_boosted_indexed,
+        "querystring_msm_indexed": _querystring_msm_indexed,
         "prefix_indexed": _prefix_indexed,
         "fuzzy_indexed": _fuzzy_indexed,
         "facets_indexed": _facets_indexed,
@@ -308,7 +339,15 @@ def oracle_sql() -> dict[str, str]:
             FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
         "snippet_windows": snippets.snippet_windows_sql(BM25_QUERY, 10),
         "querystring_search": querylang.querystring_sql(QUERYSTRING, 10),
+        "querystring_boosted": querylang.querystring_sql(
+            QUERYSTRING_BOOSTED, 10),
+        "querystring_msm": querylang.querystring_sql(
+            QUERYSTRING_MSM[0], 10, min_should_match=QUERYSTRING_MSM[1]),
         "querystring_indexed": querylang.querystring_sql(QUERYSTRING, 10),
+        "querystring_boosted_indexed": querylang.querystring_sql(
+            QUERYSTRING_BOOSTED, 10),
+        "querystring_msm_indexed": querylang.querystring_sql(
+            QUERYSTRING_MSM[0], 10, min_should_match=QUERYSTRING_MSM[1]),
         "prefix_indexed": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
         "fuzzy_indexed": termexpand.fuzzy_bm25_topk_sql(
             FUZZY_QUERY[0], FUZZY_QUERY[1], 10),

@@ -43,7 +43,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from ..ops.querylang import ParsedQuery, parse_querystring
+from ..ops.querylang import (ParsedQuery, filters_predicate,
+                             parse_querystring)
 from ..tokenizer import sql_quote as _sq
 from .build import IndexReader
 from .positions import term_positions
@@ -103,6 +104,18 @@ def expand_fuzzy_indexed(ix: IndexReader, term: str, max_edits: int = 1,
     return [r[0] for r in rows]
 
 
+def _clause_expansions(ix: IndexReader, pq: ParsedQuery,
+                       max_expansions: int) -> list:
+    """Per-clause expanded term lists, aligned with
+    ``pq.prefixes + pq.fuzzies`` (the shape ``expansion_weights``
+    consumes)."""
+    out = [expand_prefix_indexed(ix, p, max_expansions)
+           for p, _ in pq.prefixes]
+    out += [expand_fuzzy_indexed(ix, t, e, 1, max_expansions)
+            for t, e, _ in pq.fuzzies]
+    return out
+
+
 # ------------------------------------------------------- doc-set helpers
 
 def _docids_to_postspace(ix: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
@@ -127,10 +140,10 @@ def _docids_to_postspace(ix: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
 
 def _metadata_filter_set(ix: IndexReader, docs_parquet: str,
                          filters: list) -> np.ndarray:
-    """Posting-space doc set satisfying every (field, value) equality —
-    Lucene's filter bitset, resolved once per query by a column-pruned
-    predicate-pushdown scan of the documents parquet."""
-    pred = " AND ".join(f"{f_} = {_sq(v)}" for f_, v in filters)
+    """Posting-space doc set satisfying every filter (equality or
+    numeric range) — Lucene's filter bitset, resolved once per query by
+    a column-pruned predicate-pushdown scan of the documents parquet."""
+    pred = filters_predicate(filters)
     rows = ix._duckdb().execute(
         f"SELECT doc_id FROM read_parquet('{docs_parquet}') "
         f"WHERE {pred}").fetchall()
@@ -167,11 +180,15 @@ def _phrase_doc_set(ix: IndexReader, phrase: list[str]) -> np.ndarray:
 
 def _score_candidates(ix: IndexReader, score_terms: list[str],
                       cand: np.ndarray | None, k: int,
-                      k1: float, b: float) -> list[tuple[int, int, float]]:
+                      k1: float, b: float,
+                      boosts: dict | None = None
+                      ) -> list[tuple[int, int, float]]:
     """BM25 over ``score_terms`` restricted to ``cand`` (posting-space;
     None = union of the score terms' postings). Fixed summation order,
     6-decimal rounding, (score DESC, doc_id ASC) — the ``_driver_rows``
-    discipline, so scores are bit-identical to every other path."""
+    discipline, so scores are bit-identical to every other path.
+    ``boosts`` (term -> summed clause weight) multiplies each term's
+    contribution — the driver twin of the kernel's boost column."""
     dfs = ix.term_dfs(sorted(set(score_terms)))
     live = sorted(dfs)
     if not live:
@@ -195,6 +212,8 @@ def _score_candidates(ix: IndexReader, score_terms: list[str],
         if not m.any():
             continue
         idf = _idf(int(n), dfs[t])
+        if boosts is not None:
+            idf *= float(boosts.get(t, 1.0))
         tff = tf[m].astype(np.float64)
         dlf = dl[m].astype(np.float64)
         c = idf * (tff * (k1 + 1.0)) / \
@@ -253,7 +272,8 @@ def fuzzy_search(ix: IndexReader, term: str, max_edits: int = 1,
 def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
                                  max_expansions: int = 32,
                                  docs_parquet: str | None = None,
-                                 k1: float = K1, b: float = B):
+                                 k1: float = K1, b: float = B,
+                                 min_should_match: int = 0):
     """Distributed index-backed query-string execution: the same parse
     and clause algebra as the driver path, but posting lists stay a
     DataFrame end to end — the hot-query shape. Returns the ranked
@@ -269,12 +289,9 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
     path (parity-tested)."""
     pq: ParsedQuery = parse_querystring(qs)
     spark = ix.spark
-    score_terms = list(pq.literal_score_terms)
-    for p in pq.prefixes:
-        score_terms += expand_prefix_indexed(ix, p, max_expansions)
-    for t, e in pq.fuzzies:
-        score_terms += expand_fuzzy_indexed(ix, t, e, 1, max_expansions)
-    score_terms = sorted(set(score_terms))
+    exp_lists = _clause_expansions(ix, pq, max_expansions)
+    weights = pq.expansion_weights(exp_lists)
+    score_terms = sorted(weights)
     from .wand import _rank_topk, decoded_tc
 
     def raw_ids(df):
@@ -295,6 +312,28 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
     tc = raw_ids(decoded_tc(ix, score_terms))
 
     scored_src = tc
+    if min_should_match:
+        if min_should_match > pq.n_should_clauses:
+            return empty
+        clauses = list(pq.should_clauses) + [(sorted(set(ts)), 1)
+                                             for ts in exp_lists]
+        cm_rows = [(t, cid, need)
+                   for cid, (terms, need) in enumerate(clauses)
+                   for t in terms]
+        if not cm_rows:
+            return empty
+        cm = spark.createDataFrame(cm_rows,
+                                   "term string, cid int, need int")
+        all_terms = sorted({r[0] for r in cm_rows})
+        ok = (raw_ids(decoded_tc(ix, all_terms))
+              .join(F.broadcast(cm), "term")
+              .groupBy("doc_id", "cid", "need")
+              .agg(F.countDistinct("term").alias("nt"))
+              .where(F.col("nt") >= F.col("need"))
+              .groupBy("doc_id").agg(F.count("*").alias("nc"))
+              .where(F.col("nc") >= min_should_match)
+              .select("doc_id"))
+        scored_src = scored_src.join(ok, "doc_id", "left_semi")
     if pq.must:
         musts = sorted(set(pq.must))
         if len(ix.term_dfs(musts)) < len(musts):
@@ -313,11 +352,9 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
             raise ValueError(
                 "query has field filters; pass docs_parquet (the index "
                 "stores no document metadata)")
-        pred = " AND ".join(
-            f"{f_} = '{v.replace(chr(39), chr(39) * 2)}'"
-            for f_, v in pq.filters)
         f_ids = (spark.read.parquet(docs_parquet)
-                 .filter(F.expr(pred)).select("doc_id"))
+                 .filter(F.expr(filters_predicate(pq.filters)))
+                 .select("doc_id"))
         scored_src = scored_src.join(f_ids, "doc_id", "left_semi")
     if pq.must_not:
         nots = sorted(set(pq.must_not))
@@ -330,16 +367,21 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
                 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1.0)) / \
         (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    boosts_df = spark.createDataFrame(
+        sorted(weights.items()), "term string, boost double")
     scored = (scored_src.join(F.broadcast(stats), "term")
+              .join(F.broadcast(boosts_df), "term")
               .groupBy("doc_id")
-              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+              .agg(F.round(F.sum(F.col("boost") * idf * tf_part), 6)
+                   .alias("score")))
     return _rank_topk(scored, k)
 
 
 def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
                                max_expansions: int = 32,
                                docs_parquet: str | None = None,
-                               k1: float = K1, b: float = B
+                               k1: float = K1, b: float = B,
+                               min_should_match: int = 0
                                ) -> list[tuple[int, int, float]]:
     """Execute a Lucene-lite query string against the index: the same
     parse as ``ops.querylang`` (one grammar, two engines), compiled to
@@ -358,12 +400,9 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
     collect its <= k rows — identical results either way
     (parity-tested)."""
     pq: ParsedQuery = parse_querystring(qs)
-    score_terms = list(pq.literal_score_terms)
-    for p in pq.prefixes:
-        score_terms += expand_prefix_indexed(ix, p, max_expansions)
-    for t, e in pq.fuzzies:
-        score_terms += expand_fuzzy_indexed(ix, t, e, 1, max_expansions)
-    score_terms = sorted(set(score_terms))
+    exp_lists = _clause_expansions(ix, pq, max_expansions)
+    weights = pq.expansion_weights(exp_lists)
+    score_terms = sorted(weights)
 
     route_distributed = _over_budget(
         ix, score_terms + sorted(set(pq.must_not)))
@@ -377,14 +416,15 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
                 "query has field filters; pass docs_parquet (the index "
                 "stores no document metadata)")
         from .wand import _fastpath_bound
-        pred = " AND ".join(f"{f_} = {_sq(v)}" for f_, v in pq.filters)
+        pred = filters_predicate(pq.filters)
         n_match = ix._duckdb().execute(
             f"SELECT count(*) FROM read_parquet('{docs_parquet}') "
             f"WHERE {pred}").fetchone()[0]
         route_distributed = int(n_match) > _fastpath_bound(ix)
     if route_distributed:
         df = querystring_topk_distributed(
-            ix, qs, k, max_expansions, docs_parquet, k1, b)
+            ix, qs, k, max_expansions, docs_parquet, k1, b,
+            min_should_match)
         return [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
                 for r in df.collect()]
 
@@ -396,6 +436,33 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
             return np.sort(np.asarray(doc_set, dtype=np.int64))
         return np.intersect1d(cand, doc_set, assume_unique=True)
 
+    if min_should_match:
+        if min_should_match > pq.n_should_clauses:
+            return []
+        clause_sets = []
+        for terms, need in (list(pq.should_clauses)
+                            + [(sorted(set(ts)), 1) for ts in exp_lists]):
+            live = sorted(ix.term_dfs(terms))
+            if len(live) < need:
+                clause_sets.append(np.empty(0, dtype=np.int64))
+                continue
+            posts = ix.decoded_postings(live)
+            arrs = [posts[t][0] for t in live]
+            if need == 1:
+                s = (np.unique(np.concatenate(arrs)) if arrs
+                     else np.empty(0, dtype=np.int64))
+            else:  # soft phrase: doc must contain ALL distinct tokens
+                s = arrs[0]
+                for a in arrs[1:]:
+                    s = np.intersect1d(s, a, assume_unique=True)
+            clause_sets.append(s)
+        hit_docs = np.concatenate(clause_sets) if clause_sets else \
+            np.empty(0, dtype=np.int64)
+        docs_u, counts = np.unique(hit_docs, return_counts=True)
+        ok = docs_u[counts >= min_should_match]
+        if not len(ok):
+            return []
+        cand = constrain(ok)
     if pq.must:
         musts = sorted(set(pq.must))
         mdfs = ix.term_dfs(musts)
@@ -438,7 +505,7 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
             cand = cand[~np.isin(cand, excl_set, assume_unique=True)]
             if not len(cand):
                 return []
-    return _score_candidates(ix, score_terms, cand, k, k1, b)
+    return _score_candidates(ix, score_terms, cand, k, k1, b, weights)
 
 
 def facet_counts_indexed(ix: IndexReader, query_terms: list[str],

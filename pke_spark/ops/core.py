@@ -65,6 +65,10 @@ def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
     are ALWAYS computed on the unconstrained corpus, matching Lucene:
     a filter never changes term stats.
 
+    If ``qdf`` carries a ``boost`` column (one row per term), each
+    term's contribution is multiplied by it — Lucene clause boosts.
+    Without the column the plan is the classic unweighted one.
+
     Plan shape at scale: query terms are broadcast; per-term stats are
     broadcast (tiny after the semi-join on query terms); the only big
     shuffle is tc⋈dl on doc_id, then a partial-aggregated
@@ -84,11 +88,16 @@ def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1.0)) / \
         (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    contrib = idf * tf_part
+    if "boost" in qdf.columns:
+        scored_src = scored_src.join(
+            F.broadcast(qdf.select("term", "boost")), "term")
+        contrib = F.col("boost") * idf * tf_part
     scored = (scored_src.join(F.broadcast(stats_q), "term")
               .join(dl, "doc_id")
               .crossJoin(F.broadcast(g))
               .groupBy("doc_id")
-              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+              .agg(F.round(F.sum(contrib), 6).alias("score")))
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int")) \

@@ -21,13 +21,30 @@ Grammar (whitespace-separated clauses; quotes group):
                   same (phrases are always required); ``-"…"`` is not
                   supported.
 - ``field:value`` metadata equality filter over the documents table
-                  (fields: ``lang``, ``source``). Non-scoring,
-                  Lucene-filter semantics: corpus stats unaffected.
+                  (string fields: ``lang``, ``source``; numeric:
+                  ``n_chars``, ``doc_id``). Non-scoring, Lucene-filter
+                  semantics: corpus stats unaffected.
+- ``field:[lo TO hi]``  numeric range filter (Lucene RangeQuery):
+                  ``[``/``]`` inclusive, ``{``/``}`` exclusive, ``*``
+                  for an open end (``[* TO *]`` = field exists). Only
+                  the numeric fields accept ranges.
 - ``word*``       prefix expansion (PrefixQuery): expands against the
                   term dictionary, df-ranked, capped; expansions score
                   as SHOULD terms.
 - ``word~``/``word~2``  fuzzy expansion (FuzzyQuery, max_edits 1 or 2,
                   prefixLength 1): expansions score as SHOULD terms.
+- ``clause^2``    boost (Lucene's ``^``): multiplies the clause's score
+                  contribution. Allowed on every scoring clause (bare /
+                  MUST terms, phrases, prefix / fuzzy expansions);
+                  rejected on MUST_NOT and filters, which never score.
+
+``min_should_match`` (execution parameter, Lucene's
+``setMinimumNumberShouldMatch``): candidate docs must satisfy at least
+that many SHOULD clauses. A SHOULD clause is a bare term (doc contains
+it), a soft phrase (doc contains ALL its tokens — bag semantics, like
+its scoring), or a prefix/fuzzy expansion (doc contains >=1 expanded
+term). MUST / phrase / filter clauses are obligatory regardless and do
+not count toward the minimum.
 
 Analysis: every term and phrase runs through the ENGINE tokenizer
 (``tokenize_text``), exactly as Lucene analyzes query text with the
@@ -39,7 +56,13 @@ values are metadata, never analyzed.
 
 Scoring: full-corpus-stats BM25 (k1=1.2, b=0.75, same rounding and
 (score DESC, doc_id ASC) tie-break as ``core.bm25_topk``) over the
-union of scoring terms, restricted to candidate docs.
+union of scoring terms, restricted to candidate docs. Term weights
+follow Lucene's sum-of-clauses rule: a term's weight is the SUM of the
+boosts of every clause that contributes it (bare clause boost = 1.0) —
+a duplicated term scores twice, a term reached both literally and via
+an expansion adds both weights. All four execution paths (DataFrame,
+DuckDB twin, index driver path, index distributed path) share this
+accumulation, so they stay hash-identical.
 
 Plan shape at scale: clause lists and expansion sets are tiny and
 broadcast; candidates are semi-/anti-joins on doc_id (the shuffle key
@@ -62,8 +85,27 @@ from ..tokenizer import (duckdb_toks_cte, sql_quote, sql_str_list,
 _sq = sql_quote
 from .core import B, K1
 
-FILTER_FIELDS = ("lang", "source")
-_CLAUSE_RE = re.compile(r'[+-]?"[^"]*"|\S+')
+STRING_FILTER_FIELDS = ("lang", "source")
+NUMERIC_FILTER_FIELDS = ("n_chars", "doc_id")
+FILTER_FIELDS = STRING_FILTER_FIELDS + NUMERIC_FILTER_FIELDS
+# a clause is a (signed) quoted phrase, a bracketed range filter
+# (ranges contain spaces: 'n_chars:[100 TO 200]'), or one bare token —
+# each optionally carrying a trailing ^boost
+_CLAUSE_RE = re.compile(
+    r'[+-]?"[^"]*"(?:\^[0-9.]+)?'
+    r'|[+-]?[A-Za-z_]+:[\[{][^\]}]*[\]}](?:\^[0-9.]+)?'
+    r'|\S+')
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$", re.DOTALL)
+_RANGE_RE = re.compile(r"^([\[{])\s*(\*|-?\d+)\s+TO\s+(\*|-?\d+)\s*([\]}])$")
+
+
+@dataclass(frozen=True)
+class RangeFilter:
+    """Numeric range bound set (None = open end, Lucene ``*``)."""
+    lo: int | None
+    hi: int | None
+    lo_inc: bool = True
+    hi_inc: bool = True
 
 
 @dataclass
@@ -74,9 +116,11 @@ class ParsedQuery:
     phrases: list = field(default_factory=list)    # [[str]] (required)
     soft_phrases: list = field(default_factory=list)  # [[str]] (SHOULD
     # words that analyzed to >1 token: their terms score, not required)
-    prefixes: list = field(default_factory=list)   # [str]
-    fuzzies: list = field(default_factory=list)    # [(str, int)]
-    filters: list = field(default_factory=list)    # [(field, value)]
+    prefixes: list = field(default_factory=list)   # [(str, boost)]
+    fuzzies: list = field(default_factory=list)    # [(str, edits, boost)]
+    filters: list = field(default_factory=list)    # [(field, str|RangeFilter)]
+    boosts: dict = field(default_factory=dict)     # {term: summed weight}
+    # over every literal scoring clause (sum-of-clauses; bare = 1.0)
 
     @property
     def literal_score_terms(self) -> list:
@@ -93,12 +137,65 @@ class ParsedQuery:
     def has_required(self) -> bool:
         return bool(self.must or self.phrases)
 
+    @property
+    def should_clauses(self) -> list:
+        """Literal SHOULD clauses as (distinct_terms, need) pairs: a
+        bare term needs itself; a soft phrase needs ALL its distinct
+        tokens (bag semantics, mirroring how it scores). Prefix/fuzzy
+        clauses (need >=1 of the expanded set) append engine-side,
+        after expansion."""
+        out = [([t], 1) for t in self.should]
+        out += [(sorted(set(ph)), len(set(ph))) for ph in self.soft_phrases]
+        return out
+
+    @property
+    def n_should_clauses(self) -> int:
+        return (len(self.should) + len(self.soft_phrases)
+                + len(self.prefixes) + len(self.fuzzies))
+
+    def expansion_weights(self, expansions: list) -> dict:
+        """Merge literal weights with per-clause expansion term lists
+        (aligned with prefixes + fuzzies order): the driver-path twin
+        of the DataFrame union + groupBy(term).sum(boost)."""
+        w = dict(self.boosts)
+        clause_boosts = [b for _, b in self.prefixes] + \
+                        [b for _, _, b in self.fuzzies]
+        for terms, cb in zip(expansions, clause_boosts, strict=True):
+            for t in terms:
+                w[t] = w.get(t, 0.0) + cb
+        return w
+
+
+def filters_predicate(filters: list) -> str:
+    """Compile parsed filters to ONE SQL predicate string — valid for
+    both Spark ``F.expr`` and DuckDB, so every execution path and the
+    oracle twin share the exact same text."""
+    parts = []
+    for f_, v in filters:
+        if isinstance(v, RangeFilter):
+            sub = []
+            if v.lo is not None:
+                sub.append(f"{f_} >{'=' if v.lo_inc else ''} {v.lo}")
+            if v.hi is not None:
+                sub.append(f"{f_} <{'=' if v.hi_inc else ''} {v.hi}")
+            parts.append("(" + " AND ".join(sub) + ")" if len(sub) > 1
+                         else (sub[0] if sub else f"{f_} IS NOT NULL"))
+        elif f_ in NUMERIC_FILTER_FIELDS:
+            parts.append(f"{f_} = {int(v)}")
+        else:
+            parts.append(f"{f_} = {sql_quote(v)}")
+    return " AND ".join(parts)
+
 
 def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
     pq = ParsedQuery()
     clauses = _CLAUSE_RE.findall(qs)
     if not clauses:
         raise ValueError("empty query string")
+    def add_weight(terms: list, boost: float) -> None:
+        for t in terms:
+            pq.boosts[t] = pq.boosts.get(t, 0.0) + boost
+
     for raw in clauses:
         sign = ""
         body = raw
@@ -106,6 +203,13 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
             sign, body = body[0], body[1:]
         if not body:
             raise ValueError(f"dangling sign in clause {raw!r}")
+        boost = 1.0
+        bm = _BOOST_RE.match(body)
+        if bm and bm.group(1):
+            body, boost = bm.group(1), float(bm.group(2))
+            if boost <= 0.0:
+                raise ValueError(f"boost must be > 0 in clause {raw!r}")
+        boosted = boost != 1.0 or (bm is not None and bool(bm.group(1)))
         if body[0] == '"':
             if not body.endswith('"') or len(body) < 2:
                 raise ValueError(f"unterminated quote in {raw!r}")
@@ -115,12 +219,36 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
             if not terms:
                 raise ValueError(f"phrase {raw!r} analyzed to no tokens")
             pq.phrases.append(terms)
+            add_weight(terms, boost)
             continue
-        m = re.match(r"^([A-Za-z_]+):(.+)$", body)
+        m = re.match(r"^([A-Za-z_]+):(.+)$", body, re.DOTALL)
         if m and m.group(1) in FILTER_FIELDS:
             if sign:
                 raise ValueError("signed field filters are not supported")
-            pq.filters.append((m.group(1), m.group(2)))
+            if boosted:
+                raise ValueError("boosted field filters are not supported "
+                                 "(filters never score)")
+            f_, v = m.group(1), m.group(2)
+            rm = _RANGE_RE.match(v)
+            if rm:
+                if f_ not in NUMERIC_FILTER_FIELDS:
+                    raise ValueError(f"range filter on non-numeric field "
+                                     f"{f_!r} (allowed: "
+                                     f"{NUMERIC_FILTER_FIELDS})")
+                lo = None if rm.group(2) == "*" else int(rm.group(2))
+                hi = None if rm.group(3) == "*" else int(rm.group(3))
+                if lo is not None and hi is not None and lo > hi:
+                    raise ValueError(f"empty range in {raw!r}: {lo} > {hi}")
+                pq.filters.append((f_, RangeFilter(
+                    lo, hi, rm.group(1) == "[", rm.group(4) == "]")))
+                continue
+            if f_ in NUMERIC_FILTER_FIELDS:
+                if re.fullmatch(r"-?\d+", v):
+                    pq.filters.append((f_, v))
+                    continue
+                raise ValueError(f"numeric filter {f_}:{v!r} needs an "
+                                 f"integer or a [lo TO hi] range")
+            pq.filters.append((f_, v))
             continue
         if m:
             raise ValueError(f"unknown filter field {m.group(1)!r} "
@@ -133,9 +261,9 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
             if len(toks) != 1:
                 raise ValueError(f"prefix body {stem!r} must analyze to "
                                  f"exactly one token, got {toks}")
-            pq.prefixes.append(toks[0])
+            pq.prefixes.append((toks[0], boost))
             continue
-        fm = re.match(r"^(.+?)~([0-9]*)$", body)
+        fm = re.match(r"^(.+?)~([0-9]*)$", body, re.DOTALL)
         if fm:
             if sign:
                 raise ValueError("signed fuzzy clauses are not supported")
@@ -146,7 +274,7 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
             if len(toks) != 1:
                 raise ValueError(f"fuzzy body {fm.group(1)!r} must analyze "
                                  f"to exactly one token, got {toks}")
-            pq.fuzzies.append((toks[0], edits))
+            pq.fuzzies.append((toks[0], edits, boost))
             continue
         toks = tokenize_text(body, profile)
         if not toks:
@@ -159,12 +287,18 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
                 pq.phrases.append(toks)
             else:
                 pq.soft_phrases.append(toks)
+            add_weight(toks, boost)
         elif sign == "+":
             pq.must.append(toks[0])
+            add_weight(toks, boost)
         elif sign == "-":
+            if boosted:
+                raise ValueError("boosted MUST_NOT clauses are not "
+                                 "supported (they never score)")
             pq.must_not.append(toks[0])
         else:
             pq.should.append(toks[0])
+            add_weight(toks, boost)
     if not (pq.literal_score_terms or pq.prefixes or pq.fuzzies):
         raise ValueError("query has no scoring clause (pure-negative or "
                          "filter-only queries match nothing in Lucene)")
@@ -178,7 +312,8 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
 
 def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
                      max_expansions: int = 32,
-                     k1: float = K1, b: float = B) -> DataFrame:
+                     k1: float = K1, b: float = B,
+                     min_should_match: int = 0) -> DataFrame:
     """(rank, doc_id, score) for a parsed+compiled query string."""
     from .phrase import _term_offsets
     from .termexpand import expand_fuzzy, expand_prefix
@@ -192,23 +327,58 @@ def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
     parts = []
     lits = pq.literal_score_terms
     if lits:
-        parts.append(spark.createDataFrame([(t,) for t in lits],
-                                           "term string"))
-    for p in pq.prefixes:
-        parts.append(expand_prefix(docs, p, max_expansions).select("term"))
-    for t, e in pq.fuzzies:
+        parts.append(spark.createDataFrame(
+            [(t, pq.boosts[t]) for t in lits], "term string, boost double"))
+    for p, bs in pq.prefixes:
+        parts.append(expand_prefix(docs, p, max_expansions)
+                     .select("term", F.lit(float(bs)).alias("boost")))
+    for t, e, bs in pq.fuzzies:
         parts.append(expand_fuzzy(docs, t, e, 1, max_expansions)
-                     .select("term"))
+                     .select("term", F.lit(float(bs)).alias("boost")))
     qdf = parts[0]
     for extra in parts[1:]:
         qdf = qdf.unionByName(extra)
-    qdf = qdf.distinct()
+    # sum-of-clauses: a term reached by several clauses adds their boosts
+    qdf = qdf.groupBy("term").agg(F.sum("boost").alias("boost"))
 
     def constrain(tc_q: DataFrame) -> DataFrame:
         scored_src = tc_q
+        if min_should_match:
+            if min_should_match > pq.n_should_clauses:
+                # more required matches than SHOULD clauses exist:
+                # nothing can qualify (Lucene BooleanQuery semantics)
+                return scored_src.where(F.lit(False))
+            cm_parts, cid = [], 0
+            for terms, need in pq.should_clauses:
+                cm_parts.append(spark.createDataFrame(
+                    [(t, cid, need) for t in terms],
+                    "term string, cid int, need int"))
+                cid += 1
+            for p, _bs in pq.prefixes:
+                cm_parts.append(
+                    expand_prefix(docs, p, max_expansions)
+                    .select("term", F.lit(cid).alias("cid"),
+                            F.lit(1).alias("need")))
+                cid += 1
+            for t, e, _bs in pq.fuzzies:
+                cm_parts.append(
+                    expand_fuzzy(docs, t, e, 1, max_expansions)
+                    .select("term", F.lit(cid).alias("cid"),
+                            F.lit(1).alias("need")))
+                cid += 1
+            cm = cm_parts[0]
+            for extra in cm_parts[1:]:
+                cm = cm.unionByName(extra)
+            ok = (toks.join(F.broadcast(cm), "term")
+                  .groupBy("doc_id", "cid", "need")
+                  .agg(F.countDistinct("term").alias("nt"))
+                  .where(F.col("nt") >= F.col("need"))
+                  .groupBy("doc_id").agg(F.count("*").alias("nc"))
+                  .where(F.col("nc") >= min_should_match)
+                  .select("doc_id"))
+            scored_src = scored_src.join(ok, "doc_id", "left_semi")
         if pq.filters:
-            pred = " AND ".join(
-                f"{f_} = {sql_quote(v)}" for f_, v in pq.filters)
+            pred = filters_predicate(pq.filters)
             scored_src = scored_src.join(
                 docs.filter(F.expr(pred)).select("doc_id"), "doc_id",
                 "left_semi")
@@ -248,7 +418,8 @@ def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
 
 
 def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
-                    k1: float = K1, b: float = B) -> str:
+                    k1: float = K1, b: float = B,
+                    min_should_match: int = 0) -> str:
     """DuckDB twin: the same parse, compiled to one CTE chain."""
     pq = parse_querystring(qs)
     ctes = [duckdb_toks_cte()]
@@ -257,17 +428,20 @@ def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
     if lits:
         qterm_selects.append(
             "SELECT unnest([" + ", ".join(_sq(t) for t in lits)
-            + "]) AS term")
+            + "]) AS term, unnest(["
+            + ", ".join(repr(pq.boosts[t]) for t in lits)
+            + "]) AS boost")
     if pq.prefixes or pq.fuzzies:
         ctes.append("vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT"
                     " AS df FROM toks GROUP BY term)")
-    for i, p in enumerate(pq.prefixes):
+    for i, (p, bs) in enumerate(pq.prefixes):
         ctes.append(
             f"exp_p{i} AS (SELECT term FROM vocab "
             f"WHERE starts_with(term, {_sq(p)}) "
             f"ORDER BY df DESC, term ASC LIMIT {max_expansions})")
-        qterm_selects.append(f"SELECT term FROM exp_p{i}")
-    for i, (t, e) in enumerate(pq.fuzzies):
+        qterm_selects.append(
+            f"SELECT term, {bs!r} AS boost FROM exp_p{i}")
+    for i, (t, e, bs) in enumerate(pq.fuzzies):
         ctes.append(
             f"exp_f{i} AS (SELECT term FROM vocab "
             f"WHERE abs(length(term) - {len(t)}) <= {e} "
@@ -275,9 +449,11 @@ def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
             f"AND levenshtein(term, {_sq(t)}) <= {e} "
             f"ORDER BY levenshtein(term, {_sq(t)}) ASC, df DESC, term ASC "
             f"LIMIT {max_expansions})")
-        qterm_selects.append(f"SELECT term FROM exp_f{i}")
-    ctes.append("qterms AS (SELECT DISTINCT term FROM ("
-                + " UNION ALL ".join(qterm_selects) + "))")
+        qterm_selects.append(
+            f"SELECT term, {bs!r} AS boost FROM exp_f{i}")
+    ctes.append("qterms AS (SELECT term, sum(boost) AS boost FROM ("
+                + " UNION ALL ".join(qterm_selects)
+                + ") GROUP BY term)")
     ctes.append("tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
                 "FROM toks WHERE term IN (SELECT term FROM qterms) "
                 "GROUP BY doc_id, term)")
@@ -289,8 +465,36 @@ def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
                 "GROUP BY term)")
 
     constraints = []
+    if min_should_match:
+        if min_should_match > pq.n_should_clauses:
+            constraints.append("FALSE")
+        else:
+            cm_selects, cid = [], 0
+            for terms, need in pq.should_clauses:
+                vals = ", ".join(f"({_sq(t)}, {cid}, {need})"
+                                 for t in terms)
+                cm_selects.append(
+                    f"SELECT * FROM (VALUES {vals}) v(term, cid, need)")
+                cid += 1
+            for i in range(len(pq.prefixes)):
+                cm_selects.append(f"SELECT term, {cid} AS cid, 1 AS need "
+                                  f"FROM exp_p{i}")
+                cid += 1
+            for i in range(len(pq.fuzzies)):
+                cm_selects.append(f"SELECT term, {cid} AS cid, 1 AS need "
+                                  f"FROM exp_f{i}")
+                cid += 1
+            ctes.append("cm AS (" + " UNION ALL ".join(cm_selects) + ")")
+            ctes.append(
+                "msm_ok AS (SELECT doc_id FROM ("
+                "SELECT doc_id, cid FROM toks JOIN cm USING (term) "
+                "GROUP BY doc_id, cid, need "
+                "HAVING count(DISTINCT term) >= need) "
+                f"GROUP BY doc_id HAVING count(*) >= {min_should_match})")
+            constraints.append(
+                "tc.doc_id IN (SELECT doc_id FROM msm_ok)")
     if pq.filters:
-        pred = " AND ".join(f"{f_} = {_sq(v)}" for f_, v in pq.filters)
+        pred = filters_predicate(pq.filters)
         constraints.append(
             f"tc.doc_id IN (SELECT doc_id FROM documents WHERE {pred})")
     if pq.must:
@@ -318,10 +522,11 @@ def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
     return f"""WITH {cte_block},
 scored AS (
   SELECT tc.doc_id,
-         round(sum( ln(1 + (g.n - s.df + 0.5)/(s.df + 0.5))
+         round(sum( q.boost * ln(1 + (g.n - s.df + 0.5)/(s.df + 0.5))
               * (tc.tf * ({k1} + 1.0))
               / (tc.tf + {k1} * (1.0 - {b} + {b} * dl.dl / g.avgdl)) ), 6) AS score
   FROM tc
+  JOIN qterms q USING (term)
   JOIN stats s USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN g

@@ -35,6 +35,9 @@ def main() -> None:
                         "onto the index serving path")
     ap.add_argument("--docs", help="documents parquet (required only "
                     "when --querystring has field:value filters)")
+    ap.add_argument("--min-should-match", type=int, default=0,
+                    help="min SHOULD clauses a candidate must satisfy "
+                         "(--querystring mode only)")
     ap.add_argument("--snippets", action="store_true",
                     help="with --query: return best highlight windows "
                          "from the positional sidecar")
@@ -72,7 +75,8 @@ def main() -> None:
         from pke_spark.index.serving import querystring_search_indexed
         t0 = time.time()
         rows = querystring_search_indexed(
-            ix, args.querystring, args.k, docs_parquet=args.docs)
+            ix, args.querystring, args.k, docs_parquet=args.docs,
+            min_should_match=args.min_should_match)
         print(json.dumps({
             "querystring": args.querystring, "mode": "querystring",
             "latency_sec": round(time.time() - t0, 4),

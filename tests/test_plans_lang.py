@@ -67,6 +67,42 @@ def test_querystring_constraints_are_semi_anti_joins(spark, docs):
     assert "CartesianProduct" not in plan
 
 
+def test_querystring_range_filter_pushed(spark, docs):
+    plan = _plan(querylang.querystring_topk(
+        docs, 'spark join n_chars:[200 TO 1500]', 10))
+    # both range bounds reach the documents parquet scan as pushed
+    # filters — at 100 TB this is partition/row-group pruning, not a
+    # post-scan filter
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(n_chars,200\)", plan), \
+        plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*LessThanOrEqual\(n_chars,1500\)", plan), \
+        plan
+    assert "CartesianProduct" not in plan
+
+
+def test_querystring_boosts_stay_broadcast(spark, docs):
+    # the boost map is query-sized: it must enter scoring as a
+    # broadcast join, and add no shuffle beyond the unboosted plan
+    unboosted = _plan(querylang.querystring_topk(docs, "spark join", 10))
+    boosted = _plan(querylang.querystring_topk(docs, "spark^2 join", 10))
+    assert "CartesianProduct" not in boosted
+    n_shuffles = lambda p: p.count("Exchange") - p.count("BroadcastExchange")
+    assert n_shuffles(boosted) <= n_shuffles(unboosted), \
+        (n_shuffles(boosted), n_shuffles(unboosted))
+
+
+def test_querystring_msm_is_one_broadcast_semi_join(spark, docs):
+    plan = _plan(querylang.querystring_topk(
+        docs, "spark join window merge", 10, min_should_match=2))
+    # the clause map is broadcast; the msm gate lands as a LeftSemi on
+    # doc_id (one extra aggregation over the clause-term token stream)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_snippets_match_table_is_broadcast_filtered(spark, docs):
     plan = _plan(snippets.snippet_windows(docs, ["spark", "join"], 10))
     # both the query terms and the top-k ids gate the match-position

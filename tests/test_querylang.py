@@ -20,8 +20,62 @@ def test_parse_all_clause_kinds():
     assert pq.should == ["join"]
     assert pq.phrases == [["merge", "slow"]]
     assert pq.filters == [("lang", "en")]
-    assert pq.prefixes == ["tab"]
-    assert pq.fuzzies == [("spar", 1), ("batch", 2)]
+    assert pq.prefixes == [("tab", 1.0)]
+    assert pq.fuzzies == [("spar", 1, 1.0), ("batch", 2, 1.0)]
+
+
+def test_parse_boosts():
+    pq = parse_querystring('+spark^2 join merge^0.5 tab*^3 spar~1^4 '
+                           '"a b"^2')
+    assert pq.boosts == {"spark": 2.0, "join": 1.0, "merge": 0.5,
+                         "a": 2.0, "b": 2.0}
+    assert pq.prefixes == [("tab", 3.0)]
+    assert pq.fuzzies == [("spar", 1, 4.0)]
+
+
+def test_boosts_accumulate_sum_of_clauses():
+    # Lucene sum-of-clauses: a duplicated term's weights add
+    pq = parse_querystring("spark spark join")
+    assert pq.boosts == {"spark": 2.0, "join": 1.0}
+    pq = parse_querystring('spark^2 "spark fast" spark')
+    assert pq.boosts == {"spark": 4.0, "fast": 1.0}
+    # dedup order is unchanged
+    assert pq.literal_score_terms == ["spark", "fast"]
+
+
+def test_parse_range_filters():
+    from pke_spark.ops.querylang import RangeFilter, filters_predicate
+    pq = parse_querystring("spark n_chars:[100 TO 200]")
+    assert pq.filters == [("n_chars", RangeFilter(100, 200, True, True))]
+    assert filters_predicate(pq.filters) == \
+        "(n_chars >= 100 AND n_chars <= 200)"
+    pq = parse_querystring("spark n_chars:{100 TO 200}")
+    assert filters_predicate(pq.filters) == \
+        "(n_chars > 100 AND n_chars < 200)"
+    pq = parse_querystring("spark doc_id:[* TO 50] n_chars:42")
+    assert filters_predicate(pq.filters) == \
+        "doc_id <= 50 AND n_chars = 42"
+    pq = parse_querystring("spark n_chars:[* TO *]")
+    assert filters_predicate(pq.filters) == "n_chars IS NOT NULL"
+
+
+def test_parse_boost_and_range_rejections():
+    with pytest.raises(ValueError, match="boosted field filters"):
+        parse_querystring("spark lang:en^2")
+    with pytest.raises(ValueError, match="boosted field filters"):
+        parse_querystring("spark n_chars:[1 TO 2]^2")
+    with pytest.raises(ValueError, match="boosted MUST_NOT"):
+        parse_querystring("spark -vector^2")
+    with pytest.raises(ValueError, match="boost must be > 0"):
+        parse_querystring("spark^0")
+    with pytest.raises(ValueError, match="range filter on non-numeric"):
+        parse_querystring("spark lang:[1 TO 2]")
+    with pytest.raises(ValueError, match="empty range"):
+        parse_querystring("spark n_chars:[9 TO 2]")
+    with pytest.raises(ValueError, match="needs an integer"):
+        parse_querystring("spark n_chars:big")
+    with pytest.raises(ValueError, match="signed field filters"):
+        parse_querystring("spark -n_chars:[1 TO 2]")
 
 
 def test_parse_analyzes_with_engine_tokenizer():
@@ -123,6 +177,73 @@ def test_compiled_clause_semantics(fixture_docs):
     # fuzzy: spakr~1 is 2 edits from spark, spak~1 is 1
     ids = _ids(querystring_topk(fixture_docs, "spak~1"))
     assert set(ids) == {1, 2, 4, 5}
+    # numeric range filter on doc_id (Lucene RangeQuery semantics)
+    ids = _ids(querystring_topk(fixture_docs, "spark doc_id:[2 TO 4]"))
+    assert set(ids) == {2, 4}
+    ids = _ids(querystring_topk(fixture_docs, "spark doc_id:{2 TO 5]"))
+    assert set(ids) == {4, 5}
+
+
+def test_compiled_min_should_match(fixture_docs):
+    from pke_spark.ops.querylang import querystring_topk
+
+    # docs matching >=2 of {spark, window, table}: 1, 3, 4
+    ids = _ids(querystring_topk(fixture_docs, "spark window table",
+                                min_should_match=2))
+    assert set(ids) == {1, 3, 4}
+    # msm=3: only doc needs all three -> none have all
+    ids = _ids(querystring_topk(fixture_docs, "spark window table",
+                                min_should_match=3))
+    assert ids == []
+    # a MUST clause does not count toward the minimum
+    ids = _ids(querystring_topk(fixture_docs, "+join spark window",
+                                min_should_match=2))
+    assert set(ids) == {1, 4}
+    # an expansion counts as ONE clause, matched by any expanded term
+    ids = _ids(querystring_topk(fixture_docs, "win* spark",
+                                min_should_match=2))
+    assert set(ids) == {1, 4}
+    # msm larger than the SHOULD clause count matches nothing
+    ids = _ids(querystring_topk(fixture_docs, "spark window",
+                                min_should_match=5))
+    assert ids == []
+
+
+def test_msm_matches_duckdb_twin(fixture_docs, tmp_path):
+    import duckdb
+
+    from pke_spark.ops.querylang import querystring_sql, querystring_topk
+
+    pq_dir = str(tmp_path / "docs.parquet")
+    fixture_docs.coalesce(1).write.parquet(pq_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{pq_dir}/*.parquet')")
+    for qs, m in [("spark window table", 2),
+                  ("+join spark window merge^2", 2),
+                  ("win* spark getValue", 2),
+                  ("spak~1 table win*", 2)]:
+        got = (querystring_topk(fixture_docs, qs, min_should_match=m)
+               .toPandas().sort_values("rank").reset_index(drop=True))
+        want = (con.execute(querystring_sql(qs, min_should_match=m)).df()
+                .sort_values("rank").reset_index(drop=True))
+        assert got.shape == want.shape, (qs, m)
+        assert (got["doc_id"] == want["doc_id"]).all(), (qs, m)
+        assert (got["score"].round(6) == want["score"].round(6)).all(), \
+            (qs, m)
+
+
+def test_compiled_boost_changes_ranking(fixture_docs):
+    from pke_spark.ops.querylang import querystring_topk
+
+    base = {r.doc_id: r.score for r in
+            querystring_topk(fixture_docs, "vector table").collect()}
+    # boost 'table' hard: doc 3 (table) must outrank doc 2 (vector)
+    boosted = querystring_topk(fixture_docs, "vector table^5").collect()
+    b = {r.doc_id: r.score for r in boosted}
+    assert set(b) == set(base)  # boosts never change the candidate set
+    assert b[3] == pytest.approx(5 * base[3], rel=1e-5)
+    assert [r.doc_id for r in boosted][0] == 3
 
 
 def test_compiled_matches_duckdb_twin(fixture_docs, tmp_path):
@@ -138,7 +259,10 @@ def test_compiled_matches_duckdb_twin(fixture_docs, tmp_path):
     for qs in ['+spark -vector join lang:en',
                '"merge slow" win* source:s1',
                'spak~1 table -merge',
-               '+join "spark join" win*']:
+               '+join "spark join" win*',
+               '+spark^2 join^0.5 win*^3 doc_id:[1 TO 5]',
+               'spark spark join',
+               '"merge slow"^2 spak~1^4 doc_id:{1 TO 6}']:
         got = (querystring_topk(fixture_docs, qs).toPandas()
                .sort_values("rank").reset_index(drop=True))
         want = (con.execute(querystring_sql(qs)).df()
@@ -172,29 +296,40 @@ def _querystrings(draw):
                for k in kinds):
         kinds.append("should")
     # MUST_NOT may not overlap score terms: draw disjoint vocab halves
+    boost = st.sampled_from(["", "^2", "^0.5", "^3.25"])
     for k in kinds:
         w = draw(_word)
         if k == "should":
-            clauses.append(w)
+            clauses.append(w + draw(boost))
         elif k == "must":
-            clauses.append("+" + w)
+            clauses.append("+" + w + draw(boost))
         elif k == "not":
             clauses.append("-z" + w)  # 'z' prefix keeps it disjoint
         elif k == "phrase":
             w2 = draw(_word)
-            clauses.append(f'"{w} {w2}"')
+            clauses.append(f'"{w} {w2}"' + draw(boost))
         elif k == "prefix":
-            clauses.append(w + "*")
+            clauses.append(w + "*" + draw(boost))
         elif k == "fuzzy":
-            clauses.append(w + "~" + draw(st.sampled_from(["", "1", "2"])))
+            clauses.append(w + "~" + draw(st.sampled_from(["", "1", "2"]))
+                           + draw(boost))
         elif k == "filter":
-            clauses.append("lang:" + w)
+            if draw(st.booleans()):
+                clauses.append("lang:" + w)
+            else:
+                lo = draw(st.integers(min_value=0, max_value=50))
+                hi = lo + draw(st.integers(min_value=0, max_value=50))
+                br = draw(st.sampled_from(["[]", "[}", "{]", "{}"]))
+                lo_s = draw(st.sampled_from([str(lo), "*"]))
+                hi_s = draw(st.sampled_from([str(hi), "*"]))
+                clauses.append(f"n_chars:{br[0]}{lo_s} TO {hi_s}{br[1]}")
     return " ".join(clauses)
 
 
 @settings(max_examples=200, deadline=None)
 @given(_querystrings())
 def test_parse_total_on_valid_grammar(qs):
+    from pke_spark.ops.querylang import RangeFilter, filters_predicate
     pq = parse_querystring(qs)
     assert isinstance(pq, ParsedQuery)
     # every clause landed in exactly one bucket
@@ -202,13 +337,21 @@ def test_parse_total_on_valid_grammar(qs):
     n_parsed = (len(pq.must) + len(pq.should) + len(pq.must_not)
                 + len(pq.phrases) + len(pq.soft_phrases)
                 + len(pq.prefixes) + len(pq.fuzzies) + len(pq.filters))
-    # phrases consume two whitespace-separated words
-    assert n_parsed == n_clauses - len(pq.phrases) - len(pq.soft_phrases)
+    # phrases and bracketed ranges consume extra whitespace-separated
+    # words (2 and 3 respectively)
+    n_ranges = sum(1 for _, v in pq.filters if isinstance(v, RangeFilter))
+    assert n_parsed == (n_clauses - len(pq.phrases)
+                        - len(pq.soft_phrases) - 2 * n_ranges)
     # the parser's own invariants
     assert not (set(pq.must_not) & set(pq.literal_score_terms))
     assert pq.literal_score_terms or pq.prefixes or pq.fuzzies
-    for t, e in pq.fuzzies:
-        assert e in (1, 2)
+    for t, e, bs in pq.fuzzies:
+        assert e in (1, 2) and bs > 0
+    assert set(pq.boosts) == set(pq.literal_score_terms)
+    assert all(w > 0 for w in pq.boosts.values())
+    # every filter compiles to a predicate both engines accept
+    if pq.filters:
+        assert filters_predicate(pq.filters)
 
 
 @settings(max_examples=300, deadline=None)

@@ -120,7 +120,29 @@ QS_CASES = [
     '+spark join -vector lang:en "merge slow" tab* sor~1',  # everything
     'sp* window',                              # prefix expansion
     'sparc~1',                                 # fuzzy only
+    '+spark^2 join merge^0.5 join tab*^3',     # boosts + duplicate term
+    'spark join n_chars:[200 TO 1500]',        # numeric range filter
 ]
+
+MSM_CASES = [
+    ('spark join window merge', 2),
+    ('spark tab* sor~1', 2),                   # expansion = one clause
+    ('+spark join window merge^2', 3),         # must doesn't count
+]
+
+
+@pytest.mark.parametrize("qs,m", MSM_CASES)
+def test_querystring_msm_parity(sf_ix, sf_docs, qs, m):
+    got = SV.querystring_search_indexed(
+        sf_ix, qs, 10, docs_parquet=f"{SF}/documents.parquet",
+        min_should_match=m)
+    want = _rows3(QL.querystring_topk(sf_docs, qs, 10,
+                                      min_should_match=m))
+    assert got == want
+    dist = _rows3(SV.querystring_topk_distributed(
+        sf_ix, qs, 10, docs_parquet=f"{SF}/documents.parquet",
+        min_should_match=m))
+    assert dist == want
 
 
 @pytest.mark.parametrize("qs", QS_CASES)
