@@ -149,6 +149,22 @@ def _querystring_boosted_indexed(s: SparkSession, d: str) -> DataFrame:
     return _rows_df(s, rows, "rank int, doc_id long, score double")
 
 
+def _querystring_count_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import querystring_count_indexed
+    n = querystring_count_indexed(
+        _served_reader(s, d), QUERYSTRING,
+        docs_parquet=f"{d}/documents.parquet")
+    return _rows_df(s, [(n,)], "n_hits long")
+
+
+def _querystring_sort_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import querystring_sort_indexed
+    rows = querystring_sort_indexed(
+        _served_reader(s, d), QUERYSTRING, "n_chars", False, 10,
+        docs_parquet=f"{d}/documents.parquet")
+    return _rows_df(s, rows, "rank int, doc_id long, n_chars long")
+
+
 def _querystring_msm_indexed(s: SparkSession, d: str) -> DataFrame:
     from pke_spark.index.serving import querystring_search_indexed
     rows = querystring_search_indexed(
@@ -231,6 +247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_msm": lambda s, d: querylang.querystring_topk(
             _docs(s, d), QUERYSTRING_MSM[0], 10,
             min_should_match=QUERYSTRING_MSM[1]),
+        "querystring_count": lambda s, d: querylang.querystring_count(
+            _docs(s, d), QUERYSTRING),
+        "querystring_sort": lambda s, d: querylang.querystring_sort_topk(
+            _docs(s, d), QUERYSTRING, "n_chars", False, 10),
         # index-backed serving twins: same grammar/fixtures compiled
         # onto the inverted index + positional sidecar + term
         # dictionary (pke_spark/index/serving.py); they share the
@@ -238,6 +258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_indexed": _querystring_indexed,
         "querystring_boosted_indexed": _querystring_boosted_indexed,
         "querystring_msm_indexed": _querystring_msm_indexed,
+        "querystring_count_indexed": _querystring_count_indexed,
+        "querystring_sort_indexed": _querystring_sort_indexed,
         "prefix_indexed": _prefix_indexed,
         "fuzzy_indexed": _fuzzy_indexed,
         "facets_indexed": _facets_indexed,
@@ -348,6 +370,13 @@ def oracle_sql() -> dict[str, str]:
             QUERYSTRING_BOOSTED, 10),
         "querystring_msm_indexed": querylang.querystring_sql(
             QUERYSTRING_MSM[0], 10, min_should_match=QUERYSTRING_MSM[1]),
+        "querystring_count": querylang.querystring_count_sql(QUERYSTRING),
+        "querystring_sort": querylang.querystring_sort_sql(
+            QUERYSTRING, "n_chars", False, 10),
+        "querystring_count_indexed": querylang.querystring_count_sql(
+            QUERYSTRING),
+        "querystring_sort_indexed": querylang.querystring_sort_sql(
+            QUERYSTRING, "n_chars", False, 10),
         "prefix_indexed": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
         "fuzzy_indexed": termexpand.fuzzy_bm25_topk_sql(
             FUZZY_QUERY[0], FUZZY_QUERY[1], 10),

@@ -269,30 +269,18 @@ def fuzzy_search(ix: IndexReader, term: str, max_edits: int = 1,
                                  max_expansions), k, k1, b)
 
 
-def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
-                                 max_expansions: int = 32,
-                                 docs_parquet: str | None = None,
-                                 k1: float = K1, b: float = B,
-                                 min_should_match: int = 0):
-    """Distributed index-backed query-string execution: the same parse
-    and clause algebra as the driver path, but posting lists stay a
-    DataFrame end to end — the hot-query shape. Returns the ranked
-    (rank, doc_id, score) DataFrame.
-
-    Plan: score-term postings decode off a term-pruned parquet scan
-    (``wand.decoded_tc``); when the index is dense the decoded stream
-    joins the docmap ONCE (an equi-join bounded by the query's posting
-    rows, not the corpus) so every later constraint — MUST groupBy,
-    phrase ids from the sidecar, pushed-down metadata filters, MUST_NOT
-    anti-join — works in raw doc_id space; one scoring aggregation, one
-    TakeOrderedAndProject. Same scores/tie-breaking as every other
-    path (parity-tested)."""
-    pq: ParsedQuery = parse_querystring(qs)
+def _distributed_scored_src(ix: IndexReader, pq: ParsedQuery,
+                            score_terms: list[str], exp_lists: list,
+                            docs_parquet: str | None,
+                            min_should_match: int):
+    """Constrained (doc_id, term, tf, dl) posting DataFrame for the
+    distributed plan — score-term postings off a term-pruned decode,
+    dense ordinals translated ONCE, every clause applied as a
+    broadcast/semi/anti join. Returns None when a clause is provably
+    unsatisfiable (empty result). Shared by scoring top-k, hit
+    counting, and sort-by-field."""
     spark = ix.spark
-    exp_lists = _clause_expansions(ix, pq, max_expansions)
-    weights = pq.expansion_weights(exp_lists)
-    score_terms = sorted(weights)
-    from .wand import _rank_topk, decoded_tc
+    from .wand import decoded_tc
 
     def raw_ids(df):
         """posting-space -> raw doc_id translation (docmap equi-join,
@@ -302,26 +290,19 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
         return (df.withColumnRenamed("doc_id", "ord")
                 .join(ix.docmap(), "ord").drop("ord"))
 
-    dfs_map = ix.term_dfs(score_terms)
-    stats_rows = sorted(dfs_map.items())
-    empty = spark.createDataFrame(
-        [], "rank int, doc_id long, score double")
-    if not stats_rows:
-        return empty
-    stats = spark.createDataFrame(stats_rows, "term string, df long")
-    tc = raw_ids(decoded_tc(ix, score_terms))
-
-    scored_src = tc
+    if not ix.term_dfs(score_terms):
+        return None
+    scored_src = raw_ids(decoded_tc(ix, score_terms))
     if min_should_match:
         if min_should_match > pq.n_should_clauses:
-            return empty
+            return None
         clauses = list(pq.should_clauses) + [(sorted(set(ts)), 1)
                                              for ts in exp_lists]
         cm_rows = [(t, cid, need)
                    for cid, (terms, need) in enumerate(clauses)
                    for t in terms]
         if not cm_rows:
-            return empty
+            return None
         cm = spark.createDataFrame(cm_rows,
                                    "term string, cid int, need int")
         all_terms = sorted({r[0] for r in cm_rows})
@@ -337,7 +318,7 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
     if pq.must:
         musts = sorted(set(pq.must))
         if len(ix.term_dfs(musts)) < len(musts):
-            return empty
+            return None
         m_ids = (raw_ids(decoded_tc(ix, musts))
                  .groupBy("doc_id")
                  .agg(F.countDistinct("term").alias("nm"))
@@ -361,6 +342,44 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
         n_ids = (raw_ids(decoded_tc(ix, nots))
                  .select("doc_id").distinct())
         scored_src = scored_src.join(n_ids, "doc_id", "left_anti")
+    return scored_src
+
+
+def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
+                                 max_expansions: int = 32,
+                                 docs_parquet: str | None = None,
+                                 k1: float = K1, b: float = B,
+                                 min_should_match: int = 0):
+    """Distributed index-backed query-string execution: the same parse
+    and clause algebra as the driver path, but posting lists stay a
+    DataFrame end to end — the hot-query shape. Returns the ranked
+    (rank, doc_id, score) DataFrame.
+
+    Plan: score-term postings decode off a term-pruned parquet scan
+    (``wand.decoded_tc``); when the index is dense the decoded stream
+    joins the docmap ONCE (an equi-join bounded by the query's posting
+    rows, not the corpus) so every later constraint — MUST groupBy,
+    phrase ids from the sidecar, pushed-down metadata filters, MUST_NOT
+    anti-join — works in raw doc_id space; one scoring aggregation, one
+    TakeOrderedAndProject. Same scores/tie-breaking as every other
+    path (parity-tested)."""
+    pq: ParsedQuery = parse_querystring(qs)
+    spark = ix.spark
+    exp_lists = _clause_expansions(ix, pq, max_expansions)
+    weights = pq.expansion_weights(exp_lists)
+    score_terms = sorted(weights)
+    from .wand import _rank_topk
+
+    empty = spark.createDataFrame(
+        [], "rank int, doc_id long, score double")
+    stats_rows = sorted(ix.term_dfs(score_terms).items())
+    if not stats_rows:
+        return empty
+    stats = spark.createDataFrame(stats_rows, "term string, df long")
+    scored_src = _distributed_scored_src(
+        ix, pq, score_terms, exp_lists, docs_parquet, min_should_match)
+    if scored_src is None:
+        return empty
 
     n, avgdl = float(ix.n_docs), float(ix.avgdl)
     idf = F.log(F.lit(1.0)
@@ -506,6 +525,172 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
             if not len(cand):
                 return []
     return _score_candidates(ix, score_terms, cand, k, k1, b, weights)
+
+
+def _match_set(ix: IndexReader, pq: ParsedQuery, score_terms: list[str],
+               exp_lists: list, docs_parquet: str | None,
+               min_should_match: int) -> np.ndarray:
+    """Posting-space candidate doc set for a parsed query, fully
+    materialized on the driver: union of score-term postings,
+    intersected with every constraint clause. The driver twin of
+    ``_distributed_scored_src`` for the counting/sorting collectors
+    (the scoring path keeps its lazier variant that can skip the
+    union)."""
+    dfs = ix.term_dfs(score_terms)
+    posts = ix.decoded_postings(sorted(dfs))
+    arrs = [posts[t][0] for t in sorted(dfs) if len(posts[t][0])]
+    if not arrs:
+        return np.empty(0, dtype=np.int64)
+    cand = np.unique(np.concatenate(arrs))
+    if min_should_match:
+        if min_should_match > pq.n_should_clauses:
+            return np.empty(0, dtype=np.int64)
+        clause_sets = []
+        for terms, need in (list(pq.should_clauses)
+                            + [(sorted(set(ts)), 1) for ts in exp_lists]):
+            live = sorted(ix.term_dfs(terms))
+            if len(live) < need:
+                continue
+            cposts = ix.decoded_postings(live)
+            carrs = [cposts[t][0] for t in live]
+            if need == 1:
+                s = (np.unique(np.concatenate(carrs)) if carrs
+                     else np.empty(0, dtype=np.int64))
+            else:
+                s = carrs[0]
+                for a in carrs[1:]:
+                    s = np.intersect1d(s, a, assume_unique=True)
+            clause_sets.append(s)
+        hit = np.concatenate(clause_sets) if clause_sets else \
+            np.empty(0, dtype=np.int64)
+        docs_u, counts = np.unique(hit, return_counts=True)
+        cand = np.intersect1d(cand, docs_u[counts >= min_should_match],
+                              assume_unique=True)
+    if pq.must:
+        musts = sorted(set(pq.must))
+        if len(ix.term_dfs(musts)) < len(musts):
+            return np.empty(0, dtype=np.int64)
+        mposts = ix.decoded_postings(musts)
+        for t in musts:
+            cand = np.intersect1d(cand, mposts[t][0], assume_unique=True)
+    for ph in pq.phrases:
+        cand = np.intersect1d(cand, _phrase_doc_set(ix, ph),
+                              assume_unique=True)
+    if pq.filters:
+        if docs_parquet is None:
+            raise ValueError(
+                "query has field filters; pass docs_parquet (the index "
+                "stores no document metadata)")
+        cand = np.intersect1d(
+            cand, _metadata_filter_set(ix, docs_parquet, pq.filters),
+            assume_unique=True)
+    if pq.must_not:
+        nots = sorted(set(pq.must_not))
+        nposts = ix.decoded_postings(nots)
+        excl = [nposts[t][0] for t in nots if len(nposts[t][0])]
+        if excl:
+            cand = cand[~np.isin(cand, np.unique(np.concatenate(excl)),
+                                 assume_unique=True)]
+    return cand
+
+
+def querystring_count_indexed(ix: IndexReader, qs: str,
+                              max_expansions: int = 32,
+                              docs_parquet: str | None = None,
+                              min_should_match: int = 0) -> int:
+    """Total hit count for a query string — Lucene's
+    TotalHitCountCollector, index-backed. Same candidate semantics as
+    ``querystring_search_indexed``; no scoring work at all. Routing:
+    posting-set algebra on the driver within the fast-path budget, a
+    distinct-count over the distributed constrained plan past it.
+    Parity: ``ops.querylang.querystring_count``."""
+    pq: ParsedQuery = parse_querystring(qs)
+    exp_lists = _clause_expansions(ix, pq, max_expansions)
+    score_terms = sorted(pq.expansion_weights(exp_lists))
+    if _over_budget(ix, score_terms + sorted(set(pq.must_not))):
+        src = _distributed_scored_src(
+            ix, pq, score_terms, exp_lists, docs_parquet,
+            min_should_match)
+        return 0 if src is None else \
+            src.select("doc_id").distinct().count()
+    return int(len(_match_set(ix, pq, score_terms, exp_lists,
+                              docs_parquet, min_should_match)))
+
+
+def querystring_sort_indexed(ix: IndexReader, qs: str,
+                             sort_field: str = "n_chars",
+                             ascending: bool = False, k: int = 10,
+                             max_expansions: int = 32,
+                             docs_parquet: str | None = None,
+                             min_should_match: int = 0
+                             ) -> list[tuple]:
+    """Top-k query matches ordered by a stored metadata field — Lucene
+    Sort(SortField) with the documents parquet playing the doc-values
+    role. Returns (rank, doc_id[, value]) rows; parity:
+    ``ops.querylang.querystring_sort_topk``. Driver path: match set
+    from posting algebra, ONE DuckDB point-join against the documents
+    parquet ordered + limited at the source. Hot queries run the
+    distributed constrained plan and sort in Spark."""
+    from ..ops.querylang import FILTER_FIELDS
+    if sort_field not in FILTER_FIELDS:
+        raise ValueError(f"unknown sort field {sort_field!r} "
+                         f"(allowed: {FILTER_FIELDS})")
+    if sort_field != "doc_id" and docs_parquet is None:
+        raise ValueError("sorting on a metadata field needs "
+                         "docs_parquet (the index stores no metadata)")
+    pq: ParsedQuery = parse_querystring(qs)
+    exp_lists = _clause_expansions(ix, pq, max_expansions)
+    score_terms = sorted(pq.expansion_weights(exp_lists))
+    dir_ = "ASC" if ascending else "DESC"
+    if _over_budget(ix, score_terms + sorted(set(pq.must_not))):
+        src = _distributed_scored_src(
+            ix, pq, score_terms, exp_lists, docs_parquet,
+            min_should_match)
+        if src is None:
+            return []
+        cand = src.select("doc_id").distinct()
+        order = [F.asc(sort_field) if ascending else F.desc(sort_field),
+                 F.asc("doc_id")]
+        if sort_field != "doc_id":
+            cand = cand.join(ix.spark.read.parquet(docs_parquet)
+                             .select("doc_id", sort_field), "doc_id")
+        rows = cand.orderBy(*order).limit(int(k)).collect()
+        if sort_field == "doc_id":
+            return [(i + 1, int(r.doc_id)) for i, r in enumerate(rows)]
+        return [(i + 1, int(r.doc_id), r[sort_field])
+                for i, r in enumerate(rows)]
+    cand = _match_set(ix, pq, score_terms, exp_lists, docs_parquet,
+                      min_should_match)
+    if not len(cand):
+        return []
+    import pandas as pd
+    con = ix._duckdb()
+    if ix.dense:
+        from .build import docmap_path
+        con.register("_sort_ords", pd.DataFrame({"ord": cand}))
+        join_ids = (f"(SELECT m.doc_id FROM read_parquet("
+                    f"'{docmap_path(ix.postings_dir)}/*.parquet') m "
+                    f"JOIN _sort_ords USING (ord))")
+    else:
+        con.register("_sort_ids", pd.DataFrame({"doc_id": cand}))
+        join_ids = "_sort_ids"
+    if sort_field == "doc_id":
+        rows = con.execute(
+            f"SELECT doc_id FROM {join_ids} c "
+            f"ORDER BY doc_id {dir_} LIMIT {int(k)}").fetchall()
+        out = [(i + 1, int(r[0])) for i, r in enumerate(rows)]
+    else:
+        rows = con.execute(
+            f"SELECT d.doc_id, d.{sort_field} FROM {join_ids} c "
+            f"JOIN read_parquet('{docs_parquet}') d USING (doc_id) "
+            f"ORDER BY d.{sort_field} {dir_}, d.doc_id ASC "
+            f"LIMIT {int(k)}").fetchall()
+        out = [(i + 1, int(r[0]), r[1]) for i, r in enumerate(rows)]
+    if ix.dense:
+        con.unregister("_sort_ords")
+    else:
+        con.unregister("_sort_ids")
+    return out
 
 
 def facet_counts_indexed(ix: IndexReader, query_terms: list[str],

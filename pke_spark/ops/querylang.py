@@ -76,7 +76,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tokenizer import (duckdb_toks_cte, sql_quote, sql_str_list,
@@ -310,17 +310,14 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
 
 # ----------------------------------------------------------------- Spark
 
-def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
-                     max_expansions: int = 32,
-                     k1: float = K1, b: float = B,
-                     min_should_match: int = 0) -> DataFrame:
-    """(rank, doc_id, score) for a parsed+compiled query string."""
+def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
+             min_should_match: int = 0):
+    """(qdf, constrain): the weighted (term, boost) query DataFrame and
+    the candidate-constraint hook — shared by every corpus-side front
+    door (scoring top-k, hit counting, sort-by-field)."""
     from .phrase import _term_offsets
     from .termexpand import expand_fuzzy, expand_prefix
 
-    from .core import bm25_rank_over
-
-    pq = parse_querystring(qs)
     spark = docs.sparkSession
     toks = tokens_exploded(docs)
 
@@ -410,18 +407,82 @@ def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
             scored_src = scored_src.join(n_ids, "doc_id", "left_anti")
         return scored_src
 
+    return qdf, constrain
+
+
+def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
+                     max_expansions: int = 32,
+                     k1: float = K1, b: float = B,
+                     min_should_match: int = 0) -> DataFrame:
+    """(rank, doc_id, score) for a parsed+compiled query string."""
+    from .core import bm25_rank_over
+
+    pq = parse_querystring(qs)
+    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match)
     return bm25_rank_over(docs, qdf, k, k1, b, constrain)
+
+
+def _candidates(docs: DataFrame, qdf: DataFrame, constrain) -> DataFrame:
+    """One-column (doc_id) candidate set: docs matching >=1 scoring
+    term, run through every constraint clause."""
+    cand = (tokens_exploded(docs)
+            .join(F.broadcast(qdf.select("term")), "term")
+            .select("doc_id").distinct())
+    return constrain(cand)
+
+
+def querystring_count(docs: DataFrame, qs: str,
+                      max_expansions: int = 32,
+                      min_should_match: int = 0) -> DataFrame:
+    """(n_hits) — Lucene's TotalHitCountCollector: how many docs match
+    the query, without scoring. Same candidate semantics as
+    ``querystring_topk`` (>=1 scoring term + all constraints); the
+    plan skips the scoring joins entirely — one broadcast-filtered
+    token scan + the constraint semi/anti joins + a 1-row count."""
+    pq = parse_querystring(qs)
+    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match)
+    return _candidates(docs, qdf, constrain).agg(
+        F.count("*").alias("n_hits"))
+
+
+def querystring_sort_topk(docs: DataFrame, qs: str,
+                          sort_field: str = "n_chars",
+                          ascending: bool = False, k: int = 10,
+                          max_expansions: int = 32,
+                          min_should_match: int = 0) -> DataFrame:
+    """(rank, doc_id, <sort_field>) — Lucene Sort(SortField): top-k
+    query matches ordered by a stored metadata field instead of BM25
+    (ties broken by doc_id ASC). The candidate set is the same as
+    ``querystring_topk``'s; the sort joins it against a 2-column
+    pruned read of the documents table, then TakeOrderedAndProject —
+    no scoring math runs at all."""
+    if sort_field not in FILTER_FIELDS:
+        raise ValueError(f"unknown sort field {sort_field!r} "
+                         f"(allowed: {FILTER_FIELDS})")
+    pq = parse_querystring(qs)
+    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match)
+    vals = _candidates(docs, qdf, constrain)
+    if sort_field != "doc_id":
+        vals = vals.join(docs.select("doc_id", sort_field), "doc_id")
+    order = [F.asc(sort_field) if ascending else F.desc(sort_field),
+             F.asc("doc_id")]
+    top = vals.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    out_cols = ["rank", "doc_id"] + \
+        ([sort_field] if sort_field != "doc_id" else [])
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(*out_cols))
 
 
 # --------------------------------------------------------------- DuckDB
 
 
 
-def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
-                    k1: float = K1, b: float = B,
-                    min_should_match: int = 0) -> str:
-    """DuckDB twin: the same parse, compiled to one CTE chain."""
-    pq = parse_querystring(qs)
+def _sql_parts(pq: ParsedQuery, max_expansions: int,
+               min_should_match: int) -> tuple[list, list]:
+    """(ctes, constraints) shared by the scoring / count / sort twins:
+    toks + expansion + qterms + tc CTEs, and the candidate constraint
+    predicates (which append their own cm/msm_ok/ph CTEs)."""
     ctes = [duckdb_toks_cte()]
     qterm_selects = []
     lits = pq.literal_score_terms
@@ -457,12 +518,6 @@ def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
     ctes.append("tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
                 "FROM toks WHERE term IN (SELECT term FROM qterms) "
                 "GROUP BY doc_id, term)")
-    ctes.append("dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks "
-                "GROUP BY doc_id)")
-    ctes.append("g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl "
-                "FROM dl)")
-    ctes.append("stats AS (SELECT term, count(*)::BIGINT AS df FROM tc "
-                "GROUP BY term)")
 
     constraints = []
     if min_should_match:
@@ -516,6 +571,21 @@ def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
         constraints.append(
             f"tc.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "
             f"WHERE term IN {sql_str_list(sorted(set(pq.must_not)))})")
+    return ctes, constraints
+
+
+def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
+                    k1: float = K1, b: float = B,
+                    min_should_match: int = 0) -> str:
+    """DuckDB twin: the same parse, compiled to one CTE chain."""
+    pq = parse_querystring(qs)
+    ctes, constraints = _sql_parts(pq, max_expansions, min_should_match)
+    ctes.append("dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks "
+                "GROUP BY doc_id)")
+    ctes.append("g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl "
+                "FROM dl)")
+    ctes.append("stats AS (SELECT term, count(*)::BIGINT AS df FROM tc "
+                "GROUP BY term)")
     where = ("WHERE " + " AND ".join(constraints)) if constraints else ""
     cte_block = ",\n".join(ctes)
 
@@ -536,4 +606,48 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r
        doc_id, score
 FROM scored
 ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def _candidates_sql(pq: ParsedQuery, max_expansions: int,
+                    min_should_match: int) -> tuple[str, str]:
+    """(cte_block, cand_select): the candidate doc_id set as SQL —
+    distinct docs holding >=1 scoring term, under every constraint."""
+    ctes, constraints = _sql_parts(pq, max_expansions, min_should_match)
+    where = ("WHERE " + " AND ".join(constraints)) if constraints else ""
+    return ",\n".join(ctes), \
+        f"SELECT DISTINCT tc.doc_id FROM tc {where}"
+
+
+def querystring_count_sql(qs: str, max_expansions: int = 32,
+                          min_should_match: int = 0) -> str:
+    """DuckDB twin of ``querystring_count``."""
+    pq = parse_querystring(qs)
+    cte_block, cand = _candidates_sql(pq, max_expansions,
+                                      min_should_match)
+    return f"""WITH {cte_block}
+SELECT count(*)::BIGINT AS n_hits FROM ({cand})"""
+
+
+def querystring_sort_sql(qs: str, sort_field: str = "n_chars",
+                         ascending: bool = False, k: int = 10,
+                         max_expansions: int = 32,
+                         min_should_match: int = 0) -> str:
+    """DuckDB twin of ``querystring_sort_topk``."""
+    if sort_field not in FILTER_FIELDS:
+        raise ValueError(f"unknown sort field {sort_field!r} "
+                         f"(allowed: {FILTER_FIELDS})")
+    pq = parse_querystring(qs)
+    cte_block, cand = _candidates_sql(pq, max_expansions,
+                                      min_should_match)
+    dir_ = "ASC" if ascending else "DESC"
+    order = f"ORDER BY {sort_field} {dir_}, doc_id ASC"
+    val_col = f", {sort_field}" if sort_field != "doc_id" else ""
+    src = (f"({cand}) c JOIN documents USING (doc_id)"
+           if sort_field != "doc_id" else f"({cand}) c")
+    return f"""WITH {cte_block}
+SELECT CAST(row_number() OVER ({order}) AS INTEGER) AS rank,
+       doc_id{val_col}
+FROM {src}
+{order}
 LIMIT {k}"""

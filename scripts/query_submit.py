@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--min-should-match", type=int, default=0,
                     help="min SHOULD clauses a candidate must satisfy "
                          "(--querystring mode only)")
+    ap.add_argument("--count-only", action="store_true",
+                    help="return the total hit count instead of ranked "
+                         "results (--querystring mode only)")
+    ap.add_argument("--sort-by", metavar="FIELD[:asc|:desc]",
+                    help="order matches by a stored field instead of "
+                         "BM25 (--querystring mode only)")
     ap.add_argument("--snippets", action="store_true",
                     help="with --query: return best highlight windows "
                          "from the positional sidecar")
@@ -72,8 +78,33 @@ def main() -> None:
         return
 
     if args.querystring:
-        from pke_spark.index.serving import querystring_search_indexed
+        from pke_spark.index.serving import (querystring_count_indexed,
+                                             querystring_search_indexed,
+                                             querystring_sort_indexed)
         t0 = time.time()
+        if args.count_only:
+            n = querystring_count_indexed(
+                ix, args.querystring, docs_parquet=args.docs,
+                min_should_match=args.min_should_match)
+            print(json.dumps({
+                "querystring": args.querystring, "mode": "count",
+                "latency_sec": round(time.time() - t0, 4),
+                "n_hits": n}))
+            return
+        if args.sort_by:
+            field, _, direc = args.sort_by.partition(":")
+            rows = querystring_sort_indexed(
+                ix, args.querystring, field, direc == "asc", args.k,
+                docs_parquet=args.docs,
+                min_should_match=args.min_should_match)
+            print(json.dumps({
+                "querystring": args.querystring, "mode": "sort",
+                "sort_by": args.sort_by,
+                "latency_sec": round(time.time() - t0, 4),
+                "results": [{"rank": r[0], "doc_id": r[1],
+                             field: (r[2] if len(r) > 2 else r[1])}
+                            for r in rows]}))
+            return
         rows = querystring_search_indexed(
             ix, args.querystring, args.k, docs_parquet=args.docs,
             min_should_match=args.min_should_match)

@@ -233,6 +233,31 @@ def test_msm_matches_duckdb_twin(fixture_docs, tmp_path):
             (qs, m)
 
 
+def test_compiled_count_and_sort(fixture_docs):
+    from pke_spark.ops.querylang import (querystring_count,
+                                         querystring_sort_topk)
+
+    # candidates of "+spark -vector join": docs 1, 4, 5
+    assert querystring_count(
+        fixture_docs, "+spark -vector join").collect()[0].n_hits == 3
+    # count honors msm
+    assert querystring_count(
+        fixture_docs, "spark window table",
+        min_should_match=2).collect()[0].n_hits == 3
+    # sort by doc_id descending over the same candidates
+    rows = querystring_sort_topk(
+        fixture_docs, "+spark -vector join", "doc_id", False, 10).collect()
+    assert [r.doc_id for r in rows] == [5, 4, 1]
+    assert [r.rank for r in rows] == [1, 2, 3]
+    # sort by a string field ascending, ties broken by doc_id
+    rows = querystring_sort_topk(
+        fixture_docs, "+spark -vector join", "lang", True, 10).collect()
+    assert [(r.lang, r.doc_id) for r in rows] == \
+        [("en", 1), ("en", 5), ("fr", 4)]
+    with pytest.raises(ValueError, match="unknown sort field"):
+        querystring_sort_topk(fixture_docs, "spark", "text")
+
+
 def test_compiled_boost_changes_ranking(fixture_docs):
     from pke_spark.ops.querylang import querystring_topk
 

@@ -131,6 +131,47 @@ MSM_CASES = [
 ]
 
 
+COLLECTOR_CASES = [
+    'spark join window',
+    '+spark join -vector lang:en "merge slow" tab* sor~1',
+    'spark join n_chars:[200 TO 1500]',
+]
+
+
+@pytest.mark.parametrize("qs", COLLECTOR_CASES)
+def test_querystring_count_parity(sf_ix, sf_docs, qs):
+    got = SV.querystring_count_indexed(
+        sf_ix, qs, docs_parquet=f"{SF}/documents.parquet")
+    want = QL.querystring_count(sf_docs, qs).collect()[0].n_hits
+    assert got == want
+
+
+@pytest.mark.parametrize("qs", COLLECTOR_CASES)
+@pytest.mark.parametrize("field,asc", [("n_chars", False),
+                                       ("doc_id", True)])
+def test_querystring_sort_parity(sf_ix, sf_docs, qs, field, asc):
+    got = SV.querystring_sort_indexed(
+        sf_ix, qs, field, asc, 10, docs_parquet=f"{SF}/documents.parquet")
+    want = [tuple(r) for r in QL.querystring_sort_topk(
+        sf_docs, qs, field, asc, 10).collect()]
+    assert got == want
+
+
+def test_collectors_route_distributed(sf_ix, sf_docs, monkeypatch):
+    # force every query over the fast-path budget: the distributed
+    # constrained plan must count/sort identically to the driver path
+    qs = 'spark join n_chars:[200 TO 1500]'
+    dp = f"{SF}/documents.parquet"
+    n_driver = SV.querystring_count_indexed(sf_ix, qs, docs_parquet=dp)
+    s_driver = SV.querystring_sort_indexed(sf_ix, qs, "n_chars", False,
+                                           10, docs_parquet=dp)
+    monkeypatch.setattr(SV, "_over_budget", lambda ix, terms: True)
+    assert SV.querystring_count_indexed(sf_ix, qs, docs_parquet=dp) \
+        == n_driver
+    assert SV.querystring_sort_indexed(
+        sf_ix, qs, "n_chars", False, 10, docs_parquet=dp) == s_driver
+
+
 @pytest.mark.parametrize("qs,m", MSM_CASES)
 def test_querystring_msm_parity(sf_ix, sf_docs, qs, m):
     got = SV.querystring_search_indexed(
