@@ -98,6 +98,9 @@ QUERYSTRING_BOOSTED = '+spark^2 join merge^0.5 join tab*^3 ' \
 # minimum_should_match: candidates must satisfy >= 2 of the 4 SHOULD
 # clauses (3 bare terms + 1 boosted term)
 QUERYSTRING_MSM = ('spark join window merge^2', 2)
+# negated phrase: exclude the exact sequence; its terms may still
+# appear individually
+QUERYSTRING_NOTPHRASE = 'spark join -"merge slow"'
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_msm": lambda s, d: querylang.querystring_topk(
             _docs(s, d), QUERYSTRING_MSM[0], 10,
             min_should_match=QUERYSTRING_MSM[1]),
+        "querystring_notphrase": lambda s, d: querylang.querystring_topk(
+            _docs(s, d), QUERYSTRING_NOTPHRASE, 10),
         "querystring_count": lambda s, d: querylang.querystring_count(
             _docs(s, d), QUERYSTRING),
         "querystring_sort": lambda s, d: querylang.querystring_sort_topk(
@@ -370,6 +375,8 @@ def oracle_sql() -> dict[str, str]:
             QUERYSTRING_BOOSTED, 10),
         "querystring_msm_indexed": querylang.querystring_sql(
             QUERYSTRING_MSM[0], 10, min_should_match=QUERYSTRING_MSM[1]),
+        "querystring_notphrase": querylang.querystring_sql(
+            QUERYSTRING_NOTPHRASE, 10),
         "querystring_count": querylang.querystring_count_sql(QUERYSTRING),
         "querystring_sort": querylang.querystring_sort_sql(
             QUERYSTRING, "n_chars", False, 10),

@@ -328,6 +328,9 @@ def _distributed_scored_src(ix: IndexReader, pq: ParsedQuery,
     for ph in pq.phrases:
         scored_src = scored_src.join(_phrase_ids_df(ix, ph), "doc_id",
                                      "left_semi")
+    for nph in pq.not_phrases:
+        scored_src = scored_src.join(_phrase_ids_df(ix, nph), "doc_id",
+                                     "left_anti")
     if pq.filters:
         if docs_parquet is None:
             raise ValueError(
@@ -507,23 +510,28 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
         cand = constrain(_metadata_filter_set(ix, docs_parquet, pq.filters))
         if not len(cand):
             return []
+    excl_sets = []
     if pq.must_not:
         nots = sorted(set(pq.must_not))
         nposts = ix.decoded_postings(nots)
-        excl = [nposts[t][0] for t in nots if len(nposts[t][0])]
-        if excl:
-            excl_set = np.unique(np.concatenate(excl))
-            if cand is None:
-                dfs = ix.term_dfs(score_terms)
-                sposts = ix.decoded_postings(sorted(dfs))
-                arrs = [sposts[t][0] for t in sorted(dfs)
-                        if len(sposts[t][0])]
-                if not arrs:
-                    return []
-                cand = np.unique(np.concatenate(arrs))
-            cand = cand[~np.isin(cand, excl_set, assume_unique=True)]
-            if not len(cand):
+        excl_sets += [nposts[t][0] for t in nots if len(nposts[t][0])]
+    for nph in pq.not_phrases:
+        nset = _phrase_doc_set(ix, nph)
+        if len(nset):
+            excl_sets.append(nset)
+    if excl_sets:
+        excl_set = np.unique(np.concatenate(excl_sets))
+        if cand is None:
+            dfs = ix.term_dfs(score_terms)
+            sposts = ix.decoded_postings(sorted(dfs))
+            arrs = [sposts[t][0] for t in sorted(dfs)
+                    if len(sposts[t][0])]
+            if not arrs:
                 return []
+            cand = np.unique(np.concatenate(arrs))
+        cand = cand[~np.isin(cand, excl_set, assume_unique=True)]
+        if not len(cand):
+            return []
     return _score_candidates(ix, score_terms, cand, k, k1, b, weights)
 
 
@@ -576,6 +584,9 @@ def _match_set(ix: IndexReader, pq: ParsedQuery, score_terms: list[str],
     for ph in pq.phrases:
         cand = np.intersect1d(cand, _phrase_doc_set(ix, ph),
                               assume_unique=True)
+    for nph in pq.not_phrases:
+        cand = cand[~np.isin(cand, _phrase_doc_set(ix, nph),
+                             assume_unique=True)]
     if pq.filters:
         if docs_parquet is None:
             raise ValueError(

@@ -18,8 +18,10 @@ Grammar (whitespace-separated clauses; quotes group):
                   never scores).
 - ``"w1 w2"``     phrase: candidate docs contain the exact token
                   sequence; its terms also score. ``+"w1 w2"`` is the
-                  same (phrases are always required); ``-"…"`` is not
-                  supported.
+                  same (phrases are always required).
+- ``-"w1 w2"``    negated phrase: candidate docs do NOT contain the
+                  exact sequence. Its terms never score, and may still
+                  appear individually — only the sequence is excluded.
 - ``field:value`` metadata equality filter over the documents table
                   (string fields: ``lang``, ``source``; numeric:
                   ``n_chars``, ``doc_id``). Non-scoring, Lucene-filter
@@ -114,6 +116,8 @@ class ParsedQuery:
     should: list = field(default_factory=list)     # [str]
     must_not: list = field(default_factory=list)   # [str]
     phrases: list = field(default_factory=list)    # [[str]] (required)
+    not_phrases: list = field(default_factory=list)  # [[str]] (excluded
+    # exact sequences; their terms never score)
     soft_phrases: list = field(default_factory=list)  # [[str]] (SHOULD
     # words that analyzed to >1 token: their terms score, not required)
     prefixes: list = field(default_factory=list)   # [(str, boost)]
@@ -213,11 +217,15 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
         if body[0] == '"':
             if not body.endswith('"') or len(body) < 2:
                 raise ValueError(f"unterminated quote in {raw!r}")
-            if sign == "-":
-                raise ValueError("negated phrases are not supported")
             terms = tokenize_text(body[1:-1], profile)
             if not terms:
                 raise ValueError(f"phrase {raw!r} analyzed to no tokens")
+            if sign == "-":
+                if boosted:
+                    raise ValueError("boosted negated phrases are not "
+                                     "supported (they never score)")
+                pq.not_phrases.append(terms)
+                continue
             pq.phrases.append(terms)
             add_weight(terms, boost)
             continue
@@ -388,17 +396,24 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                      .where(F.col("nm") == len(set(pq.must)))
                      .select("doc_id"))
             scored_src = scored_src.join(m_ids, "doc_id", "left_semi")
-        for ph in pq.phrases:
-            n = len(ph)
-            hits = (toks.join(F.broadcast(_term_offsets(spark, ph)), "term")
+
+        def phrase_ids(ph: list) -> DataFrame:
+            hits = (toks.join(F.broadcast(_term_offsets(spark, ph)),
+                              "term")
                     .select("doc_id",
                             (F.col("pos") - F.col("off")).alias("start"),
                             "off"))
-            ph_ids = (hits.groupBy("doc_id", "start")
-                      .agg(F.countDistinct("off").alias("n_off"))
-                      .where(F.col("n_off") == n)
-                      .select("doc_id").distinct())
-            scored_src = scored_src.join(ph_ids, "doc_id", "left_semi")
+            return (hits.groupBy("doc_id", "start")
+                    .agg(F.countDistinct("off").alias("n_off"))
+                    .where(F.col("n_off") == len(ph))
+                    .select("doc_id").distinct())
+
+        for ph in pq.phrases:
+            scored_src = scored_src.join(phrase_ids(ph), "doc_id",
+                                         "left_semi")
+        for nph in pq.not_phrases:
+            scored_src = scored_src.join(phrase_ids(nph), "doc_id",
+                                         "left_anti")
         if pq.must_not:
             ndf = spark.createDataFrame(
                 [(t,) for t in dict.fromkeys(pq.must_not)], "term string")
@@ -558,15 +573,22 @@ def _sql_parts(pq: ParsedQuery, max_expansions: int,
             f"tc.doc_id IN (SELECT doc_id FROM toks "
             f"WHERE term IN {sql_str_list(musts)} GROUP BY doc_id "
             f"HAVING count(DISTINCT term) = {len(musts)})")
-    for i, ph in enumerate(pq.phrases):
+    def phrase_cte(name: str, ph: list) -> None:
         vals = ", ".join(f"({_sq(t)}, {j})" for j, t in enumerate(ph))
         ctes.append(
-            f"ph{i} AS (SELECT DISTINCT doc_id FROM ("
+            f"{name} AS (SELECT DISTINCT doc_id FROM ("
             f"SELECT doc_id, pos - off AS start, off FROM toks "
             f"JOIN (SELECT * FROM (VALUES {vals})) m(term, off) "
             f"USING (term)) h GROUP BY doc_id, start "
             f"HAVING count(DISTINCT off) = {len(ph)})")
+
+    for i, ph in enumerate(pq.phrases):
+        phrase_cte(f"ph{i}", ph)
         constraints.append(f"tc.doc_id IN (SELECT doc_id FROM ph{i})")
+    for i, nph in enumerate(pq.not_phrases):
+        phrase_cte(f"nph{i}", nph)
+        constraints.append(
+            f"tc.doc_id NOT IN (SELECT doc_id FROM nph{i})")
     if pq.must_not:
         constraints.append(
             f"tc.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "

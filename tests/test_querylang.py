@@ -95,6 +95,10 @@ def test_parse_phrase_analysis():
     assert pq.phrases == [["merge", "slow"]]
     pq = parse_querystring('+"a_b c"')
     assert pq.phrases == [["a", "b", "c"]]
+    # negated phrase: excluded sequence, terms never score
+    pq = parse_querystring('spark -"Merge SLOW"')
+    assert pq.not_phrases == [["merge", "slow"]]
+    assert pq.literal_score_terms == ["spark"]
 
 
 def test_literal_score_terms_order_and_dedup():
@@ -107,8 +111,8 @@ def test_parse_rejections():
         parse_querystring("-only -negative")
     with pytest.raises(ValueError, match="no scoring clause"):
         parse_querystring("lang:en")
-    with pytest.raises(ValueError, match="negated phrases"):
-        parse_querystring('-"a b" x')
+    with pytest.raises(ValueError, match="boosted negated phrases"):
+        parse_querystring('-"a b"^2 x')
     with pytest.raises(ValueError, match="unknown filter field"):
         parse_querystring("repo:foo x")
     with pytest.raises(ValueError, match="both required and excluded"):
@@ -171,6 +175,10 @@ def test_compiled_clause_semantics(fixture_docs):
     # phrase is required: only doc 5 has "merge slow"
     ids = _ids(querystring_topk(fixture_docs, '"merge slow" spark'))
     assert ids == [5]
+    # negated phrase: doc 5 has "merge slow" (dropped); its terms may
+    # still appear individually elsewhere
+    ids = _ids(querystring_topk(fixture_docs, 'spark -"merge slow"'))
+    assert set(ids) == {1, 2, 4}
     # prefix expands (win* -> window) and scores as should
     ids = _ids(querystring_topk(fixture_docs, "win*"))
     assert set(ids) == {1, 3, 4, 6}
@@ -287,7 +295,8 @@ def test_compiled_matches_duckdb_twin(fixture_docs, tmp_path):
                '+join "spark join" win*',
                '+spark^2 join^0.5 win*^3 doc_id:[1 TO 5]',
                'spark spark join',
-               '"merge slow"^2 spak~1^4 doc_id:{1 TO 6}']:
+               '"merge slow"^2 spak~1^4 doc_id:{1 TO 6}',
+               'spark -"merge slow" -"spark join window"']:
         got = (querystring_topk(fixture_docs, qs).toPandas()
                .sort_values("rank").reset_index(drop=True))
         want = (con.execute(querystring_sql(qs)).df()
@@ -314,8 +323,8 @@ def _querystrings(draw):
     clauses = []
     n = draw(st.integers(min_value=1, max_value=6))
     kinds = draw(st.lists(
-        st.sampled_from(["should", "must", "not", "phrase", "prefix",
-                         "fuzzy", "filter"]),
+        st.sampled_from(["should", "must", "not", "phrase", "not_phrase",
+                         "prefix", "fuzzy", "filter"]),
         min_size=n, max_size=n))
     if not any(k in ("should", "must", "phrase", "prefix", "fuzzy")
                for k in kinds):
@@ -333,6 +342,9 @@ def _querystrings(draw):
         elif k == "phrase":
             w2 = draw(_word)
             clauses.append(f'"{w} {w2}"' + draw(boost))
+        elif k == "not_phrase":
+            w2 = draw(_word)
+            clauses.append(f'-"{w} {w2}"')
         elif k == "prefix":
             clauses.append(w + "*" + draw(boost))
         elif k == "fuzzy":
@@ -360,12 +372,14 @@ def test_parse_total_on_valid_grammar(qs):
     # every clause landed in exactly one bucket
     n_clauses = len(qs.split())
     n_parsed = (len(pq.must) + len(pq.should) + len(pq.must_not)
-                + len(pq.phrases) + len(pq.soft_phrases)
+                + len(pq.phrases) + len(pq.not_phrases)
+                + len(pq.soft_phrases)
                 + len(pq.prefixes) + len(pq.fuzzies) + len(pq.filters))
     # phrases and bracketed ranges consume extra whitespace-separated
     # words (2 and 3 respectively)
     n_ranges = sum(1 for _, v in pq.filters if isinstance(v, RangeFilter))
     assert n_parsed == (n_clauses - len(pq.phrases)
+                        - len(pq.not_phrases)
                         - len(pq.soft_phrases) - 2 * n_ranges)
     # the parser's own invariants
     assert not (set(pq.must_not) & set(pq.literal_score_terms))

@@ -122,6 +122,7 @@ QS_CASES = [
     'sparc~1',                                 # fuzzy only
     '+spark^2 join merge^0.5 join tab*^3',     # boosts + duplicate term
     'spark join n_chars:[200 TO 1500]',        # numeric range filter
+    'spark -"merge slow"',                     # negated phrase
 ]
 
 MSM_CASES = [
