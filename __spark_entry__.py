@@ -101,6 +101,19 @@ QUERYSTRING_MSM = ('spark join window merge^2', 2)
 # negated phrase: exclude the exact sequence; its terms may still
 # appear individually
 QUERYSTRING_NOTPHRASE = 'spark join -"merge slow"'
+# batched execution: every grammar feature across a query SET, ONE job
+QUERYSTRING_BATCH = {"q1": QUERYSTRING, "q2": QUERYSTRING_BOOSTED,
+                     "q3": QUERYSTRING_NOTPHRASE}
+
+
+def _querystring_batch_sql() -> str:
+    from pke_spark.ops import querylang
+    parts = [
+        f"SELECT '{qid}' AS query_id, * FROM "
+        f"({querylang.querystring_sql(qs, 10)})"
+        for qid, qs in sorted(QUERYSTRING_BATCH.items())]
+    return ("SELECT * FROM (" + " UNION ALL ".join(parts)
+            + ") ORDER BY query_id, rank")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,6 +163,13 @@ def _querystring_boosted_indexed(s: SparkSession, d: str) -> DataFrame:
         _served_reader(s, d), QUERYSTRING_BOOSTED, 10,
         docs_parquet=f"{d}/documents.parquet")
     return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
+def _querystring_batch(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import querystring_topk_batch
+    return querystring_topk_batch(
+        _served_reader(s, d), QUERYSTRING_BATCH, 10,
+        docs_parquet=f"{d}/documents.parquet")
 
 
 def _querystring_count_indexed(s: SparkSession, d: str) -> DataFrame:
@@ -265,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_msm_indexed": _querystring_msm_indexed,
         "querystring_count_indexed": _querystring_count_indexed,
         "querystring_sort_indexed": _querystring_sort_indexed,
+        "querystring_batch": _querystring_batch,
         "prefix_indexed": _prefix_indexed,
         "fuzzy_indexed": _fuzzy_indexed,
         "facets_indexed": _facets_indexed,
@@ -384,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
             QUERYSTRING),
         "querystring_sort_indexed": querylang.querystring_sort_sql(
             QUERYSTRING, "n_chars", False, 10),
+        "querystring_batch": _querystring_batch_sql(),
         "prefix_indexed": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
         "fuzzy_indexed": termexpand.fuzzy_bm25_topk_sql(
             FUZZY_QUERY[0], FUZZY_QUERY[1], 10),

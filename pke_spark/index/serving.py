@@ -41,6 +41,7 @@ driver memory falls back to the distributed scorer for ranking
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..ops.querylang import (ParsedQuery, filters_predicate,
@@ -397,6 +398,203 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
               .agg(F.round(F.sum(F.col("boost") * idf * tf_part), 6)
                    .alias("score")))
     return _rank_topk(scored, k)
+
+
+def querystring_topk_batch(ix: IndexReader, queries: dict,
+                           k: int = 10, max_expansions: int = 32,
+                           docs_parquet: str | None = None,
+                           k1: float = K1, b: float = B,
+                           min_should_match: int = 0) -> "DataFrame":
+    """(query_id, rank, doc_id, score): execute EVERY query string in
+    ONE Spark job — the full grammar (boosts, MUST/MUST_NOT, phrases +
+    negated phrases, filters + ranges, prefix/fuzzy expansion, msm)
+    per query.
+
+    The training-pipeline shape: a nightly eval or a mining job issues
+    thousands of query strings; paying scan + decode + job latency per
+    query is the anti-pattern. Here the union of all queries' score
+    terms is decoded ONCE (term-pruned scan), a broadcast
+    (query_id, term, boost) map fans postings to their queries, every
+    clause type applies as ONE batched join over (query_id, doc_id)
+    pairs — per-query needs ride tiny broadcast tables so queries
+    without a clause pass untouched — and a single aggregation + one
+    per-query window ranks everything. Phrase clauses decode the
+    positional sidecar once for the union of all phrase terms.
+
+    Per-query results are row-identical to
+    ``querystring_search_indexed`` (parity-tested). Queries with no
+    indexed score terms yield no rows. ``min_should_match`` applies to
+    every query in the batch."""
+    from .wand import decoded_tc
+
+    spark = ix.spark
+    parsed = {qid: parse_querystring(queries[qid])
+              for qid in sorted(queries)}
+    exp_by_q = {qid: _clause_expansions(ix, pq, max_expansions)
+                for qid, pq in parsed.items()}
+    weights = {}
+    for qid, pq in parsed.items():
+        for t, w in pq.expansion_weights(exp_by_q[qid]).items():
+            weights[(qid, t)] = w
+    all_terms = sorted({t for _q, t in weights})
+    dfs = {t: d for t, d in ix.term_dfs(all_terms).items() if d > 0}
+    qt_rows = [(qid, t, w) for (qid, t), w in sorted(weights.items())
+               if t in dfs]
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double")
+    if not qt_rows:
+        return empty
+    qt = F.broadcast(spark.createDataFrame(
+        qt_rows, "query_id string, term string, boost double"))
+    stats = F.broadcast(spark.createDataFrame(
+        sorted(dfs.items()), "term string, df long"))
+
+    def raw_ids(df):
+        if not ix.dense:
+            return df
+        return (df.withColumnRenamed("doc_id", "ord")
+                .join(ix.docmap(), "ord").drop("ord"))
+
+    fan = raw_ids(decoded_tc(ix, sorted(dfs))).join(qt, "term")
+    cand = fan.select("query_id", "doc_id").distinct()
+    keys = ["query_id", "doc_id"]
+
+    if min_should_match:
+        cm_rows = []
+        for qid, pq in parsed.items():
+            clauses = list(pq.should_clauses) + \
+                [(sorted(set(ts)), 1) for ts in exp_by_q[qid]]
+            for cid, (terms, need) in enumerate(clauses):
+                cm_rows += [(qid, cid, t, need) for t in terms]
+        if not cm_rows:
+            return empty
+        cm = F.broadcast(spark.createDataFrame(
+            cm_rows, "query_id string, cid int, term string, need int"))
+        # every SHOULD-clause term is a score term, so presence in the
+        # index is already decided by dfs
+        cm_terms = sorted({r[2] for r in cm_rows if r[2] in dfs})
+        ok = (raw_ids(decoded_tc(ix, cm_terms)).join(cm, "term")
+              .groupBy("query_id", "cid", "need", "doc_id")
+              .agg(F.countDistinct("term").alias("nt"))
+              .where(F.col("nt") >= F.col("need"))
+              .groupBy(*keys).agg(F.count("*").alias("nc"))
+              .where(F.col("nc") >= min_should_match)
+              .select(*keys))
+        cand = cand.join(ok, keys, "left_semi")
+
+    must_rows = [(qid, t) for qid, pq in parsed.items()
+                 for t in sorted(set(pq.must))]
+    if must_rows:
+        mm = F.broadcast(spark.createDataFrame(
+            must_rows, "query_id string, term string"))
+        n_must = F.broadcast(spark.createDataFrame(
+            [(qid, len(set(pq.must))) for qid, pq in parsed.items()],
+            "query_id string, n_must int"))
+        m_terms = sorted({t for _q, t in must_rows})
+        m_ok = (raw_ids(decoded_tc(ix, m_terms)).join(mm, "term")
+                .groupBy(*keys)
+                .agg(F.countDistinct("term").alias("nm")))
+        cand = (cand.join(m_ok, keys, "left")
+                .join(n_must, "query_id")
+                .where((F.col("n_must") == 0)
+                       | (F.col("nm") == F.col("n_must")))
+                .select(*keys))
+
+    ph_specs = [(qid, pid, ph)
+                for qid, pq in parsed.items()
+                for pid, ph in enumerate(pq.phrases)]
+    nph_specs = [(qid, pid, ph)
+                 for qid, pq in parsed.items()
+                 for pid, ph in enumerate(pq.not_phrases)]
+
+    def _phrase_pairs(specs):
+        """distinct (query_id, pid, doc_id) matching each phrase spec,
+        off ONE positional-sidecar read of the union of all terms."""
+        from .positions import term_positions
+        union_terms = sorted({t for _q, _p, ph in specs for t in ph})
+        pm = F.broadcast(spark.createDataFrame(
+            [(qid, pid, t, off)
+             for qid, pid, ph in specs for off, t in enumerate(ph)],
+            "query_id string, pid int, term string, off int"))
+        plens = F.broadcast(spark.createDataFrame(
+            [(qid, pid, len(ph)) for qid, pid, ph in specs],
+            "query_id string, pid int, n int"))
+        pos = term_positions(spark, ix.index_dir, union_terms)
+        hits = (pos.join(pm, "term")
+                .select("query_id", "pid", "doc_id",
+                        (F.col("pos") - F.col("off")).alias("start"),
+                        "off"))
+        return (hits.groupBy("query_id", "pid", "doc_id", "start")
+                .agg(F.countDistinct("off").alias("n_off"))
+                .join(plens, ["query_id", "pid"])
+                .where(F.col("n_off") == F.col("n"))
+                .select("query_id", "pid", "doc_id").distinct())
+
+    if ph_specs:
+        n_ph = F.broadcast(spark.createDataFrame(
+            [(qid, len(pq.phrases)) for qid, pq in parsed.items()],
+            "query_id string, n_ph int"))
+        ph_ok = (_phrase_pairs(ph_specs)
+                 .groupBy(*keys)
+                 .agg(F.countDistinct("pid").alias("np")))
+        cand = (cand.join(ph_ok, keys, "left")
+                .join(n_ph, "query_id")
+                .where((F.col("n_ph") == 0)
+                       | (F.col("np") == F.col("n_ph")))
+                .select(*keys))
+    if nph_specs:
+        cand = cand.join(_phrase_pairs(nph_specs).select(*keys),
+                         keys, "left_anti")
+
+    f_qids = [qid for qid, pq in parsed.items() if pq.filters]
+    if f_qids:
+        if docs_parquet is None:
+            raise ValueError(
+                "a query has field filters; pass docs_parquet (the "
+                "index stores no document metadata)")
+        docs_df = spark.read.parquet(docs_parquet)
+        parts = [docs_df.filter(F.expr(
+            filters_predicate(parsed[q].filters)))
+            .select(F.lit(q).alias("query_id"), "doc_id")
+            for q in f_qids]
+        f_ok = parts[0]
+        for p in parts[1:]:
+            f_ok = f_ok.unionByName(p)
+        has_f = F.broadcast(spark.createDataFrame(
+            [(qid, int(bool(pq.filters)))
+             for qid, pq in parsed.items()],
+            "query_id string, has_f int"))
+        cand = (cand.join(f_ok.withColumn("f_hit", F.lit(1)), keys,
+                          "left")
+                .join(has_f, "query_id")
+                .where((F.col("has_f") == 0) | F.col("f_hit").isNotNull())
+                .select(*keys))
+
+    not_rows = [(qid, t) for qid, pq in parsed.items()
+                for t in sorted(set(pq.must_not))]
+    if not_rows:
+        nn = F.broadcast(spark.createDataFrame(
+            not_rows, "query_id string, term string"))
+        n_terms = sorted({t for _q, t in not_rows})
+        n_pairs = (raw_ids(decoded_tc(ix, n_terms)).join(nn, "term")
+                   .select(*keys).distinct())
+        cand = cand.join(n_pairs, keys, "left_anti")
+
+    n, avgdl = float(ix.n_docs), float(ix.avgdl)
+    idf = F.log(F.lit(1.0)
+                + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (fan.join(cand, keys, "left_semi")
+              .join(stats, "term")
+              .groupBy(*keys)
+              .agg(F.round(F.sum(F.col("boost") * idf * tf_part), 6)
+                   .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= int(k))
+            .select("query_id", "rank", "doc_id", "score"))
 
 
 def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,

@@ -33,6 +33,10 @@ def main() -> None:
                    help="Lucene-lite query string (+must -not bare "
                         '"a phrase" lang:en tab* spar~1), compiled '
                         "onto the index serving path")
+    g.add_argument("--querystring-file",
+                   help="text file, one Lucene-lite query string per "
+                        "line; the whole set (full grammar per query) "
+                        "runs as ONE batched Spark job")
     ap.add_argument("--docs", help="documents parquet (required only "
                     "when --querystring has field:value filters)")
     ap.add_argument("--min-should-match", type=int, default=0,
@@ -72,6 +76,26 @@ def main() -> None:
         print(json.dumps({
             "queries": {qid: " ".join(ts) for qid, ts in qset.items()},
             "mode": "batch",
+            "latency_sec": round(time.time() - t0, 4),
+            "results": {qid: sorted(v, key=lambda x: x["rank"])
+                        for qid, v in sorted(out.items())}}))
+        return
+
+    if args.querystring_file:
+        from pke_spark.index.serving import querystring_topk_batch
+        with open(args.querystring_file) as f:
+            qset = {f"q{i:05d}": line.strip()
+                    for i, line in enumerate(f) if line.strip()}
+        t0 = time.time()
+        rows = querystring_topk_batch(
+            ix, qset, args.k, docs_parquet=args.docs,
+            min_should_match=args.min_should_match).collect()
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append(
+                {"rank": r.rank, "doc_id": r.doc_id, "score": r.score})
+        print(json.dumps({
+            "queries": qset, "mode": "querystring_batch",
             "latency_sec": round(time.time() - t0, 4),
             "results": {qid: sorted(v, key=lambda x: x["rank"])
                         for qid, v in sorted(out.items())}}))

@@ -158,6 +158,44 @@ def test_querystring_sort_parity(sf_ix, sf_docs, qs, field, asc):
     assert got == want
 
 
+def test_querystring_batch_parity(sf_ix):
+    # the whole grammar across a query SET in ONE job must reproduce
+    # every per-query result row-identically
+    queries = {
+        "a": "spark join window",
+        "b": '+spark^2 join -vector lang:en "merge slow" tab* sor~1',
+        "c": 'spark -"merge slow" n_chars:[200 TO 1500]',
+        "d": "zzqqxunseen",
+        "e": "merge^3 slow",
+    }
+    dp = f"{SF}/documents.parquet"
+    rows = SV.querystring_topk_batch(sf_ix, queries, 10,
+                                     docs_parquet=dp).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.score))
+    for qid, qs in queries.items():
+        want = SV.querystring_search_indexed(sf_ix, qs, 10,
+                                             docs_parquet=dp)
+        assert sorted(got.get(qid, [])) == sorted(want), qid
+
+
+def test_querystring_batch_msm(sf_ix):
+    queries = {"a": "spark join window merge", "b": "spark tab* sor~1"}
+    dp = f"{SF}/documents.parquet"
+    rows = SV.querystring_topk_batch(
+        sf_ix, queries, 10, docs_parquet=dp,
+        min_should_match=2).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, qs in queries.items():
+        want = SV.querystring_search_indexed(
+            sf_ix, qs, 10, docs_parquet=dp, min_should_match=2)
+        assert sorted(got.get(qid, [])) == sorted(want), qid
+
+
 def test_collectors_route_distributed(sf_ix, sf_docs, monkeypatch):
     # force every query over the fast-path budget: the distributed
     # constrained plan must count/sort identically to the driver path
