@@ -87,6 +87,8 @@ FACET_COL = "lang"
 # (df-ranked, capped); 'sparc'~1 is the canonical misspelling->match
 PREFIX_QUERY = "s"
 FUZZY_QUERY = ("sparc", 1)
+WILDCARD_QUERY = "ta?le*"
+REGEX_QUERY = "so[rc]t.*"
 
 # query-string front door: MUST + SHOULD + MUST_NOT + phrase + field
 # filter + prefix + fuzzy in one Lucene-lite string
@@ -210,6 +212,18 @@ def _fuzzy_indexed(s: SparkSession, d: str) -> DataFrame:
     return _rows_df(s, rows, "rank int, doc_id long, score double")
 
 
+def _wildcard_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import wildcard_search
+    rows = wildcard_search(_served_reader(s, d), WILDCARD_QUERY, 10)
+    return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
+def _regex_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import regex_search
+    rows = regex_search(_served_reader(s, d), REGEX_QUERY, 10)
+    return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
 def _facets_indexed(s: SparkSession, d: str) -> DataFrame:
     from pke_spark.index.serving import facet_counts_indexed
     rows = facet_counts_indexed(_served_reader(s, d), BM25_QUERY,
@@ -261,6 +275,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), PREFIX_QUERY, 10),
         "fuzzy_bm25": lambda s, d: termexpand.fuzzy_bm25_topk(
             _docs(s, d), FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
+        "wildcard_bm25": lambda s, d: termexpand.wildcard_bm25_topk(
+            _docs(s, d), WILDCARD_QUERY, 10),
+        "regex_bm25": lambda s, d: termexpand.regex_bm25_topk(
+            _docs(s, d), REGEX_QUERY, 10),
         "snippet_windows": lambda s, d: snippets.snippet_windows(
             _docs(s, d), BM25_QUERY, 10),
         "querystring_search": lambda s, d: querylang.querystring_topk(
@@ -288,6 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "querystring_batch": _querystring_batch,
         "prefix_indexed": _prefix_indexed,
         "fuzzy_indexed": _fuzzy_indexed,
+        "wildcard_indexed": _wildcard_indexed,
+        "regex_indexed": _regex_indexed,
         "facets_indexed": _facets_indexed,
         "snippets_indexed": _snippets_indexed,
         "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
@@ -385,6 +405,12 @@ def oracle_sql() -> dict[str, str]:
         "prefix_bm25": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
         "fuzzy_bm25": termexpand.fuzzy_bm25_topk_sql(
             FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
+        "wildcard_bm25": termexpand.wildcard_bm25_topk_sql(
+            WILDCARD_QUERY, 10),
+        "regex_bm25": termexpand.regex_bm25_topk_sql(REGEX_QUERY, 10),
+        "wildcard_indexed": termexpand.wildcard_bm25_topk_sql(
+            WILDCARD_QUERY, 10),
+        "regex_indexed": termexpand.regex_bm25_topk_sql(REGEX_QUERY, 10),
         "snippet_windows": snippets.snippet_windows_sql(BM25_QUERY, 10),
         "querystring_search": querylang.querystring_sql(QUERYSTRING, 10),
         "querystring_boosted": querylang.querystring_sql(

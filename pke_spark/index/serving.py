@@ -105,15 +105,64 @@ def expand_fuzzy_indexed(ix: IndexReader, term: str, max_edits: int = 1,
     return [r[0] for r in rows]
 
 
+def expand_wildcard_indexed(ix: IndexReader, pattern: str,
+                            max_expansions: int = 32) -> list[str]:
+    """Expansion terms for a wildcard pattern from the index term
+    dictionary — literal-prefix pushdown range + LIKE, (df DESC,
+    term ASC)-ranked, capped. Parity: ``ops.termexpand
+    .expand_wildcard``."""
+    from ..ops.termexpand import (_check_wildcard, wildcard_like,
+                                  wildcard_prefix)
+    _check_wildcard(pattern)
+    pfx = wildcard_prefix(pattern)
+    hi = pfx + chr(0x10FFFF)
+    rows = ix._duckdb().execute(
+        f"SELECT term FROM read_parquet('{ix.postings_dir}/*.parquet') "
+        f"WHERE term >= {_sq(pfx)} AND term < {_sq(hi)} "
+        f"AND term LIKE {_sq(wildcard_like(pattern))} ESCAPE '\\' "
+        f"GROUP BY term ORDER BY sum(df) DESC, term ASC "
+        f"LIMIT {int(max_expansions)}").fetchall()
+    return [r[0] for r in rows]
+
+
+def expand_regex_indexed(ix: IndexReader, pattern: str,
+                         max_expansions: int = 32) -> list[str]:
+    """Expansion terms for a RegexpQuery from the index term
+    dictionary — whole-term match, best-effort literal-prefix range
+    gate (a pattern with no literal prefix scans the dictionary, the
+    Lucene automaton worst case). Parity: ``ops.termexpand
+    .expand_regex``."""
+    import re as _re
+
+    from ..ops.termexpand import regex_prefix
+    try:
+        _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"bad regex {pattern!r}: {e}") from e
+    pfx = regex_prefix(pattern)
+    gate = (f"term >= {_sq(pfx)} AND term < {_sq(pfx + chr(0x10FFFF))} "
+            f"AND ") if pfx else ""
+    rows = ix._duckdb().execute(
+        f"SELECT term FROM read_parquet('{ix.postings_dir}/*.parquet') "
+        f"WHERE {gate}regexp_full_match(term, {_sq(pattern)}) "
+        f"GROUP BY term ORDER BY sum(df) DESC, term ASC "
+        f"LIMIT {int(max_expansions)}").fetchall()
+    return [r[0] for r in rows]
+
+
 def _clause_expansions(ix: IndexReader, pq: ParsedQuery,
                        max_expansions: int) -> list:
-    """Per-clause expanded term lists, aligned with
-    ``pq.prefixes + pq.fuzzies`` (the shape ``expansion_weights``
-    consumes)."""
+    """Per-clause expanded term lists in the canonical order
+    (prefixes, fuzzies, wildcards, regexes) — the shape
+    ``expansion_weights`` consumes."""
     out = [expand_prefix_indexed(ix, p, max_expansions)
            for p, _ in pq.prefixes]
     out += [expand_fuzzy_indexed(ix, t, e, 1, max_expansions)
             for t, e, _ in pq.fuzzies]
+    out += [expand_wildcard_indexed(ix, p, max_expansions)
+            for p, _ in pq.wildcards]
+    out += [expand_regex_indexed(ix, p, max_expansions)
+            for p, _ in pq.regexes]
     return out
 
 
@@ -268,6 +317,27 @@ def fuzzy_search(ix: IndexReader, term: str, max_edits: int = 1,
     return _expansion_search(
         ix, expand_fuzzy_indexed(ix, term, max_edits, prefix_len,
                                  max_expansions), k, k1, b)
+
+
+def wildcard_search(ix: IndexReader, pattern: str, k: int = 10,
+                    max_expansions: int = 32,
+                    k1: float = K1, b: float = B
+                    ) -> list[tuple[int, int, float]]:
+    """Index-backed wildcard BM25 top-k (parity:
+    ``ops.termexpand.wildcard_bm25_topk``)."""
+    return _expansion_search(
+        ix, expand_wildcard_indexed(ix, pattern, max_expansions),
+        k, k1, b)
+
+
+def regex_search(ix: IndexReader, pattern: str, k: int = 10,
+                 max_expansions: int = 32,
+                 k1: float = K1, b: float = B
+                 ) -> list[tuple[int, int, float]]:
+    """Index-backed RegexpQuery BM25 top-k (parity:
+    ``ops.termexpand.regex_bm25_topk``)."""
+    return _expansion_search(
+        ix, expand_regex_indexed(ix, pattern, max_expansions), k, k1, b)
 
 
 def _distributed_scored_src(ix: IndexReader, pq: ParsedQuery,

@@ -33,6 +33,13 @@ Grammar (whitespace-separated clauses; quotes group):
 - ``word*``       prefix expansion (PrefixQuery): expands against the
                   term dictionary, df-ranked, capped; expansions score
                   as SHOULD terms.
+- ``te?t`` / ``t*ble``  wildcard expansion (WildcardQuery: ``*`` any
+                  run, ``?`` one char; a leading wildcard is rejected,
+                  Lucene's allowLeadingWildcard=false). Scores as
+                  SHOULD terms.
+- ``/regex/``     regex expansion (RegexpQuery): dictionary terms whose
+                  whole text matches; pattern is NOT analyzed (terms
+                  are lowercase). Scores as SHOULD terms.
 - ``word~``/``word~2``  fuzzy expansion (FuzzyQuery, max_edits 1 or 2,
                   prefixLength 1): expansions score as SHOULD terms.
 - ``clause^2``    boost (Lucene's ``^``): multiplies the clause's score
@@ -122,6 +129,8 @@ class ParsedQuery:
     # words that analyzed to >1 token: their terms score, not required)
     prefixes: list = field(default_factory=list)   # [(str, boost)]
     fuzzies: list = field(default_factory=list)    # [(str, edits, boost)]
+    wildcards: list = field(default_factory=list)  # [(pattern, boost)]
+    regexes: list = field(default_factory=list)    # [(pattern, boost)]
     filters: list = field(default_factory=list)    # [(field, str|RangeFilter)]
     boosts: dict = field(default_factory=dict)     # {term: summed weight}
     # over every literal scoring clause (sum-of-clauses; bare = 1.0)
@@ -155,16 +164,25 @@ class ParsedQuery:
     @property
     def n_should_clauses(self) -> int:
         return (len(self.should) + len(self.soft_phrases)
-                + len(self.prefixes) + len(self.fuzzies))
+                + len(self.prefixes) + len(self.fuzzies)
+                + len(self.wildcards) + len(self.regexes))
+
+    @property
+    def expansion_boosts(self) -> list:
+        """Per-clause boosts in the CANONICAL expansion order shared by
+        every engine: prefixes, fuzzies, wildcards, regexes."""
+        return ([b for _, b in self.prefixes]
+                + [b for _, _, b in self.fuzzies]
+                + [b for _, b in self.wildcards]
+                + [b for _, b in self.regexes])
 
     def expansion_weights(self, expansions: list) -> dict:
         """Merge literal weights with per-clause expansion term lists
-        (aligned with prefixes + fuzzies order): the driver-path twin
-        of the DataFrame union + groupBy(term).sum(boost)."""
+        (aligned with the canonical expansion order): the driver-path
+        twin of the DataFrame union + groupBy(term).sum(boost)."""
         w = dict(self.boosts)
-        clause_boosts = [b for _, b in self.prefixes] + \
-                        [b for _, _, b in self.fuzzies]
-        for terms, cb in zip(expansions, clause_boosts, strict=True):
+        for terms, cb in zip(expansions, self.expansion_boosts,
+                             strict=True):
             for t in terms:
                 w[t] = w.get(t, 0.0) + cb
         return w
@@ -229,6 +247,16 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
             pq.phrases.append(terms)
             add_weight(terms, boost)
             continue
+        if len(body) > 2 and body[0] == "/" and body[-1] == "/":
+            if sign:
+                raise ValueError("signed regex clauses are not supported")
+            pat = body[1:-1]
+            try:
+                re.compile(pat)
+            except re.error as e:
+                raise ValueError(f"bad regex in {raw!r}: {e}") from e
+            pq.regexes.append((pat, boost))
+            continue
         m = re.match(r"^([A-Za-z_]+):(.+)$", body, re.DOTALL)
         if m and m.group(1) in FILTER_FIELDS:
             if sign:
@@ -261,7 +289,7 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
         if m:
             raise ValueError(f"unknown filter field {m.group(1)!r} "
                              f"(allowed: {FILTER_FIELDS})")
-        if body.endswith("*"):
+        if body.endswith("*") and not any(c in "*?" for c in body[:-1]):
             if sign:
                 raise ValueError("signed prefix clauses are not supported")
             stem = body[:-1]
@@ -270,6 +298,21 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
                 raise ValueError(f"prefix body {stem!r} must analyze to "
                                  f"exactly one token, got {toks}")
             pq.prefixes.append((toks[0], boost))
+            continue
+        if any(c in "*?" for c in body):
+            from .termexpand import wildcard_prefix
+            if sign:
+                raise ValueError(
+                    "signed wildcard clauses are not supported")
+            if not re.fullmatch(r"[A-Za-z0-9*?]+", body):
+                raise ValueError(f"wildcard pattern {raw!r} may contain "
+                                 f"only [A-Za-z0-9*?]")
+            pat = body.lower()
+            if not wildcard_prefix(pat):
+                raise ValueError(
+                    f"leading-wildcard pattern {raw!r} is rejected "
+                    f"(Lucene's allowLeadingWildcard=false default)")
+            pq.wildcards.append((pat, boost))
             continue
         fm = re.match(r"^(.+?)~([0-9]*)$", body, re.DOTALL)
         if fm:
@@ -307,7 +350,8 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
         else:
             pq.should.append(toks[0])
             add_weight(toks, boost)
-    if not (pq.literal_score_terms or pq.prefixes or pq.fuzzies):
+    if not (pq.literal_score_terms or pq.prefixes or pq.fuzzies
+            or pq.wildcards or pq.regexes):
         raise ValueError("query has no scoring clause (pure-negative or "
                          "filter-only queries match nothing in Lucene)")
     bad = set(pq.must_not) & set(pq.literal_score_terms)
@@ -324,22 +368,35 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
     the candidate-constraint hook — shared by every corpus-side front
     door (scoring top-k, hit counting, sort-by-field)."""
     from .phrase import _term_offsets
-    from .termexpand import expand_fuzzy, expand_prefix
+    from .termexpand import (expand_fuzzy, expand_prefix, expand_regex,
+                             expand_wildcard)
 
     spark = docs.sparkSession
     toks = tokens_exploded(docs)
+
+    def expansion_dfs() -> list:
+        """Per-clause (term, df) expansion DataFrames in the canonical
+        order (prefixes, fuzzies, wildcards, regexes) — aligned with
+        ``pq.expansion_boosts``."""
+        out = [expand_prefix(docs, p, max_expansions)
+               for p, _ in pq.prefixes]
+        out += [expand_fuzzy(docs, t, e, 1, max_expansions)
+                for t, e, _ in pq.fuzzies]
+        out += [expand_wildcard(docs, p, max_expansions)
+                for p, _ in pq.wildcards]
+        out += [expand_regex(docs, p, max_expansions)
+                for p, _ in pq.regexes]
+        return out
 
     parts = []
     lits = pq.literal_score_terms
     if lits:
         parts.append(spark.createDataFrame(
             [(t, pq.boosts[t]) for t in lits], "term string, boost double"))
-    for p, bs in pq.prefixes:
-        parts.append(expand_prefix(docs, p, max_expansions)
-                     .select("term", F.lit(float(bs)).alias("boost")))
-    for t, e, bs in pq.fuzzies:
-        parts.append(expand_fuzzy(docs, t, e, 1, max_expansions)
-                     .select("term", F.lit(float(bs)).alias("boost")))
+    for edf, bs in zip(expansion_dfs(), pq.expansion_boosts,
+                       strict=True):
+        parts.append(edf.select("term",
+                                F.lit(float(bs)).alias("boost")))
     qdf = parts[0]
     for extra in parts[1:]:
         qdf = qdf.unionByName(extra)
@@ -359,17 +416,10 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                     [(t, cid, need) for t in terms],
                     "term string, cid int, need int"))
                 cid += 1
-            for p, _bs in pq.prefixes:
+            for edf in expansion_dfs():
                 cm_parts.append(
-                    expand_prefix(docs, p, max_expansions)
-                    .select("term", F.lit(cid).alias("cid"),
-                            F.lit(1).alias("need")))
-                cid += 1
-            for t, e, _bs in pq.fuzzies:
-                cm_parts.append(
-                    expand_fuzzy(docs, t, e, 1, max_expansions)
-                    .select("term", F.lit(cid).alias("cid"),
-                            F.lit(1).alias("need")))
+                    edf.select("term", F.lit(cid).alias("cid"),
+                               F.lit(1).alias("need")))
                 cid += 1
             cm = cm_parts[0]
             for extra in cm_parts[1:]:
@@ -507,7 +557,7 @@ def _sql_parts(pq: ParsedQuery, max_expansions: int,
             + "]) AS term, unnest(["
             + ", ".join(repr(pq.boosts[t]) for t in lits)
             + "]) AS boost")
-    if pq.prefixes or pq.fuzzies:
+    if pq.prefixes or pq.fuzzies or pq.wildcards or pq.regexes:
         ctes.append("vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT"
                     " AS df FROM toks GROUP BY term)")
     for i, (p, bs) in enumerate(pq.prefixes):
@@ -527,6 +577,15 @@ def _sql_parts(pq: ParsedQuery, max_expansions: int,
             f"LIMIT {max_expansions})")
         qterm_selects.append(
             f"SELECT term, {bs!r} AS boost FROM exp_f{i}")
+    from .termexpand import regex_expanded_sql, wildcard_expanded_sql
+    for i, (p, bs) in enumerate(pq.wildcards):
+        ctes.append(f"exp_w{i} AS ({wildcard_expanded_sql(p, max_expansions)})")
+        qterm_selects.append(
+            f"SELECT term, {bs!r} AS boost FROM exp_w{i}")
+    for i, (p, bs) in enumerate(pq.regexes):
+        ctes.append(f"exp_r{i} AS ({regex_expanded_sql(p, max_expansions)})")
+        qterm_selects.append(
+            f"SELECT term, {bs!r} AS boost FROM exp_r{i}")
     ctes.append("qterms AS (SELECT term, sum(boost) AS boost FROM ("
                 + " UNION ALL ".join(qterm_selects)
                 + ") GROUP BY term)")
@@ -546,14 +605,15 @@ def _sql_parts(pq: ParsedQuery, max_expansions: int,
                 cm_selects.append(
                     f"SELECT * FROM (VALUES {vals}) v(term, cid, need)")
                 cid += 1
-            for i in range(len(pq.prefixes)):
-                cm_selects.append(f"SELECT term, {cid} AS cid, 1 AS need "
-                                  f"FROM exp_p{i}")
-                cid += 1
-            for i in range(len(pq.fuzzies)):
-                cm_selects.append(f"SELECT term, {cid} AS cid, 1 AS need "
-                                  f"FROM exp_f{i}")
-                cid += 1
+            for kind, n in (("p", len(pq.prefixes)),
+                            ("f", len(pq.fuzzies)),
+                            ("w", len(pq.wildcards)),
+                            ("r", len(pq.regexes))):
+                for i in range(n):
+                    cm_selects.append(
+                        f"SELECT term, {cid} AS cid, 1 AS need "
+                        f"FROM exp_{kind}{i}")
+                    cid += 1
             ctes.append("cm AS (" + " UNION ALL ".join(cm_selects) + ")")
             ctes.append(
                 "msm_ok AS (SELECT doc_id FROM ("

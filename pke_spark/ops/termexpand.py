@@ -83,6 +83,97 @@ def expand_fuzzy(docs: DataFrame, term: str, max_edits: int = 1,
             .limit(max_expansions)
 
 
+def wildcard_like(pattern: str) -> str:
+    """Translate a Lucene wildcard pattern (``*`` any run, ``?`` one
+    char) to a SQL LIKE pattern — the one translation site, shared by
+    Spark, the DuckDB twins, and the index dictionary reads. Literal
+    LIKE metacharacters are escaped with ``\\`` (both engines use
+    ``ESCAPE '\\'``)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in "%_\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def wildcard_prefix(pattern: str) -> str:
+    """Literal prefix before the first wildcard — the sargable range
+    gate for the dictionary scan. Empty means a leading wildcard."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def _check_wildcard(pattern: str) -> None:
+    if not any(ch in "*?" for ch in pattern):
+        raise ValueError(f"wildcard pattern {pattern!r} has no wildcard "
+                         f"(a plain term is a TermQuery)")
+    if not wildcard_prefix(pattern):
+        raise ValueError(
+            f"leading-wildcard pattern {pattern!r} is rejected: it "
+            f"forces a full dictionary scan (Lucene's "
+            f"allowLeadingWildcard=false default)")
+
+
+def expand_wildcard(docs: DataFrame, pattern: str,
+                    max_expansions: int = 32) -> DataFrame:
+    """(term, df) expansion set for a wildcard query (``te?t``,
+    ``t*ble``): dictionary terms matching the whole pattern, gated by
+    the sargable literal-prefix range before the LIKE evaluation,
+    ranked (df DESC, term ASC), capped."""
+    _check_wildcard(pattern)
+    return (_vocab(docs)
+            .filter(F.col("term").startswith(wildcard_prefix(pattern)))
+            .filter(F.col("term").like(wildcard_like(pattern)))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions))
+
+
+def regex_prefix(pattern: str) -> str:
+    """Leading literal run of a regex ([a-z0-9] chars not followed by
+    a quantifier) — best-effort sargable gate; empty = full scan."""
+    out = []
+    for i, ch in enumerate(pattern):
+        if not (ch.isalnum() and ch == ch.lower()):
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*?+{":
+            break  # quantifier applies to this char: not a literal run
+        out.append(ch)
+    return "".join(out)
+
+
+def expand_regex(docs: DataFrame, pattern: str,
+                 max_expansions: int = 32) -> DataFrame:
+    """(term, df) expansion set for a RegexpQuery: dictionary terms
+    whose WHOLE text matches the pattern (Lucene semantics), ranked
+    (df DESC, term ASC), capped. Patterns must stay in the common
+    Spark-Java/DuckDB regex subset (no lookaround); validated with
+    re.compile up front. A leading literal run becomes a sargable
+    range gate; a pattern with none scans the dictionary — exactly
+    Lucene's automaton-intersection worst case."""
+    import re as _re
+    if not pattern:
+        raise ValueError("empty regex")
+    try:
+        _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"bad regex {pattern!r}: {e}") from e
+    v = _vocab(docs)
+    pfx = regex_prefix(pattern)
+    if pfx:
+        v = v.filter(F.col("term").startswith(pfx))
+    return (v.filter(F.col("term").rlike("^(?:" + pattern + ")$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions))
+
+
 def prefix_bm25_topk(docs: DataFrame, prefix: str, k: int = 10,
                      max_expansions: int = 32,
                      k1: float = K1, b: float = B) -> DataFrame:
@@ -101,6 +192,22 @@ def fuzzy_bm25_topk(docs: DataFrame, term: str, max_edits: int = 1,
     return _bm25_over_expansion(
         docs, expand_fuzzy(docs, term, max_edits, prefix_len,
                            max_expansions), k, k1, b)
+
+
+def wildcard_bm25_topk(docs: DataFrame, pattern: str, k: int = 10,
+                       max_expansions: int = 32,
+                       k1: float = K1, b: float = B) -> DataFrame:
+    """(rank, doc_id, score): BM25 top-k for a wildcard query."""
+    return _bm25_over_expansion(
+        docs, expand_wildcard(docs, pattern, max_expansions), k, k1, b)
+
+
+def regex_bm25_topk(docs: DataFrame, pattern: str, k: int = 10,
+                    max_expansions: int = 32,
+                    k1: float = K1, b: float = B) -> DataFrame:
+    """(rank, doc_id, score): BM25 top-k for a RegexpQuery."""
+    return _bm25_over_expansion(
+        docs, expand_regex(docs, pattern, max_expansions), k, k1, b)
 
 
 # --------------------------------------------------------------- DuckDB
@@ -137,6 +244,44 @@ vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY t
 expanded AS (SELECT term FROM vocab
              WHERE starts_with(term, {_sq(prefix)})
              ORDER BY df DESC, term ASC LIMIT {max_expansions}),
+{_BM25_TAIL.format(k1=k1, b=b, k=k)}"""
+
+
+def wildcard_expanded_sql(pattern: str, max_expansions: int) -> str:
+    """The ``expanded`` CTE body for a wildcard pattern (shared with
+    the querystring twin)."""
+    _check_wildcard(pattern)
+    return (f"SELECT term FROM vocab "
+            f"WHERE starts_with(term, {_sq(wildcard_prefix(pattern))}) "
+            f"AND term LIKE {_sq(wildcard_like(pattern))} ESCAPE '\\' "
+            f"ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}")
+
+
+def regex_expanded_sql(pattern: str, max_expansions: int) -> str:
+    """The ``expanded`` CTE body for a regex pattern (shared with the
+    querystring twin)."""
+    pfx = regex_prefix(pattern)
+    gate = f"WHERE starts_with(term, {_sq(pfx)}) AND " if pfx else "WHERE "
+    return (f"SELECT term FROM vocab "
+            f"{gate}regexp_full_match(term, {_sq(pattern)}) "
+            f"ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}")
+
+
+def wildcard_bm25_topk_sql(pattern: str, k: int = 10,
+                           max_expansions: int = 32,
+                           k1: float = K1, b: float = B) -> str:
+    return f"""WITH {duckdb_toks_cte()},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+expanded AS ({wildcard_expanded_sql(pattern, max_expansions)}),
+{_BM25_TAIL.format(k1=k1, b=b, k=k)}"""
+
+
+def regex_bm25_topk_sql(pattern: str, k: int = 10,
+                        max_expansions: int = 32,
+                        k1: float = K1, b: float = B) -> str:
+    return f"""WITH {duckdb_toks_cte()},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+expanded AS ({regex_expanded_sql(pattern, max_expansions)}),
 {_BM25_TAIL.format(k1=k1, b=b, k=k)}"""
 
 

@@ -43,6 +43,31 @@ def test_boosts_accumulate_sum_of_clauses():
     assert pq.literal_score_terms == ["spark", "fast"]
 
 
+def test_parse_wildcard_and_regex():
+    pq = parse_querystring("spark ta?le T*BLE*^2 /so[rc]t/ /a.b/^3")
+    assert pq.wildcards == [("ta?le", 1.0), ("t*ble*", 2.0)]
+    assert pq.regexes == [("so[rc]t", 1.0), ("a.b", 3.0)]
+    assert pq.n_should_clauses == 5
+    # trailing-star-only stays a prefix clause (back-compat)
+    pq = parse_querystring("tab*")
+    assert pq.prefixes == [("tab", 1.0)] and not pq.wildcards
+
+
+def test_wildcard_regex_rejections():
+    with pytest.raises(ValueError, match="leading-wildcard"):
+        parse_querystring("spark ?able")
+    with pytest.raises(ValueError, match="leading-wildcard"):
+        parse_querystring("spark *able?")
+    with pytest.raises(ValueError, match="only"):
+        parse_querystring("spark ta-?le")
+    with pytest.raises(ValueError, match="signed wildcard"):
+        parse_querystring("spark -ta?le")
+    with pytest.raises(ValueError, match="bad regex"):
+        parse_querystring("spark /so[rt/")
+    with pytest.raises(ValueError, match="signed regex"):
+        parse_querystring("spark -/sort/")
+
+
 def test_parse_range_filters():
     from pke_spark.ops.querylang import RangeFilter, filters_predicate
     pq = parse_querystring("spark n_chars:[100 TO 200]")
@@ -188,6 +213,11 @@ def test_compiled_clause_semantics(fixture_docs):
     # numeric range filter on doc_id (Lucene RangeQuery semantics)
     ids = _ids(querystring_topk(fixture_docs, "spark doc_id:[2 TO 4]"))
     assert set(ids) == {2, 4}
+    # wildcard: w?ndow -> window; regex: /tab(le)?/ -> table
+    ids = _ids(querystring_topk(fixture_docs, "w?ndow"))
+    assert set(ids) == {1, 3, 4, 6}
+    ids = _ids(querystring_topk(fixture_docs, "/tab(le)?/"))
+    assert set(ids) == {3}
     ids = _ids(querystring_topk(fixture_docs, "spark doc_id:{2 TO 5]"))
     assert set(ids) == {4, 5}
 
@@ -296,7 +326,8 @@ def test_compiled_matches_duckdb_twin(fixture_docs, tmp_path):
                '+spark^2 join^0.5 win*^3 doc_id:[1 TO 5]',
                'spark spark join',
                '"merge slow"^2 spak~1^4 doc_id:{1 TO 6}',
-               'spark -"merge slow" -"spark join window"']:
+               'spark -"merge slow" -"spark join window"',
+               'spark w?ndow^2 /tab(le)?/ m*ge']:
         got = (querystring_topk(fixture_docs, qs).toPandas()
                .sort_values("rank").reset_index(drop=True))
         want = (con.execute(querystring_sql(qs)).df()
@@ -324,9 +355,11 @@ def _querystrings(draw):
     n = draw(st.integers(min_value=1, max_value=6))
     kinds = draw(st.lists(
         st.sampled_from(["should", "must", "not", "phrase", "not_phrase",
-                         "prefix", "fuzzy", "filter"]),
+                         "prefix", "fuzzy", "filter", "wildcard",
+                         "regex"]),
         min_size=n, max_size=n))
-    if not any(k in ("should", "must", "phrase", "prefix", "fuzzy")
+    if not any(k in ("should", "must", "phrase", "prefix", "fuzzy",
+                     "wildcard", "regex")
                for k in kinds):
         kinds.append("should")
     # MUST_NOT may not overlap score terms: draw disjoint vocab halves
@@ -347,6 +380,13 @@ def _querystrings(draw):
             clauses.append(f'-"{w} {w2}"')
         elif k == "prefix":
             clauses.append(w + "*" + draw(boost))
+        elif k == "wildcard":
+            w2 = draw(_word)
+            clauses.append(w + draw(st.sampled_from(["?", "*", "?*"]))
+                           + w2 + draw(boost))
+        elif k == "regex":
+            clauses.append("/" + w + draw(st.sampled_from(
+                [".", ".*", "[ab]", "(x|y)?"])) + "/" + draw(boost))
         elif k == "fuzzy":
             clauses.append(w + "~" + draw(st.sampled_from(["", "1", "2"]))
                            + draw(boost))
@@ -374,7 +414,8 @@ def test_parse_total_on_valid_grammar(qs):
     n_parsed = (len(pq.must) + len(pq.should) + len(pq.must_not)
                 + len(pq.phrases) + len(pq.not_phrases)
                 + len(pq.soft_phrases)
-                + len(pq.prefixes) + len(pq.fuzzies) + len(pq.filters))
+                + len(pq.prefixes) + len(pq.fuzzies) + len(pq.filters)
+                + len(pq.wildcards) + len(pq.regexes))
     # phrases and bracketed ranges consume extra whitespace-separated
     # words (2 and 3 respectively)
     n_ranges = sum(1 for _, v in pq.filters if isinstance(v, RangeFilter))
@@ -383,7 +424,8 @@ def test_parse_total_on_valid_grammar(qs):
                         - len(pq.soft_phrases) - 2 * n_ranges)
     # the parser's own invariants
     assert not (set(pq.must_not) & set(pq.literal_score_terms))
-    assert pq.literal_score_terms or pq.prefixes or pq.fuzzies
+    assert (pq.literal_score_terms or pq.prefixes or pq.fuzzies
+            or pq.wildcards or pq.regexes)
     for t, e, bs in pq.fuzzies:
         assert e in (1, 2) and bs > 0
     assert set(pq.boosts) == set(pq.literal_score_terms)

@@ -123,6 +123,7 @@ QS_CASES = [
     '+spark^2 join merge^0.5 join tab*^3',     # boosts + duplicate term
     'spark join n_chars:[200 TO 1500]',        # numeric range filter
     'spark -"merge slow"',                     # negated phrase
+    'spark w?ndow^2 /so[rc]t/',                # wildcard + regex clauses
 ]
 
 MSM_CASES = [
