@@ -103,6 +103,9 @@ QUERYSTRING_MSM = ('spark join window merge^2', 2)
 # negated phrase: exclude the exact sequence; its terms may still
 # appear individually
 QUERYSTRING_NOTPHRASE = 'spark join -"merge slow"'
+# sloppy phrase: terms in order within 2 extra tokens of stretch
+# (SpanNearQuery inOrder=true)
+QUERYSTRING_SLOP = '"merge slow"~2 spark'
 # batched execution: every grammar feature across a query SET, ONE job
 QUERYSTRING_BATCH = {"q1": QUERYSTRING, "q2": QUERYSTRING_BOOSTED,
                      "q3": QUERYSTRING_NOTPHRASE}
@@ -290,6 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_should_match=QUERYSTRING_MSM[1]),
         "querystring_notphrase": lambda s, d: querylang.querystring_topk(
             _docs(s, d), QUERYSTRING_NOTPHRASE, 10),
+        "querystring_slop": lambda s, d: querylang.querystring_topk(
+            _docs(s, d), QUERYSTRING_SLOP, 10),
         "querystring_count": lambda s, d: querylang.querystring_count(
             _docs(s, d), QUERYSTRING),
         "querystring_sort": lambda s, d: querylang.querystring_sort_topk(
@@ -424,6 +429,8 @@ def oracle_sql() -> dict[str, str]:
             QUERYSTRING_MSM[0], 10, min_should_match=QUERYSTRING_MSM[1]),
         "querystring_notphrase": querylang.querystring_sql(
             QUERYSTRING_NOTPHRASE, 10),
+        "querystring_slop": querylang.querystring_sql(
+            QUERYSTRING_SLOP, 10),
         "querystring_count": querylang.querystring_count_sql(QUERYSTRING),
         "querystring_sort": querylang.querystring_sort_sql(
             QUERYSTRING, "n_chars", False, 10),

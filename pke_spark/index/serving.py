@@ -226,6 +226,23 @@ def _phrase_doc_set(ix: IndexReader, phrase: list[str]) -> np.ndarray:
         ix, np.asarray([r.doc_id for r in ids], dtype=np.int64))
 
 
+def _slop_ids_df(ix: IndexReader, terms: list[str], slop: int):
+    """RAW doc_ids (DataFrame) matching a sloppy-phrase clause, off
+    the positional sidecar (decodes only the clause terms' blocks)."""
+    from ..ops.phrase import spannear_ids_from_positions
+    pos = term_positions(ix.spark, ix.index_dir, sorted(set(terms)))
+    return spannear_ids_from_positions(pos, terms, slop)
+
+
+def _slop_doc_set(ix: IndexReader, terms: list[str],
+                  slop: int) -> np.ndarray:
+    """Posting-space doc set for a sloppy-phrase clause (driver
+    path)."""
+    ids = _slop_ids_df(ix, terms, slop).collect()
+    return _docids_to_postspace(
+        ix, np.asarray([r.doc_id for r in ids], dtype=np.int64))
+
+
 # ------------------------------------------------------------- scoring
 
 def _score_candidates(ix: IndexReader, score_terms: list[str],
@@ -402,6 +419,9 @@ def _distributed_scored_src(ix: IndexReader, pq: ParsedQuery,
     for nph in pq.not_phrases:
         scored_src = scored_src.join(_phrase_ids_df(ix, nph), "doc_id",
                                      "left_anti")
+    for terms, slop in pq.slop_phrases:
+        scored_src = scored_src.join(_slop_ids_df(ix, terms, slop),
+                                     "doc_id", "left_semi")
     if pq.filters:
         if docs_parquet is None:
             raise ValueError(
@@ -616,6 +636,29 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         cand = cand.join(_phrase_pairs(nph_specs).select(*keys),
                          keys, "left_anti")
 
+    sp_specs = [(qid, sid, terms, slop)
+                for qid, pq in parsed.items()
+                for sid, (terms, slop) in enumerate(pq.slop_phrases)]
+    if sp_specs:
+        sp_parts = [
+            _slop_ids_df(ix, terms, slop)
+            .select(F.lit(qid).alias("query_id"),
+                    F.lit(sid).alias("sid"), "doc_id")
+            for qid, sid, terms, slop in sp_specs]
+        sp_pairs = sp_parts[0]
+        for p in sp_parts[1:]:
+            sp_pairs = sp_pairs.unionByName(p)
+        n_sp = F.broadcast(spark.createDataFrame(
+            [(qid, len(pq.slop_phrases)) for qid, pq in parsed.items()],
+            "query_id string, n_sp int"))
+        sp_ok = (sp_pairs.groupBy(*keys)
+                 .agg(F.countDistinct("sid").alias("ns")))
+        cand = (cand.join(sp_ok, keys, "left")
+                .join(n_sp, "query_id")
+                .where((F.col("n_sp") == 0)
+                       | (F.col("ns") == F.col("n_sp")))
+                .select(*keys))
+
     f_qids = [qid for qid, pq in parsed.items() if pq.filters]
     if f_qids:
         if docs_parquet is None:
@@ -770,6 +813,10 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
         cand = constrain(_phrase_doc_set(ix, ph))
         if not len(cand):
             return []
+    for terms, slop in pq.slop_phrases:
+        cand = constrain(_slop_doc_set(ix, terms, slop))
+        if not len(cand):
+            return []
     if pq.filters:
         if docs_parquet is None:
             raise ValueError(
@@ -851,6 +898,9 @@ def _match_set(ix: IndexReader, pq: ParsedQuery, score_terms: list[str],
             cand = np.intersect1d(cand, mposts[t][0], assume_unique=True)
     for ph in pq.phrases:
         cand = np.intersect1d(cand, _phrase_doc_set(ix, ph),
+                              assume_unique=True)
+    for terms, slop in pq.slop_phrases:
+        cand = np.intersect1d(cand, _slop_doc_set(ix, terms, slop),
                               assume_unique=True)
     for nph in pq.not_phrases:
         cand = cand[~np.isin(cand, _phrase_doc_set(ix, nph),

@@ -85,6 +85,56 @@ def proximity_from_positions(pos: DataFrame, term_a: str, term_b: str,
     return scored.orderBy(F.desc("pair_count"), F.asc("doc_id")).limit(k)
 
 
+def spannear_ids_from_positions(pos: DataFrame, terms: list[str],
+                                slop: int) -> DataFrame:
+    """(doc_id) docs containing ``terms`` IN ORDER with total stretch
+    <= ``slop``: exists positions q0 < q1 < ... < q_{n-1} with
+    term(q_i) == terms[i] and q_{n-1} - q0 <= n - 1 + slop — Lucene's
+    SpanNearQuery(inOrder=true) semantics (NOT the reordering sloppy
+    PhraseQuery). slop=0 degenerates to the exact phrase; use the
+    start-alignment matcher for that (one groupBy, no join chain).
+
+    Plan: each step's position stream is filtered to its single term
+    before the doc_id equi-join (postings-sized input, no cartesian),
+    and every step carries the window bound (p_i - p0 <= n-1+slop) so
+    intermediate growth is capped by tokens-in-window, not doc
+    length."""
+    n = len(terms)
+    if n < 2:
+        raise ValueError("span-near needs >= 2 terms")
+    if slop < 1:
+        raise ValueError("slop must be >= 1 (0 is an exact phrase)")
+    bound = n - 1 + slop
+    cur = (pos.where(F.col("term") == terms[0])
+           .select("doc_id", F.col("pos").alias("p0")))
+    for i in range(1, n):
+        nxt = (pos.where(F.col("term") == terms[i])
+               .select("doc_id", F.col("pos").alias(f"p{i}")))
+        cur = (cur.join(nxt, "doc_id")
+               .where((F.col(f"p{i}") > F.col(f"p{i - 1}"))
+                      & (F.col(f"p{i}") - F.col("p0") <= bound)))
+    return cur.select("doc_id").distinct()
+
+
+def spannear_ids_sql(terms: list[str], slop: int) -> str:
+    """DuckDB twin of ``spannear_ids_from_positions`` — a SELECT body
+    producing matching doc_ids off the ``toks`` CTE."""
+    n = len(terms)
+    if n < 2:
+        raise ValueError("span-near needs >= 2 terms")
+    bound = n - 1 + slop
+    esc = [t.replace("'", "''") for t in terms]
+    joins, conds = [], [f"t0.term = '{esc[0]}'"]
+    for i in range(1, n):
+        joins.append(
+            f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos > t{i - 1}.pos "
+            f"AND t{i}.pos - t0.pos <= {bound}")
+        conds.append(f"t{i}.term = '{esc[i]}'")
+    return (f"SELECT DISTINCT t0.doc_id FROM toks t0 "
+            + " ".join(joins) + " WHERE " + " AND ".join(conds))
+
+
 def phrase_topk(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     """Exact-phrase top-k over the raw corpus:
     (doc_id, phrase_tf), phrase_tf DESC, doc_id ASC."""

@@ -22,6 +22,10 @@ Grammar (whitespace-separated clauses; quotes group):
 - ``-"w1 w2"``    negated phrase: candidate docs do NOT contain the
                   exact sequence. Its terms never score, and may still
                   appear individually — only the sequence is excluded.
+- ``"w1 w2"~3``   sloppy phrase: the terms IN ORDER within a total
+                  stretch of ``slop`` extra tokens (Lucene
+                  SpanNearQuery inOrder=true; ``~0`` is the exact
+                  phrase). Required, and its terms score.
 - ``field:value`` metadata equality filter over the documents table
                   (string fields: ``lang``, ``source``; numeric:
                   ``n_chars``, ``doc_id``). Non-scoring, Lucene-filter
@@ -101,7 +105,7 @@ FILTER_FIELDS = STRING_FILTER_FIELDS + NUMERIC_FILTER_FIELDS
 # (ranges contain spaces: 'n_chars:[100 TO 200]'), or one bare token —
 # each optionally carrying a trailing ^boost
 _CLAUSE_RE = re.compile(
-    r'[+-]?"[^"]*"(?:\^[0-9.]+)?'
+    r'[+-]?"[^"]*"(?:~\d+)?(?:\^[0-9.]+)?'
     r'|[+-]?[A-Za-z_]+:[\[{][^\]}]*[\]}](?:\^[0-9.]+)?'
     r'|\S+')
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$", re.DOTALL)
@@ -125,6 +129,8 @@ class ParsedQuery:
     phrases: list = field(default_factory=list)    # [[str]] (required)
     not_phrases: list = field(default_factory=list)  # [[str]] (excluded
     # exact sequences; their terms never score)
+    slop_phrases: list = field(default_factory=list)  # [(terms, slop)]
+    # (required ordered span-near matches; their terms score)
     soft_phrases: list = field(default_factory=list)  # [[str]] (SHOULD
     # words that analyzed to >1 token: their terms score, not required)
     prefixes: list = field(default_factory=list)   # [(str, boost)]
@@ -141,14 +147,15 @@ class ParsedQuery:
         seen: dict = {}
         for t in self.must + self.should:
             seen.setdefault(t, None)
-        for ph in self.phrases + self.soft_phrases:
+        for ph in (self.phrases + self.soft_phrases
+                   + [ts for ts, _ in self.slop_phrases]):
             for t in ph:
                 seen.setdefault(t, None)
         return list(seen)
 
     @property
     def has_required(self) -> bool:
-        return bool(self.must or self.phrases)
+        return bool(self.must or self.phrases or self.slop_phrases)
 
     @property
     def should_clauses(self) -> list:
@@ -233,18 +240,27 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
                 raise ValueError(f"boost must be > 0 in clause {raw!r}")
         boosted = boost != 1.0 or (bm is not None and bool(bm.group(1)))
         if body[0] == '"':
-            if not body.endswith('"') or len(body) < 2:
+            qm = re.match(r'^"(.*)"(?:~(\d+))?$', body, re.DOTALL)
+            if not qm:
                 raise ValueError(f"unterminated quote in {raw!r}")
-            terms = tokenize_text(body[1:-1], profile)
+            slop = int(qm.group(2)) if qm.group(2) else 0
+            terms = tokenize_text(qm.group(1), profile)
             if not terms:
                 raise ValueError(f"phrase {raw!r} analyzed to no tokens")
             if sign == "-":
                 if boosted:
                     raise ValueError("boosted negated phrases are not "
                                      "supported (they never score)")
+                if slop:
+                    raise ValueError("negated sloppy phrases are not "
+                                     "supported")
                 pq.not_phrases.append(terms)
                 continue
-            pq.phrases.append(terms)
+            if slop and len(terms) > 1:
+                pq.slop_phrases.append((terms, slop))
+            else:
+                # ~0, or a single-token phrase: exact-phrase semantics
+                pq.phrases.append(terms)
             add_weight(terms, boost)
             continue
         if len(body) > 2 and body[0] == "/" and body[-1] == "/":
@@ -367,7 +383,7 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
     """(qdf, constrain): the weighted (term, boost) query DataFrame and
     the candidate-constraint hook — shared by every corpus-side front
     door (scoring top-k, hit counting, sort-by-field)."""
-    from .phrase import _term_offsets
+    from .phrase import _term_offsets, spannear_ids_from_positions
     from .termexpand import (expand_fuzzy, expand_prefix, expand_regex,
                              expand_wildcard)
 
@@ -464,6 +480,10 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
         for nph in pq.not_phrases:
             scored_src = scored_src.join(phrase_ids(nph), "doc_id",
                                          "left_anti")
+        for terms, slop in pq.slop_phrases:
+            scored_src = scored_src.join(
+                spannear_ids_from_positions(toks, terms, slop),
+                "doc_id", "left_semi")
         if pq.must_not:
             ndf = spark.createDataFrame(
                 [(t,) for t in dict.fromkeys(pq.must_not)], "term string")
@@ -649,6 +669,12 @@ def _sql_parts(pq: ParsedQuery, max_expansions: int,
         phrase_cte(f"nph{i}", nph)
         constraints.append(
             f"tc.doc_id NOT IN (SELECT doc_id FROM nph{i})")
+    if pq.slop_phrases:
+        from .phrase import spannear_ids_sql
+        for i, (terms, slop) in enumerate(pq.slop_phrases):
+            ctes.append(f"sp{i} AS ({spannear_ids_sql(terms, slop)})")
+            constraints.append(
+                f"tc.doc_id IN (SELECT doc_id FROM sp{i})")
     if pq.must_not:
         constraints.append(
             f"tc.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "

@@ -124,6 +124,15 @@ def test_parse_phrase_analysis():
     pq = parse_querystring('spark -"Merge SLOW"')
     assert pq.not_phrases == [["merge", "slow"]]
     assert pq.literal_score_terms == ["spark"]
+    # sloppy phrase: ordered span-near; ~0 degenerates to exact
+    pq = parse_querystring('"merge slow"~2^3')
+    assert pq.slop_phrases == [(["merge", "slow"], 2)]
+    assert pq.boosts == {"merge": 3.0, "slow": 3.0}
+    assert pq.has_required
+    assert parse_querystring('"merge slow"~0').phrases == \
+        [["merge", "slow"]]
+    with pytest.raises(ValueError, match="negated sloppy"):
+        parse_querystring('spark -"merge slow"~2')
 
 
 def test_literal_score_terms_order_and_dedup():
@@ -218,6 +227,15 @@ def test_compiled_clause_semantics(fixture_docs):
     assert set(ids) == {1, 3, 4, 6}
     ids = _ids(querystring_topk(fixture_docs, "/tab(le)?/"))
     assert set(ids) == {3}
+    # sloppy phrase (ordered span-near): "spark window" needs one
+    # token of stretch across 'join' — docs 1 and 4, not 2/5
+    ids = _ids(querystring_topk(fixture_docs, '"spark window"~1'))
+    assert set(ids) == {1, 4}
+    # "spark fast"~1: doc 1 has stretch 2 (join window between) -> no
+    assert _ids(querystring_topk(fixture_docs, '"spark fast"~1')) == []
+    assert _ids(querystring_topk(fixture_docs, '"spark fast"~2')) == [1]
+    # order matters: "window spark" never occurs in order
+    assert _ids(querystring_topk(fixture_docs, '"window spark"~5')) == []
     ids = _ids(querystring_topk(fixture_docs, "spark doc_id:{2 TO 5]"))
     assert set(ids) == {4, 5}
 
@@ -327,7 +345,9 @@ def test_compiled_matches_duckdb_twin(fixture_docs, tmp_path):
                'spark spark join',
                '"merge slow"^2 spak~1^4 doc_id:{1 TO 6}',
                'spark -"merge slow" -"spark join window"',
-               'spark w?ndow^2 /tab(le)?/ m*ge']:
+               'spark w?ndow^2 /tab(le)?/ m*ge',
+               '"spark window"~1^2 join',
+               '"spark join fast"~3 -vector']:
         got = (querystring_topk(fixture_docs, qs).toPandas()
                .sort_values("rank").reset_index(drop=True))
         want = (con.execute(querystring_sql(qs)).df()
@@ -355,8 +375,8 @@ def _querystrings(draw):
     n = draw(st.integers(min_value=1, max_value=6))
     kinds = draw(st.lists(
         st.sampled_from(["should", "must", "not", "phrase", "not_phrase",
-                         "prefix", "fuzzy", "filter", "wildcard",
-                         "regex"]),
+                         "slop_phrase", "prefix", "fuzzy", "filter",
+                         "wildcard", "regex"]),
         min_size=n, max_size=n))
     if not any(k in ("should", "must", "phrase", "prefix", "fuzzy",
                      "wildcard", "regex")
@@ -378,6 +398,10 @@ def _querystrings(draw):
         elif k == "not_phrase":
             w2 = draw(_word)
             clauses.append(f'-"{w} {w2}"')
+        elif k == "slop_phrase":
+            w2 = draw(_word)
+            clauses.append(f'"{w} {w2}"~' + draw(st.sampled_from(
+                ["1", "2", "5"])) + draw(boost))
         elif k == "prefix":
             clauses.append(w + "*" + draw(boost))
         elif k == "wildcard":
@@ -413,14 +437,14 @@ def test_parse_total_on_valid_grammar(qs):
     n_clauses = len(qs.split())
     n_parsed = (len(pq.must) + len(pq.should) + len(pq.must_not)
                 + len(pq.phrases) + len(pq.not_phrases)
-                + len(pq.soft_phrases)
+                + len(pq.slop_phrases) + len(pq.soft_phrases)
                 + len(pq.prefixes) + len(pq.fuzzies) + len(pq.filters)
                 + len(pq.wildcards) + len(pq.regexes))
     # phrases and bracketed ranges consume extra whitespace-separated
     # words (2 and 3 respectively)
     n_ranges = sum(1 for _, v in pq.filters if isinstance(v, RangeFilter))
     assert n_parsed == (n_clauses - len(pq.phrases)
-                        - len(pq.not_phrases)
+                        - len(pq.not_phrases) - len(pq.slop_phrases)
                         - len(pq.soft_phrases) - 2 * n_ranges)
     # the parser's own invariants
     assert not (set(pq.must_not) & set(pq.literal_score_terms))
