@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), QUERYSTRING_NOTPHRASE, 10),
         "querystring_slop": lambda s, d: querylang.querystring_topk(
             _docs(s, d), QUERYSTRING_SLOP, 10),
+        "querystring_explain": lambda s, d: querylang.querystring_explain(
+            _docs(s, d), QUERYSTRING_BOOSTED, 10),
         "querystring_count": lambda s, d: querylang.querystring_count(
             _docs(s, d), QUERYSTRING),
         "querystring_sort": lambda s, d: querylang.querystring_sort_topk(
@@ -431,6 +433,8 @@ def oracle_sql() -> dict[str, str]:
             QUERYSTRING_NOTPHRASE, 10),
         "querystring_slop": querylang.querystring_sql(
             QUERYSTRING_SLOP, 10),
+        "querystring_explain": querylang.querystring_explain_sql(
+            QUERYSTRING_BOOSTED, 10),
         "querystring_count": querylang.querystring_count_sql(QUERYSTRING),
         "querystring_sort": querylang.querystring_sort_sql(
             QUERYSTRING, "n_chars", False, 10),

@@ -50,6 +50,16 @@ def term_stats(docs: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
 
 
+def bm25_exprs(k1: float = K1, b: float = B):
+    """(idf, tf_part) column expressions over (n, df, tf, dl, avgdl) —
+    THE scoring math, shared by the kernel and the explain surface."""
+    idf = F.log(F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    return idf, tf_part
+
+
 def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
                    k1: float = K1, b: float = B,
                    constrain=None) -> DataFrame:
@@ -85,9 +95,7 @@ def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
     g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
     scored_src = tc_q if constrain is None else constrain(tc_q)
-    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_part = (F.col("tf") * (k1 + 1.0)) / \
-        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    idf, tf_part = bm25_exprs(k1, b)
     contrib = idf * tf_part
     if "boost" in qdf.columns:
         scored_src = scored_src.join(

@@ -530,6 +530,44 @@ def querystring_count(docs: DataFrame, qs: str,
         F.count("*").alias("n_hits"))
 
 
+def querystring_explain(docs: DataFrame, qs: str, k: int = 10,
+                        max_expansions: int = 32,
+                        k1: float = K1, b: float = B,
+                        min_should_match: int = 0) -> DataFrame:
+    """Per-term score breakdown for the query's top-k hits — Lucene's
+    Explanation surface: one row per (doc_id, term) with tf, df, the
+    clause weight, the idf, and the weighted contribution
+    (contributions sum to the hit's BM25 score up to rounding).
+    Ordered (doc_id ASC, term ASC).
+
+    Plan: ONE extra broadcast semi-join of the per-term rows against
+    the <= k ranked doc_ids; the scoring expressions are the kernel's
+    own (``core.bm25_exprs``), so the breakdown can never drift from
+    what ``querystring_topk`` scores."""
+    from .core import bm25_exprs, bm25_rank_over
+
+    pq = parse_querystring(qs)
+    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match)
+    top = bm25_rank_over(docs, qdf, k, k1, b, constrain).select("doc_id")
+    toks = tokens_exploded(docs)
+    tc_q = (toks.join(F.broadcast(qdf.select("term")), "term")
+            .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
+    idf, tf_part = bm25_exprs(k1, b)
+    return (tc_q.join(F.broadcast(top), "doc_id", "left_semi")
+            .join(F.broadcast(stats_q), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(g))
+            .join(F.broadcast(qdf), "term")
+            .select("doc_id", "term", "tf", "df", "boost",
+                    F.round(idf, 6).alias("idf"),
+                    F.round(F.col("boost") * idf * tf_part, 6)
+                    .alias("contribution"))
+            .orderBy("doc_id", "term"))
+
+
 def querystring_sort_topk(docs: DataFrame, qs: str,
                           sort_field: str = "n_chars",
                           ascending: bool = False, k: int = 10,
@@ -715,6 +753,51 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r
 FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def querystring_explain_sql(qs: str, k: int = 10,
+                            max_expansions: int = 32,
+                            k1: float = K1, b: float = B,
+                            min_should_match: int = 0) -> str:
+    """DuckDB twin of ``querystring_explain``."""
+    pq = parse_querystring(qs)
+    ctes, constraints = _sql_parts(pq, max_expansions, min_should_match)
+    ctes.append("dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks "
+                "GROUP BY doc_id)")
+    ctes.append("g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl "
+                "FROM dl)")
+    ctes.append("stats AS (SELECT term, count(*)::BIGINT AS df FROM tc "
+                "GROUP BY term)")
+    where = ("WHERE " + " AND ".join(constraints)) if constraints else ""
+    ctes.append(f"""scored AS (
+  SELECT tc.doc_id,
+         round(sum( q.boost * ln(1 + (g.n - s.df + 0.5)/(s.df + 0.5))
+              * (tc.tf * ({k1} + 1.0))
+              / (tc.tf + {k1} * (1.0 - {b} + {b} * dl.dl / g.avgdl)) ), 6) AS score
+  FROM tc
+  JOIN qterms q USING (term)
+  JOIN stats s USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+  {where}
+  GROUP BY tc.doc_id)""")
+    ctes.append(f"top AS (SELECT doc_id FROM scored "
+                f"ORDER BY score DESC, doc_id ASC LIMIT {k})")
+    cte_block = ",\n".join(ctes)
+    return f"""WITH {cte_block}
+SELECT tc.doc_id, tc.term, tc.tf, s.df, q.boost,
+       round(ln(1 + (g.n - s.df + 0.5)/(s.df + 0.5)), 6) AS idf,
+       round( q.boost * ln(1 + (g.n - s.df + 0.5)/(s.df + 0.5))
+            * (tc.tf * ({k1} + 1.0))
+            / (tc.tf + {k1} * (1.0 - {b} + {b} * dl.dl / g.avgdl)), 6)
+         AS contribution
+FROM tc
+JOIN top USING (doc_id)
+JOIN qterms q USING (term)
+JOIN stats s USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN g
+ORDER BY doc_id ASC, term ASC"""
 
 
 def _candidates_sql(pq: ParsedQuery, max_expansions: int,

@@ -289,6 +289,24 @@ def test_msm_matches_duckdb_twin(fixture_docs, tmp_path):
             (qs, m)
 
 
+def test_explain_sums_to_score(fixture_docs):
+    from pke_spark.ops.querylang import (querystring_explain,
+                                         querystring_topk)
+
+    qs = "+spark^2 join -vector"
+    scores = {r.doc_id: r.score for r in
+              querystring_topk(fixture_docs, qs).collect()}
+    rows = querystring_explain(fixture_docs, qs).collect()
+    assert {r.doc_id for r in rows} == set(scores)
+    sums: dict = {}
+    for r in rows:
+        sums[r.doc_id] = sums.get(r.doc_id, 0.0) + r.contribution
+        assert r.boost == (2.0 if r.term == "spark" else 1.0)
+        assert r.tf >= 1 and r.df >= 1 and r.idf > 0
+    for d, s in scores.items():
+        assert sums[d] == pytest.approx(s, abs=2e-5)
+
+
 def test_compiled_count_and_sort(fixture_docs):
     from pke_spark.ops.querylang import (querystring_count,
                                          querystring_sort_topk)
