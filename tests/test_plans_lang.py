@@ -103,6 +103,31 @@ def test_querystring_msm_is_one_broadcast_semi_join(spark, docs):
     assert "CartesianProduct" not in plan
 
 
+def test_slop_phrase_no_cartesian(spark, docs):
+    # the span-near chain is per-term-filtered equi-joins on doc_id
+    # with the window bound on top — never a cartesian product
+    plan = _plan(querylang.querystring_topk(
+        docs, '"merge slow window"~3 spark', 10))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_wildcard_expansion_is_broadcast(spark, docs):
+    plan = _plan(querylang.querystring_topk(docs, "spark ta?le*", 10))
+    # the expansion set (<= max_expansions rows) enters scoring as a
+    # broadcast; the dictionary scan is gated by the literal prefix
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "StartsWith(term, ta)" in plan or "startswith" in plan.lower()
+
+
+def test_count_collector_skips_scoring(spark, docs):
+    plan = _plan(querylang.querystring_count(docs, "spark join lang:en"))
+    # no BM25 math anywhere in the count plan: no log(), no avg(dl)
+    assert "LOG(" not in plan.upper().replace(" ", "")
+    assert "CartesianProduct" not in plan
+
+
 def test_snippets_match_table_is_broadcast_filtered(spark, docs):
     plan = _plan(snippets.snippet_windows(docs, ["spark", "join"], 10))
     # both the query terms and the top-k ids gate the match-position
