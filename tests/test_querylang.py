@@ -477,6 +477,51 @@ def test_parse_total_on_valid_grammar(qs):
         assert filters_predicate(pq.filters)
 
 
+@pytest.fixture(scope="module")
+def fuzz_env(spark, tmp_path_factory):
+    """A small corpus with EVERY filterable column + its DuckDB view,
+    for differential execution of random query strings."""
+    import duckdb
+    rows = [
+        (i,
+         ["spark join window", "spark join vector", "join window table",
+          "spark join window fast", "merge slow spark join",
+          "window window window", "aa bb cc dd", "bb cc aa",
+          "cc dd ee ff aa", "dd aa bb zz"][i % 10],
+         ["en", "fr"][i % 2], f"s{i % 3}", 100 + 37 * i)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    pq_dir = str(tmp_path_factory.mktemp("fuzz") / "docs.parquet")
+    docs.coalesce(1).write.parquet(pq_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{pq_dir}/*.parquet')")
+    return docs, con
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(_querystrings())
+def test_differential_execution_fuzz(fuzz_env, qs):
+    """Differential fuzzing between the two engines: every random
+    grammar-valid query string must produce identical ranked rows from
+    the Spark plan and the DuckDB twin (the same check the driver gate
+    runs, over a much wider slice of the grammar)."""
+    from pke_spark.ops.querylang import querystring_sql, querystring_topk
+    docs, con = fuzz_env
+    got = (querystring_topk(docs, qs, 10).toPandas()
+           .sort_values("rank").reset_index(drop=True))
+    want = (con.execute(querystring_sql(qs, 10)).df()
+            .sort_values("rank").reset_index(drop=True))
+    assert got.shape == want.shape, qs
+    if len(got):
+        assert (got["doc_id"].values == want["doc_id"].values).all(), qs
+        assert (got["score"].round(6).values
+                == want["score"].round(6).values).all(), qs
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.text(min_size=0, max_size=40))
 def test_parse_never_crashes_on_arbitrary_input(s):
