@@ -197,6 +197,53 @@ def test_querystring_batch_msm(sf_ix):
         assert sorted(got.get(qid, [])) == sorted(want), qid
 
 
+from hypothesis import given, settings
+
+from tests.test_querylang import _querystrings
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(_querystrings())
+def test_differential_serving_fuzz(fuzz_ix, qs):
+    """Differential fuzzing corpus-vs-index: every random grammar-valid
+    query string must produce identical ranked rows from the corpus
+    DataFrame plan and the index serving path (which internally routes
+    driver/distributed)."""
+    docs, ix, dp = fuzz_ix
+    want = [(r["rank"], int(r["doc_id"]), float(r["score"]))
+            for r in QL.querystring_topk(docs, qs, 10).collect()]
+    got = SV.querystring_search_indexed(ix, qs, 10, docs_parquet=dp)
+    assert got == want, qs
+
+
+@pytest.fixture(scope="module")
+def fuzz_ix(spark, tmp_path_factory):
+    """Fuzz corpus (every filterable column) + its built index with
+    positional sidecar."""
+    from pke_spark.index.build import build_index
+    from pke_spark.index.positions import build_positions
+    rows = [
+        (i,
+         ["spark join window", "spark join vector", "join window table",
+          "spark join window fast", "merge slow spark join",
+          "window window window", "aa bb cc dd", "bb cc aa",
+          "cc dd ee ff aa", "dd aa bb zz"][i % 10],
+         ["en", "fr"][i % 2], f"s{i % 3}", 100 + 37 * i)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    base = tmp_path_factory.mktemp("fuzzix")
+    pq_dir = str(base / "docs.parquet")
+    docs.coalesce(1).write.parquet(pq_dir)
+    d = str(base / "ix")
+    build_index(docs, d, n_parts=4, n_salts=2)
+    build_positions(docs, d, n_salts=2)
+    # both Spark and DuckDB accept the part-file glob
+    return docs, IndexReader(spark, d), f"{pq_dir}/*.parquet"
+
+
 def test_collectors_route_distributed(sf_ix, sf_docs, monkeypatch):
     # force every query over the fast-path budget: the distributed
     # constrained plan must count/sort identically to the driver path
