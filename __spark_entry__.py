@@ -106,6 +106,9 @@ QUERYSTRING_NOTPHRASE = 'spark join -"merge slow"'
 # sloppy phrase: terms in order within 2 extra tokens of stretch
 # (SpanNearQuery inOrder=true)
 QUERYSTRING_SLOP = '"merge slow"~2 spark'
+# disjunction groups: +(required any-of), (SHOULD group)^boost,
+# -(excluded members)
+QUERYSTRING_GROUPS = '+(merge slow) (table sort)^2 spark -(vector)'
 # batched execution: every grammar feature across a query SET, ONE job
 QUERYSTRING_BATCH = {"q1": QUERYSTRING, "q2": QUERYSTRING_BOOSTED,
                      "q3": QUERYSTRING_NOTPHRASE}
@@ -297,6 +300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), QUERYSTRING_SLOP, 10),
         "querystring_explain": lambda s, d: querylang.querystring_explain(
             _docs(s, d), QUERYSTRING_BOOSTED, 10),
+        "querystring_groups": lambda s, d: querylang.querystring_topk(
+            _docs(s, d), QUERYSTRING_GROUPS, 10),
         "querystring_count": lambda s, d: querylang.querystring_count(
             _docs(s, d), QUERYSTRING),
         "querystring_sort": lambda s, d: querylang.querystring_sort_topk(
@@ -435,6 +440,8 @@ def oracle_sql() -> dict[str, str]:
             QUERYSTRING_SLOP, 10),
         "querystring_explain": querylang.querystring_explain_sql(
             QUERYSTRING_BOOSTED, 10),
+        "querystring_groups": querylang.querystring_sql(
+            QUERYSTRING_GROUPS, 10),
         "querystring_count": querylang.querystring_count_sql(QUERYSTRING),
         "querystring_sort": querylang.querystring_sort_sql(
             QUERYSTRING, "n_chars", False, 10),

@@ -413,6 +413,10 @@ def _distributed_scored_src(ix: IndexReader, pq: ParsedQuery,
                  .where(F.col("nm") == len(musts))
                  .select("doc_id"))
         scored_src = scored_src.join(m_ids, "doc_id", "left_semi")
+    for terms, _gb in pq.must_any:
+        g_ids = (raw_ids(decoded_tc(ix, sorted(set(terms))))
+                 .select("doc_id").distinct())
+        scored_src = scored_src.join(g_ids, "doc_id", "left_semi")
     for ph in pq.phrases:
         scored_src = scored_src.join(_phrase_ids_df(ix, ph), "doc_id",
                                      "left_semi")
@@ -588,6 +592,27 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 .join(n_must, "query_id")
                 .where((F.col("n_must") == 0)
                        | (F.col("nm") == F.col("n_must")))
+                .select(*keys))
+
+    ma_rows = [(qid, gid, t)
+               for qid, pq in parsed.items()
+               for gid, (terms, _gb) in enumerate(pq.must_any)
+               for t in sorted(set(terms))]
+    if ma_rows:
+        gm = F.broadcast(spark.createDataFrame(
+            ma_rows, "query_id string, gid int, term string"))
+        n_ma = F.broadcast(spark.createDataFrame(
+            [(qid, len(pq.must_any)) for qid, pq in parsed.items()],
+            "query_id string, n_ma int"))
+        ma_terms = sorted({t for _q, _g, t in ma_rows})
+        ma_ok = (raw_ids(decoded_tc(ix, ma_terms)).join(gm, "term")
+                 .select("query_id", "gid", "doc_id").distinct()
+                 .groupBy(*keys)
+                 .agg(F.countDistinct("gid").alias("ng")))
+        cand = (cand.join(ma_ok, keys, "left")
+                .join(n_ma, "query_id")
+                .where((F.col("n_ma") == 0)
+                       | (F.col("ng") == F.col("n_ma")))
                 .select(*keys))
 
     ph_specs = [(qid, pid, ph)
@@ -809,6 +834,15 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
             cand = constrain(d)
             if not len(cand):
                 return []
+    for terms, _gb in pq.must_any:
+        live = sorted(ix.term_dfs(sorted(set(terms))))
+        gposts = ix.decoded_postings(live) if live else {}
+        arrs = [gposts[t][0] for t in live if len(gposts[t][0])]
+        if not arrs:
+            return []
+        cand = constrain(np.unique(np.concatenate(arrs)))
+        if not len(cand):
+            return []
     for ph in pq.phrases:
         cand = constrain(_phrase_doc_set(ix, ph))
         if not len(cand):
@@ -896,6 +930,14 @@ def _match_set(ix: IndexReader, pq: ParsedQuery, score_terms: list[str],
         mposts = ix.decoded_postings(musts)
         for t in musts:
             cand = np.intersect1d(cand, mposts[t][0], assume_unique=True)
+    for terms, _gb in pq.must_any:
+        live = sorted(ix.term_dfs(sorted(set(terms))))
+        gposts = ix.decoded_postings(live) if live else {}
+        arrs = [gposts[t][0] for t in live if len(gposts[t][0])]
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        cand = np.intersect1d(cand, np.unique(np.concatenate(arrs)),
+                              assume_unique=True)
     for ph in pq.phrases:
         cand = np.intersect1d(cand, _phrase_doc_set(ix, ph),
                               assume_unique=True)

@@ -46,6 +46,15 @@ Grammar (whitespace-separated clauses; quotes group):
                   are lowercase). Scores as SHOULD terms.
 - ``word~``/``word~2``  fuzzy expansion (FuzzyQuery, max_edits 1 or 2,
                   prefixLength 1): expansions score as SHOULD terms.
+- ``(w1 w2)``     term group (disjunction): the body is analyzed and
+                  its token set are the members. Bare = one SHOULD
+                  clause (matched by >=1 member, counts once toward
+                  min_should_match); ``+(w1 w2)`` = required
+                  disjunction (candidates contain >=1 member);
+                  ``-(w1 w2)`` = none of the members may appear
+                  (sugar for per-member MUST_NOT). Members score
+                  (except under ``-``); a group boost applies to every
+                  member.
 - ``clause^2``    boost (Lucene's ``^``): multiplies the clause's score
                   contribution. Allowed on every scoring clause (bare /
                   MUST terms, phrases, prefix / fuzzy expansions);
@@ -106,6 +115,7 @@ FILTER_FIELDS = STRING_FILTER_FIELDS + NUMERIC_FILTER_FIELDS
 # each optionally carrying a trailing ^boost
 _CLAUSE_RE = re.compile(
     r'[+-]?"[^"]*"(?:~\d+)?(?:\^[0-9.]+)?'
+    r'|[+-]?\([^)]*\)(?:\^[0-9.]+)?'
     r'|[+-]?[A-Za-z_]+:[\[{][^\]}]*[\]}](?:\^[0-9.]+)?'
     r'|\S+')
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$", re.DOTALL)
@@ -131,6 +141,10 @@ class ParsedQuery:
     # exact sequences; their terms never score)
     slop_phrases: list = field(default_factory=list)  # [(terms, slop)]
     # (required ordered span-near matches; their terms score)
+    groups: list = field(default_factory=list)      # [(terms, boost)]
+    # SHOULD disjunction groups (>=1 member = one matched clause)
+    must_any: list = field(default_factory=list)    # [(terms, boost)]
+    # required disjunction groups (candidates contain >=1 member)
     soft_phrases: list = field(default_factory=list)  # [[str]] (SHOULD
     # words that analyzed to >1 token: their terms score, not required)
     prefixes: list = field(default_factory=list)   # [(str, boost)]
@@ -148,29 +162,35 @@ class ParsedQuery:
         for t in self.must + self.should:
             seen.setdefault(t, None)
         for ph in (self.phrases + self.soft_phrases
-                   + [ts for ts, _ in self.slop_phrases]):
+                   + [ts for ts, _ in self.slop_phrases]
+                   + [ts for ts, _ in self.groups]
+                   + [ts for ts, _ in self.must_any]):
             for t in ph:
                 seen.setdefault(t, None)
         return list(seen)
 
     @property
     def has_required(self) -> bool:
-        return bool(self.must or self.phrases or self.slop_phrases)
+        return bool(self.must or self.phrases or self.slop_phrases
+                    or self.must_any)
 
     @property
     def should_clauses(self) -> list:
         """Literal SHOULD clauses as (distinct_terms, need) pairs: a
         bare term needs itself; a soft phrase needs ALL its distinct
-        tokens (bag semantics, mirroring how it scores). Prefix/fuzzy
-        clauses (need >=1 of the expanded set) append engine-side,
-        after expansion."""
+        tokens (bag semantics, mirroring how it scores); a SHOULD
+        group needs >=1 member. Prefix/fuzzy/wildcard/regex clauses
+        (need >=1 of the expanded set) append engine-side, after
+        expansion."""
         out = [([t], 1) for t in self.should]
         out += [(sorted(set(ph)), len(set(ph))) for ph in self.soft_phrases]
+        out += [(sorted(set(ts)), 1) for ts, _ in self.groups]
         return out
 
     @property
     def n_should_clauses(self) -> int:
         return (len(self.should) + len(self.soft_phrases)
+                + len(self.groups)
                 + len(self.prefixes) + len(self.fuzzies)
                 + len(self.wildcards) + len(self.regexes))
 
@@ -261,6 +281,24 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
             else:
                 # ~0, or a single-token phrase: exact-phrase semantics
                 pq.phrases.append(terms)
+            add_weight(terms, boost)
+            continue
+        if body[0] == "(":
+            if not body.endswith(")") or len(body) < 2:
+                raise ValueError(f"unterminated group in {raw!r}")
+            terms = tokenize_text(body[1:-1], profile)
+            if not terms:
+                raise ValueError(f"group {raw!r} analyzed to no tokens")
+            if sign == "-":
+                if boosted:
+                    raise ValueError("boosted negated groups are not "
+                                     "supported (they never score)")
+                pq.must_not += [t for t in dict.fromkeys(terms)]
+                continue
+            if sign == "+":
+                pq.must_any.append((terms, boost))
+            else:
+                pq.groups.append((terms, boost))
             add_weight(terms, boost)
             continue
         if len(body) > 2 and body[0] == "/" and body[-1] == "/":
@@ -462,6 +500,12 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                      .where(F.col("nm") == len(set(pq.must)))
                      .select("doc_id"))
             scored_src = scored_src.join(m_ids, "doc_id", "left_semi")
+        for terms, _gb in pq.must_any:
+            gdf = spark.createDataFrame(
+                [(t,) for t in sorted(set(terms))], "term string")
+            g_ids = (toks.join(F.broadcast(gdf), "term")
+                     .select("doc_id").distinct())
+            scored_src = scored_src.join(g_ids, "doc_id", "left_semi")
 
         def phrase_ids(ph: list) -> DataFrame:
             hits = (toks.join(F.broadcast(_term_offsets(spark, ph)),
@@ -691,6 +735,10 @@ def _sql_parts(pq: ParsedQuery, max_expansions: int,
             f"tc.doc_id IN (SELECT doc_id FROM toks "
             f"WHERE term IN {sql_str_list(musts)} GROUP BY doc_id "
             f"HAVING count(DISTINCT term) = {len(musts)})")
+    for terms, _gb in pq.must_any:
+        constraints.append(
+            f"tc.doc_id IN (SELECT DISTINCT doc_id FROM toks "
+            f"WHERE term IN {sql_str_list(sorted(set(terms)))})")
     def phrase_cte(name: str, ph: list) -> None:
         vals = ", ".join(f"({_sq(t)}, {j})" for j, t in enumerate(ph))
         ctes.append(

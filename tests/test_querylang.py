@@ -43,6 +43,23 @@ def test_boosts_accumulate_sum_of_clauses():
     assert pq.literal_score_terms == ["spark", "fast"]
 
 
+def test_parse_groups():
+    pq = parse_querystring("+(merge slow) (table sort)^2 -(vec stream) x")
+    assert pq.must_any == [(["merge", "slow"], 1.0)]
+    assert pq.groups == [(["table", "sort"], 2.0)]
+    assert pq.must_not == ["vec", "stream"]
+    assert pq.boosts == {"merge": 1.0, "slow": 1.0, "table": 2.0,
+                         "sort": 2.0, "x": 1.0}
+    assert pq.has_required
+    assert pq.n_should_clauses == 2  # the SHOULD group + bare x
+    with pytest.raises(ValueError, match="analyzed to no tokens"):
+        parse_querystring("spark ()")
+    with pytest.raises(ValueError, match="boosted negated groups"):
+        parse_querystring("spark -(a b)^2")
+    with pytest.raises(ValueError, match="both required and excluded"):
+        parse_querystring("+spark -(spark join)")
+
+
 def test_parse_wildcard_and_regex():
     pq = parse_querystring("spark ta?le T*BLE*^2 /so[rc]t/ /a.b/^3")
     assert pq.wildcards == [("ta?le", 1.0), ("t*ble*", 2.0)]
@@ -236,6 +253,16 @@ def test_compiled_clause_semantics(fixture_docs):
     assert _ids(querystring_topk(fixture_docs, '"spark fast"~2')) == [1]
     # order matters: "window spark" never occurs in order
     assert _ids(querystring_topk(fixture_docs, '"window spark"~5')) == []
+    # required disjunction group: docs containing vector OR table
+    ids = _ids(querystring_topk(fixture_docs, "+(vector table) spark"))
+    assert set(ids) == {2, 3}
+    # negated group: none of the members may appear
+    ids = _ids(querystring_topk(fixture_docs, "spark -(vector table)"))
+    assert set(ids) == {1, 4, 5}
+    # SHOULD group counts once toward min_should_match
+    ids = _ids(querystring_topk(fixture_docs, "spark (window table)",
+                                min_should_match=2))
+    assert set(ids) == {1, 4}
     ids = _ids(querystring_topk(fixture_docs, "spark doc_id:{2 TO 5]"))
     assert set(ids) == {4, 5}
 
@@ -365,7 +392,8 @@ def test_compiled_matches_duckdb_twin(fixture_docs, tmp_path):
                'spark -"merge slow" -"spark join window"',
                'spark w?ndow^2 /tab(le)?/ m*ge',
                '"spark window"~1^2 join',
-               '"spark join fast"~3 -vector']:
+               '"spark join fast"~3 -vector',
+               '+(vector table) (spark merge)^2 -(getValue)']:
         got = (querystring_topk(fixture_docs, qs).toPandas()
                .sort_values("rank").reset_index(drop=True))
         want = (con.execute(querystring_sql(qs)).df()
@@ -393,8 +421,8 @@ def _querystrings(draw):
     n = draw(st.integers(min_value=1, max_value=6))
     kinds = draw(st.lists(
         st.sampled_from(["should", "must", "not", "phrase", "not_phrase",
-                         "slop_phrase", "prefix", "fuzzy", "filter",
-                         "wildcard", "regex"]),
+                         "slop_phrase", "group", "prefix", "fuzzy",
+                         "filter", "wildcard", "regex"]),
         min_size=n, max_size=n))
     if not any(k in ("should", "must", "phrase", "prefix", "fuzzy",
                      "wildcard", "regex")
@@ -420,6 +448,10 @@ def _querystrings(draw):
             w2 = draw(_word)
             clauses.append(f'"{w} {w2}"~' + draw(st.sampled_from(
                 ["1", "2", "5"])) + draw(boost))
+        elif k == "group":
+            w2 = draw(_word)
+            clauses.append(draw(st.sampled_from(["", "+"]))
+                           + f"({w} {w2})" + draw(boost))
         elif k == "prefix":
             clauses.append(w + "*" + draw(boost))
         elif k == "wildcard":
@@ -456,13 +488,15 @@ def test_parse_total_on_valid_grammar(qs):
     n_parsed = (len(pq.must) + len(pq.should) + len(pq.must_not)
                 + len(pq.phrases) + len(pq.not_phrases)
                 + len(pq.slop_phrases) + len(pq.soft_phrases)
+                + len(pq.groups) + len(pq.must_any)
                 + len(pq.prefixes) + len(pq.fuzzies) + len(pq.filters)
                 + len(pq.wildcards) + len(pq.regexes))
-    # phrases and bracketed ranges consume extra whitespace-separated
-    # words (2 and 3 respectively)
+    # phrases, groups, and bracketed ranges consume extra
+    # whitespace-separated words (2, 2, and 3 respectively)
     n_ranges = sum(1 for _, v in pq.filters if isinstance(v, RangeFilter))
     assert n_parsed == (n_clauses - len(pq.phrases)
                         - len(pq.not_phrases) - len(pq.slop_phrases)
+                        - len(pq.groups) - len(pq.must_any)
                         - len(pq.soft_phrases) - 2 * n_ranges)
     # the parser's own invariants
     assert not (set(pq.must_not) & set(pq.literal_score_terms))
