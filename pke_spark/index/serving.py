@@ -549,6 +549,12 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         return (df.withColumnRenamed("doc_id", "ord")
                 .join(ix.docmap(), "ord").drop("ord"))
 
+    # MUST / group / msm clause terms all SCORE, so their (query_id,
+    # term, doc_id) presence facts are already rows of ``fan`` — every
+    # constraint joins the fanned stream instead of re-decoding
+    # postings. (A persist() of the stream was A/B'd at 2M docs and
+    # did not beat recomputation — the decode is cheaper than
+    # materializing ~10^8 fanned rows.)
     fan = raw_ids(decoded_tc(ix, sorted(dfs))).join(qt, "term")
     cand = fan.select("query_id", "doc_id").distinct()
     keys = ["query_id", "doc_id"]
@@ -564,10 +570,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
             return empty
         cm = F.broadcast(spark.createDataFrame(
             cm_rows, "query_id string, cid int, term string, need int"))
-        # every SHOULD-clause term is a score term, so presence in the
-        # index is already decided by dfs
-        cm_terms = sorted({r[2] for r in cm_rows if r[2] in dfs})
-        ok = (raw_ids(decoded_tc(ix, cm_terms)).join(cm, "term")
+        ok = (fan.join(cm, ["query_id", "term"])
               .groupBy("query_id", "cid", "need", "doc_id")
               .agg(F.countDistinct("term").alias("nt"))
               .where(F.col("nt") >= F.col("need"))
@@ -584,8 +587,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         n_must = F.broadcast(spark.createDataFrame(
             [(qid, len(set(pq.must))) for qid, pq in parsed.items()],
             "query_id string, n_must int"))
-        m_terms = sorted({t for _q, t in must_rows})
-        m_ok = (raw_ids(decoded_tc(ix, m_terms)).join(mm, "term")
+        m_ok = (fan.join(mm, ["query_id", "term"])
                 .groupBy(*keys)
                 .agg(F.countDistinct("term").alias("nm")))
         cand = (cand.join(m_ok, keys, "left")
@@ -604,8 +606,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         n_ma = F.broadcast(spark.createDataFrame(
             [(qid, len(pq.must_any)) for qid, pq in parsed.items()],
             "query_id string, n_ma int"))
-        ma_terms = sorted({t for _q, _g, t in ma_rows})
-        ma_ok = (raw_ids(decoded_tc(ix, ma_terms)).join(gm, "term")
+        ma_ok = (fan.join(gm, ["query_id", "term"])
                  .select("query_id", "gid", "doc_id").distinct()
                  .groupBy(*keys)
                  .agg(F.countDistinct("gid").alias("ng")))

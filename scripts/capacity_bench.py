@@ -116,6 +116,41 @@ def main() -> None:
     SV.snippet_search(ixq, ["def", "return", "core"], 10)
     out["snippet_sec"] = round(time.time() - t0, 3)
 
+    # late-round-4 surface at capacity: boosted/grouped querystring,
+    # collectors, and the batched whole-set plan (full grammar per
+    # query, ONE Spark job over the 2M-doc index)
+    t0 = time.time()
+    SV.querystring_search_indexed(
+        ixq, '+def^2 (return yield) -lexer "core lib"~2 ind*^3', 10)
+    out["querystring_rich_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    out["count_n_hits"] = SV.querystring_count_indexed(
+        ixq, '+def return -lexer')
+    out["count_sec"] = round(time.time() - t0, 3)
+    base_terms = ["def", "return", "core", "lib", "index", "lexer",
+                  "parse", "token", "yield", "class"]
+    qset = {}
+    for i in range(200):
+        a, b = base_terms[i % 10], base_terms[(i // 2 + 3) % 10]
+        c = base_terms[(i + 5) % 10]
+        kind = i % 4
+        if kind == 0:
+            qset[f"q{i:03d}"] = f"{a} {b}"
+        elif kind == 1:
+            qset[f"q{i:03d}"] = f"+{a}^2 {b}" + \
+                (f" -{c}" if c not in (a, b) else "")
+        elif kind == 2:
+            qset[f"q{i:03d}"] = (f"({a} {b}) core" if a != b
+                                 else f"({a} core) lib")
+        else:
+            qset[f"q{i:03d}"] = f"{a} {b[:3]}*"
+    t0 = time.time()
+    n_rows = SV.querystring_topk_batch(ixq, qset, 10).count()
+    dt = time.time() - t0
+    out["batch200_querystring_sec"] = round(dt, 2)
+    out["batch200_querystring_qps"] = round(200 / dt, 1)
+    out["batch200_rows"] = int(n_rows)
+
     # ---- stream-append + refresh ----
     # new doc space: reuse synth content but derive doc ids with a salt
     # so the appended docs are genuinely new documents
