@@ -53,6 +53,31 @@ from .wand import B, K1, _idf, _translate_rows
 
 
 
+def _route_distributed(ix: IndexReader, pq: "ParsedQuery",
+                       score_terms: list[str],
+                       docs_parquet: str | None) -> bool:
+    """The driver-vs-distributed routing decision shared by search /
+    count / sort: posting rows of the score + MUST_NOT terms must fit
+    the fast-path budget, AND — since posting rows aren't the only
+    driver-side set — an unselective metadata filter ('lang:en'
+    matching most of the corpus) routes distributed too, decided by
+    one COUNT(*) point read."""
+    if _over_budget(ix, score_terms + sorted(set(pq.must_not))):
+        return True
+    if pq.filters:
+        if docs_parquet is None:
+            raise ValueError(
+                "query has field filters; pass docs_parquet (the index "
+                "stores no document metadata)")
+        from .wand import _fastpath_bound
+        pred = filters_predicate(pq.filters)
+        n_match = ix._duckdb().execute(
+            f"SELECT count(*) FROM read_parquet('{docs_parquet}') "
+            f"WHERE {pred}").fetchone()[0]
+        return int(n_match) > _fastpath_bound(ix)
+    return False
+
+
 def _over_budget(ix: IndexReader, terms: list[str]) -> bool:
     """True when the terms' total posting rows exceed the driver
     fast-path budget (same routing rule as ``wand.search``) — the
@@ -666,11 +691,19 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 for qid, pq in parsed.items()
                 for sid, (terms, slop) in enumerate(pq.slop_phrases)]
     if sp_specs:
-        sp_parts = [
-            _slop_ids_df(ix, terms, slop)
-            .select(F.lit(qid).alias("query_id"),
-                    F.lit(sid).alias("sid"), "doc_id")
-            for qid, sid, terms, slop in sp_specs]
+        # identical (terms, slop) clauses across queries share ONE
+        # sidecar match computation; the tiny (query_id, sid) tag set
+        # re-fans the shared ids
+        uniq_sp: dict = {}
+        for qid, sid, terms, slop in sp_specs:
+            uniq_sp.setdefault((tuple(terms), slop), []).append((qid, sid))
+        sp_parts = []
+        for (terms_t, slop), pairs in sorted(uniq_sp.items()):
+            tag = F.broadcast(spark.createDataFrame(
+                sorted(pairs), "query_id string, sid int"))
+            sp_parts.append(
+                _slop_ids_df(ix, list(terms_t), slop).crossJoin(tag)
+                .select("query_id", "sid", "doc_id"))
         sp_pairs = sp_parts[0]
         for p in sp_parts[1:]:
             sp_pairs = sp_pairs.unionByName(p)
@@ -692,10 +725,18 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 "a query has field filters; pass docs_parquet (the "
                 "index stores no document metadata)")
         docs_df = spark.read.parquet(docs_parquet)
-        parts = [docs_df.filter(F.expr(
-            filters_predicate(parsed[q].filters)))
-            .select(F.lit(q).alias("query_id"), "doc_id")
-            for q in f_qids]
+        # identical predicates across queries share ONE pushdown scan
+        uniq_f: dict = {}
+        for q in f_qids:
+            uniq_f.setdefault(
+                filters_predicate(parsed[q].filters), []).append(q)
+        parts = []
+        for pred, qids in sorted(uniq_f.items()):
+            tag = F.broadcast(spark.createDataFrame(
+                [(q,) for q in sorted(qids)], "query_id string"))
+            parts.append(docs_df.filter(F.expr(pred)).select("doc_id")
+                         .crossJoin(tag)
+                         .select("query_id", "doc_id"))
         f_ok = parts[0]
         for p in parts[1:]:
             f_ok = f_ok.unionByName(p)
@@ -763,24 +804,7 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
     weights = pq.expansion_weights(exp_lists)
     score_terms = sorted(weights)
 
-    route_distributed = _over_budget(
-        ix, score_terms + sorted(set(pq.must_not)))
-    if not route_distributed and pq.filters:
-        # posting rows aren't the only driver-side set: an unselective
-        # metadata filter ('lang:en' matching most of the corpus) would
-        # materialize a corpus-sized doc set on the driver even when
-        # the score terms are rare. One COUNT(*) point read decides.
-        if docs_parquet is None:
-            raise ValueError(
-                "query has field filters; pass docs_parquet (the index "
-                "stores no document metadata)")
-        from .wand import _fastpath_bound
-        pred = filters_predicate(pq.filters)
-        n_match = ix._duckdb().execute(
-            f"SELECT count(*) FROM read_parquet('{docs_parquet}') "
-            f"WHERE {pred}").fetchone()[0]
-        route_distributed = int(n_match) > _fastpath_bound(ix)
-    if route_distributed:
+    if _route_distributed(ix, pq, score_terms, docs_parquet):
         df = querystring_topk_distributed(
             ix, qs, k, max_expansions, docs_parquet, k1, b,
             min_should_match)
@@ -979,7 +1003,7 @@ def querystring_count_indexed(ix: IndexReader, qs: str,
     pq: ParsedQuery = parse_querystring(qs)
     exp_lists = _clause_expansions(ix, pq, max_expansions)
     score_terms = sorted(pq.expansion_weights(exp_lists))
-    if _over_budget(ix, score_terms + sorted(set(pq.must_not))):
+    if _route_distributed(ix, pq, score_terms, docs_parquet):
         src = _distributed_scored_src(
             ix, pq, score_terms, exp_lists, docs_parquet,
             min_should_match)
@@ -1014,7 +1038,7 @@ def querystring_sort_indexed(ix: IndexReader, qs: str,
     exp_lists = _clause_expansions(ix, pq, max_expansions)
     score_terms = sorted(pq.expansion_weights(exp_lists))
     dir_ = "ASC" if ascending else "DESC"
-    if _over_budget(ix, score_terms + sorted(set(pq.must_not))):
+    if _route_distributed(ix, pq, score_terms, docs_parquet):
         src = _distributed_scored_src(
             ix, pq, score_terms, exp_lists, docs_parquet,
             min_should_match)

@@ -122,15 +122,15 @@ def spannear_ids_sql(terms: list[str], slop: int) -> str:
     n = len(terms)
     if n < 2:
         raise ValueError("span-near needs >= 2 terms")
+    from ..tokenizer import sql_quote
     bound = n - 1 + slop
-    esc = [t.replace("'", "''") for t in terms]
-    joins, conds = [], [f"t0.term = '{esc[0]}'"]
+    joins, conds = [], [f"t0.term = {sql_quote(terms[0])}"]
     for i in range(1, n):
         joins.append(
             f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id "
             f"AND t{i}.pos > t{i - 1}.pos "
             f"AND t{i}.pos - t0.pos <= {bound}")
-        conds.append(f"t{i}.term = '{esc[i]}'")
+        conds.append(f"t{i}.term = {sql_quote(terms[i])}")
     return (f"SELECT DISTINCT t0.doc_id FROM toks t0 "
             + " ".join(joins) + " WHERE " + " AND ".join(conds))
 

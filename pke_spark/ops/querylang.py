@@ -428,26 +428,25 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
     spark = docs.sparkSession
     toks = tokens_exploded(docs)
 
-    def expansion_dfs() -> list:
-        """Per-clause (term, df) expansion DataFrames in the canonical
-        order (prefixes, fuzzies, wildcards, regexes) — aligned with
-        ``pq.expansion_boosts``."""
-        out = [expand_prefix(docs, p, max_expansions)
-               for p, _ in pq.prefixes]
-        out += [expand_fuzzy(docs, t, e, 1, max_expansions)
-                for t, e, _ in pq.fuzzies]
-        out += [expand_wildcard(docs, p, max_expansions)
-                for p, _ in pq.wildcards]
-        out += [expand_regex(docs, p, max_expansions)
-                for p, _ in pq.regexes]
-        return out
+    # per-clause (term, df) expansion DataFrames in the canonical order
+    # (prefixes, fuzzies, wildcards, regexes) — aligned with
+    # pq.expansion_boosts; built ONCE and shared between the scoring
+    # qdf and the msm clause map (each carries a full-corpus vocab agg)
+    expansion_dfs = (
+        [expand_prefix(docs, p, max_expansions) for p, _ in pq.prefixes]
+        + [expand_fuzzy(docs, t, e, 1, max_expansions)
+           for t, e, _ in pq.fuzzies]
+        + [expand_wildcard(docs, p, max_expansions)
+           for p, _ in pq.wildcards]
+        + [expand_regex(docs, p, max_expansions)
+           for p, _ in pq.regexes])
 
     parts = []
     lits = pq.literal_score_terms
     if lits:
         parts.append(spark.createDataFrame(
             [(t, pq.boosts[t]) for t in lits], "term string, boost double"))
-    for edf, bs in zip(expansion_dfs(), pq.expansion_boosts,
+    for edf, bs in zip(expansion_dfs, pq.expansion_boosts,
                        strict=True):
         parts.append(edf.select("term",
                                 F.lit(float(bs)).alias("boost")))
@@ -470,7 +469,7 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                     [(t, cid, need) for t in terms],
                     "term string, cid int, need int"))
                 cid += 1
-            for edf in expansion_dfs():
+            for edf in expansion_dfs:
                 cm_parts.append(
                     edf.select("term", F.lit(cid).alias("cid"),
                                F.lit(1).alias("need")))

@@ -138,7 +138,33 @@ def expand_wildcard(docs: DataFrame, pattern: str,
 
 def regex_prefix(pattern: str) -> str:
     """Leading literal run of a regex ([a-z0-9] chars not followed by
-    a quantifier) — best-effort sargable gate; empty = full scan."""
+    a quantifier) — best-effort sargable gate; empty = full scan.
+
+    A TOP-LEVEL alternation anywhere in the pattern voids the prefix:
+    in ``spark|hadoop`` the leading run 'spark' is NOT a prefix of
+    every match ('hadoop' matches too), so the gate must not apply.
+    Alternations inside groups (``sp(a|b)rk``) are fine — the literal
+    run stops at '(' before them."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""  # top-level alternation: no common prefix
+        i += 1
     out = []
     for i, ch in enumerate(pattern):
         if not (ch.isalnum() and ch == ch.lower()):

@@ -117,6 +117,10 @@ def main() -> None:
             return
         if args.sort_by:
             field, _, direc = args.sort_by.partition(":")
+            if direc not in ("", "asc", "desc"):
+                raise SystemExit(
+                    f"--sort-by direction must be asc or desc, "
+                    f"got {direc!r}")
             rows = querystring_sort_indexed(
                 ix, args.querystring, field, direc == "asc", args.k,
                 docs_parquet=args.docs,

@@ -70,6 +70,18 @@ def test_parse_wildcard_and_regex():
     assert pq.prefixes == [("tab", 1.0)] and not pq.wildcards
 
 
+def test_regex_prefix_alternation_voids_gate():
+    from pke_spark.ops.termexpand import regex_prefix
+    # top-level alternation: the leading run is NOT a common prefix
+    assert regex_prefix("spark|hadoop") == ""
+    assert regex_prefix("a|b") == ""
+    # grouped alternation keeps the literal run before the group
+    assert regex_prefix("sp(a|b)rk") == "sp"
+    assert regex_prefix("tab.*") == "tab"
+    assert regex_prefix("[st]ab") == ""
+    assert regex_prefix("s{0,2}park") == ""
+
+
 def test_wildcard_regex_rejections():
     with pytest.raises(ValueError, match="leading-wildcard"):
         parse_querystring("spark ?able")
@@ -244,6 +256,10 @@ def test_compiled_clause_semantics(fixture_docs):
     assert set(ids) == {1, 3, 4, 6}
     ids = _ids(querystring_topk(fixture_docs, "/tab(le)?/"))
     assert set(ids) == {3}
+    # top-level alternation must expand BOTH branches (the prefix gate
+    # is voided): vector -> doc 2, table -> doc 3
+    ids = _ids(querystring_topk(fixture_docs, "/vector|table/"))
+    assert set(ids) == {2, 3}
     # sloppy phrase (ordered span-near): "spark window" needs one
     # token of stretch across 'join' — docs 1 and 4, not 2/5
     ids = _ids(querystring_topk(fixture_docs, '"spark window"~1'))
