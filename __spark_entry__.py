@@ -254,87 +254,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return core.bm25_topk(_docs(spark, "/root/testdata/sf0.001"), BM25_QUERY, k=10)
 
 
+def _variants(*members) -> Callable[[SparkSession, str], DataFrame]:
+    """Composite gate entry: union the member queries under a `variant`
+    label column. Members are (variant_name, fn) or
+    (variant_name, fn, rename_map); rename_map maps member column
+    names onto the composite's shared schema. The driver gate compares
+    order-insensitively with columns sorted by name, so the union is a
+    faithful conjunction of the per-member comparisons."""
+    def run(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        outs = []
+        for m in members:
+            name, fn = m[0], m[1]
+            ren = m[2] if len(m) > 2 else {}
+            df = fn(s, d)
+            for old, new in ren.items():
+                df = df.withColumnRenamed(old, new)
+            outs.append(df.select(F.lit(name).alias("variant"), "*"))
+        out = outs[0]
+        for x in outs[1:]:
+            out = out.unionByName(x)
+        return out
+    return run
+
+
+def _variants_sql(*members) -> str:
+    """DuckDB twin of _variants: UNION ALL BY NAME over the member
+    oracles, each tagged with its variant label. Members are
+    (variant_name, sql) or (variant_name, sql, select_list) where
+    select_list re-projects the member onto the shared schema."""
+    parts = []
+    for m in members:
+        name, sql = m[0], m[1]
+        sel = m[2] if len(m) > 2 else "*"
+        parts.append(f"SELECT '{name}' AS variant, {sel} FROM ({sql})")
+    return " UNION ALL BY NAME ".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver correctness gate records only the FIRST
+    # 50 entries in dict order (VERDICT r4 "what's wrong" #1). The 31
+    # families that were pushed past the cap in round 4 (graph / YAKE /
+    # supervised / dedup / ANN / events / textstats) come FIRST so
+    # CORRECTNESS_r05 records a green row for each; the round-4-verified
+    # families follow, consolidated into `variant`-labelled composites
+    # (each composite unions the exact per-entry results, so one green
+    # row certifies every member). Total is capped at 50.
+    #
+    # Entries retired from the gate — each has a green CORRECTNESS_r04
+    # row on record AND live pytest coverage: doc_lengths (trivial
+    # projection of token_counts; tests/test_core.py), bigrams (n=2
+    # special case of ngram_candidates; tests/test_keyphrase.py),
+    # stemmed_candidates (tests/test_stemmed.py),
+    # querystring_count_indexed / querystring_sort_indexed (row-for-row
+    # parity with the gated corpus-side collectors is asserted in
+    # tests/test_serving_lang.py).
     return {
-        "token_counts": lambda s, d: core.token_counts(_docs(s, d)),
-        "doc_lengths": lambda s, d: core.doc_lengths(_docs(s, d)),
-        "term_stats": lambda s, d: core.term_stats(_docs(s, d)),
-        "bm25_topk": lambda s, d: core.bm25_topk(_docs(s, d), BM25_QUERY, 10),
-        "bm25_hot": lambda s, d: core.bm25_topk(_docs(s, d), BM25_HOT_QUERY, 10),
-        "bm25_miss": lambda s, d: core.bm25_topk(_docs(s, d), BM25_MISS_QUERY, 10),
-        "bm25_after_delete": _bm25_after_delete,
-        "phrase_search": lambda s, d: phrase.phrase_topk(
-            _docs(s, d), PHRASE_QUERY, 10),
-        "phrase_search3": lambda s, d: phrase.phrase_topk(
-            _docs(s, d), PHRASE_QUERY3, 10),
-        "phrase_search_rep": lambda s, d: phrase.phrase_topk(
-            _docs(s, d), PHRASE_QUERY_REP, 10),
-        "proximity_search": lambda s, d: phrase.proximity_topk(
-            _docs(s, d), *PROX_QUERY, 10),
-        "boolean_search": lambda s, d: boolquery.boolean_bm25_topk(
-            _docs(s, d), *BOOL_QUERY, 10),
-        "filtered_bm25": lambda s, d: fielded.filtered_bm25_topk(
-            _docs(s, d), BM25_QUERY, FIELD_PREDICATE, 10),
-        "facet_counts": lambda s, d: fielded.facet_counts(
-            _docs(s, d), BM25_QUERY, FACET_COL),
-        "prefix_bm25": lambda s, d: termexpand.prefix_bm25_topk(
-            _docs(s, d), PREFIX_QUERY, 10),
-        "fuzzy_bm25": lambda s, d: termexpand.fuzzy_bm25_topk(
-            _docs(s, d), FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
-        "wildcard_bm25": lambda s, d: termexpand.wildcard_bm25_topk(
-            _docs(s, d), WILDCARD_QUERY, 10),
-        "regex_bm25": lambda s, d: termexpand.regex_bm25_topk(
-            _docs(s, d), REGEX_QUERY, 10),
-        "snippet_windows": lambda s, d: snippets.snippet_windows(
-            _docs(s, d), BM25_QUERY, 10),
-        "querystring_search": lambda s, d: querylang.querystring_topk(
-            _docs(s, d), QUERYSTRING, 10),
-        "querystring_boosted": lambda s, d: querylang.querystring_topk(
-            _docs(s, d), QUERYSTRING_BOOSTED, 10),
-        "querystring_msm": lambda s, d: querylang.querystring_topk(
-            _docs(s, d), QUERYSTRING_MSM[0], 10,
-            min_should_match=QUERYSTRING_MSM[1]),
-        "querystring_notphrase": lambda s, d: querylang.querystring_topk(
-            _docs(s, d), QUERYSTRING_NOTPHRASE, 10),
-        "querystring_slop": lambda s, d: querylang.querystring_topk(
-            _docs(s, d), QUERYSTRING_SLOP, 10),
-        "querystring_explain": lambda s, d: querylang.querystring_explain(
-            _docs(s, d), QUERYSTRING_BOOSTED, 10),
-        "querystring_groups": lambda s, d: querylang.querystring_topk(
-            _docs(s, d), QUERYSTRING_GROUPS, 10),
-        "querystring_count": lambda s, d: querylang.querystring_count(
-            _docs(s, d), QUERYSTRING),
-        "querystring_sort": lambda s, d: querylang.querystring_sort_topk(
-            _docs(s, d), QUERYSTRING, "n_chars", False, 10),
-        # index-backed serving twins: same grammar/fixtures compiled
-        # onto the inverted index + positional sidecar + term
-        # dictionary (pke_spark/index/serving.py); they share the
-        # DataFrame ops' derived DuckDB oracles verbatim
-        "querystring_indexed": _querystring_indexed,
-        "querystring_boosted_indexed": _querystring_boosted_indexed,
-        "querystring_msm_indexed": _querystring_msm_indexed,
-        "querystring_count_indexed": _querystring_count_indexed,
-        "querystring_sort_indexed": _querystring_sort_indexed,
-        "querystring_batch": _querystring_batch,
-        "prefix_indexed": _prefix_indexed,
-        "fuzzy_indexed": _fuzzy_indexed,
-        "wildcard_indexed": _wildcard_indexed,
-        "regex_indexed": _regex_indexed,
-        "facets_indexed": _facets_indexed,
-        "snippets_indexed": _snippets_indexed,
-        "token_counts_stemmed": lambda s, d: stemmed.token_counts_stemmed(
-            _docs(s, d)),
-        "tfidf_stemmed": lambda s, d: stemmed.tfidf_stemmed_topk(_docs(s, d), 3),
-        "stemmed_candidates": lambda s, d: stemmed.stemmed_candidates(
-            _docs(s, d)),
-        "candidate_runs": lambda s, d: keyphrase.candidate_runs(_docs(s, d)),
-        "ngram_candidates": lambda s, d: keyphrase.ngram_candidates(_docs(s, d)),
-        "grammar_candidates": lambda s, d: grammar.grammar_candidates(
-            _docs(s, d)),
-        "firstphrases": lambda s, d: keyphrase.firstphrases(_docs(s, d), 5),
-        "tfidf_topk": lambda s, d: keyphrase.tfidf_topk(_docs(s, d), 3),
-        "kpminer": lambda s, d: keyphrase.kpminer(_docs(s, d), 5),
-        "bigrams": lambda s, d: keyphrase.bigrams(_docs(s, d)),
+        # --- group A: the 31 entries that lacked a driver-gate row in
+        # CORRECTNESS_r04 (gate capped at 50), unchanged names ---
         # graph ranking + greedy redundancy: iterative/sequential per doc,
         # not SQL-expressible -> rows-only driver check; parity asserted
         # in tests/test_graph.py against driver-side networkx
@@ -392,79 +369,176 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kea_predict": lambda s, d: supervised.kea_fit_predict(_docs(s, d), 5),
         "wingnus_predict": lambda s, d: wingnus.wingnus_predict(_docs(s, d), 5),
         "eval_prf": lambda s, d: supervised.eval_prf(_docs(s, d), 5),
+        # --- group B: round-4-verified families (green rows in
+        # CORRECTNESS_r04), consolidated into composites ---
+        "token_count_variants": _variants(
+            ("raw", lambda s, d: core.token_counts(_docs(s, d)),
+             {"term": "token"}),
+            ("stemmed", lambda s, d: stemmed.token_counts_stemmed(
+                _docs(s, d)), {"stem": "token"})),
+        "term_stats": lambda s, d: core.term_stats(_docs(s, d)),
+        "bm25_variants": _variants(
+            ("topk", lambda s, d: core.bm25_topk(_docs(s, d), BM25_QUERY, 10)),
+            ("hot", lambda s, d: core.bm25_topk(
+                _docs(s, d), BM25_HOT_QUERY, 10)),
+            ("miss", lambda s, d: core.bm25_topk(
+                _docs(s, d), BM25_MISS_QUERY, 10)),
+            ("filtered", lambda s, d: fielded.filtered_bm25_topk(
+                _docs(s, d), BM25_QUERY, FIELD_PREDICATE, 10)),
+            ("after_delete", _bm25_after_delete)),
+        "positional_variants": _variants(
+            ("phrase2", lambda s, d: phrase.phrase_topk(
+                _docs(s, d), PHRASE_QUERY, 10), {"phrase_tf": "matches"}),
+            ("phrase3", lambda s, d: phrase.phrase_topk(
+                _docs(s, d), PHRASE_QUERY3, 10), {"phrase_tf": "matches"}),
+            ("phrase_rep", lambda s, d: phrase.phrase_topk(
+                _docs(s, d), PHRASE_QUERY_REP, 10), {"phrase_tf": "matches"}),
+            ("proximity", lambda s, d: phrase.proximity_topk(
+                _docs(s, d), *PROX_QUERY, 10), {"pair_count": "matches"})),
+        "boolean_search": lambda s, d: boolquery.boolean_bm25_topk(
+            _docs(s, d), *BOOL_QUERY, 10),
+        "facet_variants": _variants(
+            ("corpus", lambda s, d: fielded.facet_counts(
+                _docs(s, d), BM25_QUERY, FACET_COL)),
+            ("indexed", _facets_indexed)),
+        "expansion_bm25": _variants(
+            ("prefix", lambda s, d: termexpand.prefix_bm25_topk(
+                _docs(s, d), PREFIX_QUERY, 10)),
+            ("fuzzy", lambda s, d: termexpand.fuzzy_bm25_topk(
+                _docs(s, d), FUZZY_QUERY[0], FUZZY_QUERY[1], 10)),
+            ("wildcard", lambda s, d: termexpand.wildcard_bm25_topk(
+                _docs(s, d), WILDCARD_QUERY, 10)),
+            ("regex", lambda s, d: termexpand.regex_bm25_topk(
+                _docs(s, d), REGEX_QUERY, 10))),
+        "snippet_variants": _variants(
+            ("corpus", lambda s, d: snippets.snippet_windows(
+                _docs(s, d), BM25_QUERY, 10)),
+            ("indexed", _snippets_indexed)),
+        "querystring_variants": _variants(
+            ("search", lambda s, d: querylang.querystring_topk(
+                _docs(s, d), QUERYSTRING, 10)),
+            ("boosted", lambda s, d: querylang.querystring_topk(
+                _docs(s, d), QUERYSTRING_BOOSTED, 10)),
+            ("msm", lambda s, d: querylang.querystring_topk(
+                _docs(s, d), QUERYSTRING_MSM[0], 10,
+                min_should_match=QUERYSTRING_MSM[1])),
+            ("notphrase", lambda s, d: querylang.querystring_topk(
+                _docs(s, d), QUERYSTRING_NOTPHRASE, 10)),
+            ("slop", lambda s, d: querylang.querystring_topk(
+                _docs(s, d), QUERYSTRING_SLOP, 10)),
+            ("groups", lambda s, d: querylang.querystring_topk(
+                _docs(s, d), QUERYSTRING_GROUPS, 10))),
+        "querystring_explain": lambda s, d: querylang.querystring_explain(
+            _docs(s, d), QUERYSTRING_BOOSTED, 10),
+        "querystring_count": lambda s, d: querylang.querystring_count(
+            _docs(s, d), QUERYSTRING),
+        "querystring_sort": lambda s, d: querylang.querystring_sort_topk(
+            _docs(s, d), QUERYSTRING, "n_chars", False, 10),
+        # index-backed serving twins: same grammar/fixtures compiled
+        # onto the inverted index + positional sidecar + term
+        # dictionary (pke_spark/index/serving.py); they share the
+        # DataFrame ops' derived DuckDB oracles verbatim
+        "serving_indexed": _variants(
+            ("querystring", _querystring_indexed),
+            ("boosted", _querystring_boosted_indexed),
+            ("msm", _querystring_msm_indexed),
+            ("prefix", _prefix_indexed),
+            ("fuzzy", _fuzzy_indexed),
+            ("wildcard", _wildcard_indexed),
+            ("regex", _regex_indexed)),
+        "querystring_batch": _querystring_batch,
+        "weighted_topk_variants": _variants(
+            ("kpminer", lambda s, d: keyphrase.kpminer(_docs(s, d), 5)),
+            ("tfidf_stemmed", lambda s, d: stemmed.tfidf_stemmed_topk(
+                _docs(s, d), 3), {"stem": "candidate"})),
+        "tfidf_topk": lambda s, d: keyphrase.tfidf_topk(_docs(s, d), 3),
+        "candidate_variants": _variants(
+            ("runs", lambda s, d: keyphrase.candidate_runs(_docs(s, d))),
+            ("ngram", lambda s, d: keyphrase.ngram_candidates(_docs(s, d))),
+            ("grammar", lambda s, d: grammar.grammar_candidates(
+                _docs(s, d)))),
+        "firstphrases": lambda s, d: keyphrase.firstphrases(_docs(s, d), 5),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "token_counts": core.token_counts_sql(),
-        "doc_lengths": core.doc_lengths_sql(),
+        "token_count_variants": _variants_sql(
+            ("raw", core.token_counts_sql(), "doc_id, term AS token, tf"),
+            ("stemmed", stemmed.token_counts_stemmed_sql(),
+             "doc_id, stem AS token, tf")),
         "term_stats": core.term_stats_sql(),
-        "bm25_topk": core.bm25_topk_sql(BM25_QUERY, 10),
-        "bm25_hot": core.bm25_topk_sql(BM25_HOT_QUERY, 10),
-        "bm25_miss": core.bm25_topk_sql(BM25_MISS_QUERY, 10),
-        "bm25_after_delete": core.bm25_topk_sql(
-            BM25_QUERY, 10,
-            table="(SELECT * FROM documents WHERE NOT (doc_id % 17 = 3))"),
-        "phrase_search": phrase.phrase_topk_sql(PHRASE_QUERY, 10),
-        "phrase_search3": phrase.phrase_topk_sql(PHRASE_QUERY3, 10),
-        "phrase_search_rep": phrase.phrase_topk_sql(PHRASE_QUERY_REP, 10),
-        "proximity_search": phrase.proximity_topk_sql(*PROX_QUERY, 10),
+        "bm25_variants": _variants_sql(
+            ("topk", core.bm25_topk_sql(BM25_QUERY, 10)),
+            ("hot", core.bm25_topk_sql(BM25_HOT_QUERY, 10)),
+            ("miss", core.bm25_topk_sql(BM25_MISS_QUERY, 10)),
+            ("filtered", fielded.filtered_bm25_topk_sql(
+                BM25_QUERY, FIELD_PREDICATE, 10)),
+            ("after_delete", core.bm25_topk_sql(
+                BM25_QUERY, 10,
+                table="(SELECT * FROM documents"
+                      " WHERE NOT (doc_id % 17 = 3))"))),
+        "positional_variants": _variants_sql(
+            ("phrase2", phrase.phrase_topk_sql(PHRASE_QUERY, 10),
+             "doc_id, phrase_tf AS matches"),
+            ("phrase3", phrase.phrase_topk_sql(PHRASE_QUERY3, 10),
+             "doc_id, phrase_tf AS matches"),
+            ("phrase_rep", phrase.phrase_topk_sql(PHRASE_QUERY_REP, 10),
+             "doc_id, phrase_tf AS matches"),
+            ("proximity", phrase.proximity_topk_sql(*PROX_QUERY, 10),
+             "doc_id, pair_count AS matches")),
         "boolean_search": boolquery.boolean_bm25_topk_sql(*BOOL_QUERY, 10),
-        "filtered_bm25": fielded.filtered_bm25_topk_sql(
-            BM25_QUERY, FIELD_PREDICATE, 10),
-        "facet_counts": fielded.facet_counts_sql(BM25_QUERY, FACET_COL),
-        "prefix_bm25": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
-        "fuzzy_bm25": termexpand.fuzzy_bm25_topk_sql(
-            FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
-        "wildcard_bm25": termexpand.wildcard_bm25_topk_sql(
-            WILDCARD_QUERY, 10),
-        "regex_bm25": termexpand.regex_bm25_topk_sql(REGEX_QUERY, 10),
-        "wildcard_indexed": termexpand.wildcard_bm25_topk_sql(
-            WILDCARD_QUERY, 10),
-        "regex_indexed": termexpand.regex_bm25_topk_sql(REGEX_QUERY, 10),
-        "snippet_windows": snippets.snippet_windows_sql(BM25_QUERY, 10),
-        "querystring_search": querylang.querystring_sql(QUERYSTRING, 10),
-        "querystring_boosted": querylang.querystring_sql(
-            QUERYSTRING_BOOSTED, 10),
-        "querystring_msm": querylang.querystring_sql(
-            QUERYSTRING_MSM[0], 10, min_should_match=QUERYSTRING_MSM[1]),
-        "querystring_indexed": querylang.querystring_sql(QUERYSTRING, 10),
-        "querystring_boosted_indexed": querylang.querystring_sql(
-            QUERYSTRING_BOOSTED, 10),
-        "querystring_msm_indexed": querylang.querystring_sql(
-            QUERYSTRING_MSM[0], 10, min_should_match=QUERYSTRING_MSM[1]),
-        "querystring_notphrase": querylang.querystring_sql(
-            QUERYSTRING_NOTPHRASE, 10),
-        "querystring_slop": querylang.querystring_sql(
-            QUERYSTRING_SLOP, 10),
+        "facet_variants": _variants_sql(
+            ("corpus", fielded.facet_counts_sql(BM25_QUERY, FACET_COL)),
+            ("indexed", fielded.facet_counts_sql(BM25_QUERY, FACET_COL))),
+        "expansion_bm25": _variants_sql(
+            ("prefix", termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10)),
+            ("fuzzy", termexpand.fuzzy_bm25_topk_sql(
+                FUZZY_QUERY[0], FUZZY_QUERY[1], 10)),
+            ("wildcard", termexpand.wildcard_bm25_topk_sql(
+                WILDCARD_QUERY, 10)),
+            ("regex", termexpand.regex_bm25_topk_sql(REGEX_QUERY, 10))),
+        "snippet_variants": _variants_sql(
+            ("corpus", snippets.snippet_windows_sql(BM25_QUERY, 10)),
+            ("indexed", snippets.snippet_windows_sql(BM25_QUERY, 10))),
+        "querystring_variants": _variants_sql(
+            ("search", querylang.querystring_sql(QUERYSTRING, 10)),
+            ("boosted", querylang.querystring_sql(QUERYSTRING_BOOSTED, 10)),
+            ("msm", querylang.querystring_sql(
+                QUERYSTRING_MSM[0], 10,
+                min_should_match=QUERYSTRING_MSM[1])),
+            ("notphrase", querylang.querystring_sql(
+                QUERYSTRING_NOTPHRASE, 10)),
+            ("slop", querylang.querystring_sql(QUERYSTRING_SLOP, 10)),
+            ("groups", querylang.querystring_sql(QUERYSTRING_GROUPS, 10))),
         "querystring_explain": querylang.querystring_explain_sql(
             QUERYSTRING_BOOSTED, 10),
-        "querystring_groups": querylang.querystring_sql(
-            QUERYSTRING_GROUPS, 10),
         "querystring_count": querylang.querystring_count_sql(QUERYSTRING),
         "querystring_sort": querylang.querystring_sort_sql(
             QUERYSTRING, "n_chars", False, 10),
-        "querystring_count_indexed": querylang.querystring_count_sql(
-            QUERYSTRING),
-        "querystring_sort_indexed": querylang.querystring_sort_sql(
-            QUERYSTRING, "n_chars", False, 10),
+        "serving_indexed": _variants_sql(
+            ("querystring", querylang.querystring_sql(QUERYSTRING, 10)),
+            ("boosted", querylang.querystring_sql(QUERYSTRING_BOOSTED, 10)),
+            ("msm", querylang.querystring_sql(
+                QUERYSTRING_MSM[0], 10,
+                min_should_match=QUERYSTRING_MSM[1])),
+            ("prefix", termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10)),
+            ("fuzzy", termexpand.fuzzy_bm25_topk_sql(
+                FUZZY_QUERY[0], FUZZY_QUERY[1], 10)),
+            ("wildcard", termexpand.wildcard_bm25_topk_sql(
+                WILDCARD_QUERY, 10)),
+            ("regex", termexpand.regex_bm25_topk_sql(REGEX_QUERY, 10))),
         "querystring_batch": _querystring_batch_sql(),
-        "prefix_indexed": termexpand.prefix_bm25_topk_sql(PREFIX_QUERY, 10),
-        "fuzzy_indexed": termexpand.fuzzy_bm25_topk_sql(
-            FUZZY_QUERY[0], FUZZY_QUERY[1], 10),
-        "facets_indexed": fielded.facet_counts_sql(BM25_QUERY, FACET_COL),
-        "snippets_indexed": snippets.snippet_windows_sql(BM25_QUERY, 10),
-        "token_counts_stemmed": stemmed.token_counts_stemmed_sql(),
-        "tfidf_stemmed": stemmed.tfidf_stemmed_topk_sql(3),
-        "stemmed_candidates": stemmed.stemmed_candidates_sql(),
-        "candidate_runs": keyphrase.candidate_runs_sql(),
-        "ngram_candidates": keyphrase.ngram_candidates_sql(),
-        "grammar_candidates": grammar.grammar_candidates_sql(),
-        "firstphrases": keyphrase.firstphrases_sql(5),
+        "weighted_topk_variants": _variants_sql(
+            ("kpminer", keyphrase.kpminer_sql(5)),
+            ("tfidf_stemmed", stemmed.tfidf_stemmed_topk_sql(3),
+             "doc_id, rank, stem AS candidate, tf, weight")),
         "tfidf_topk": keyphrase.tfidf_topk_sql(3),
-        "kpminer": keyphrase.kpminer_sql(5),
-        "bigrams": keyphrase.bigrams_sql(),
+        "candidate_variants": _variants_sql(
+            ("runs", keyphrase.candidate_runs_sql()),
+            ("ngram", keyphrase.ngram_candidates_sql()),
+            ("grammar", grammar.grammar_candidates_sql())),
+        "firstphrases": keyphrase.firstphrases_sql(5),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "minhash_lsh": dedup.minhash_lsh_pairs_sql(),
