@@ -109,6 +109,9 @@ QUERYSTRING_SLOP = '"merge slow"~2 spark'
 # disjunction groups: +(required any-of), (SHOULD group)^boost,
 # -(excluded members)
 QUERYSTRING_GROUPS = '+(merge slow) (table sort)^2 spark -(vector)'
+# Lucene classic-parser keyword connectives (round-5 sugar): rewrites
+# to '+spark +join window -vector lang:en'
+QUERYSTRING_CONNECTIVES = 'spark AND join OR window NOT vector lang:en'
 # batched execution: every grammar feature across a query SET, ONE job
 QUERYSTRING_BATCH = {"q1": QUERYSTRING, "q2": QUERYSTRING_BOOSTED,
                      "q3": QUERYSTRING_NOTPHRASE}
@@ -427,7 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("slop", lambda s, d: querylang.querystring_topk(
                 _docs(s, d), QUERYSTRING_SLOP, 10)),
             ("groups", lambda s, d: querylang.querystring_topk(
-                _docs(s, d), QUERYSTRING_GROUPS, 10))),
+                _docs(s, d), QUERYSTRING_GROUPS, 10)),
+            ("connectives", lambda s, d: querylang.querystring_topk(
+                _docs(s, d), QUERYSTRING_CONNECTIVES, 10))),
         "querystring_explain": lambda s, d: querylang.querystring_explain(
             _docs(s, d), QUERYSTRING_BOOSTED, 10),
         "querystring_count": lambda s, d: querylang.querystring_count(
@@ -510,7 +515,9 @@ def oracle_sql() -> dict[str, str]:
             ("notphrase", querylang.querystring_sql(
                 QUERYSTRING_NOTPHRASE, 10)),
             ("slop", querylang.querystring_sql(QUERYSTRING_SLOP, 10)),
-            ("groups", querylang.querystring_sql(QUERYSTRING_GROUPS, 10))),
+            ("groups", querylang.querystring_sql(QUERYSTRING_GROUPS, 10)),
+            ("connectives", querylang.querystring_sql(
+                QUERYSTRING_CONNECTIVES, 10))),
         "querystring_explain": querylang.querystring_explain_sql(
             QUERYSTRING_BOOSTED, 10),
         "querystring_count": querylang.querystring_count_sql(QUERYSTRING),

@@ -159,7 +159,7 @@ def _parquet_rows(path: str) -> int:
 DRIVER_STATS_MAX_BYTES = 1 << 30
 
 
-def _fused_count_batches(batch_iter):
+def _fused_count_batches(batch_iter, profile: str = "code"):
     """Arrow-native tokenize + per-doc term count, one pass, no shuffle.
 
     Per-doc term frequencies are PARTITION-LOCAL facts (every token of a
@@ -188,7 +188,8 @@ def _fused_count_batches(batch_iter):
         with_idx = pa.record_batch(
             [pa.array(np.arange(n), pa.int64()), batch.column("text")],
             names=["__rowidx", "text"])
-        tok = arrow_tokenize_batch(with_idx, "text", "__rowidx")
+        tok = arrow_tokenize_batch(with_idx, "text", "__rowidx",
+                                   profile=profile)
         t = pa.table({"__rowidx": tok.column("doc_id"),
                       "term": tok.column("term")})
         counted = t.group_by(["__rowidx", "term"],
@@ -212,7 +213,8 @@ def _fused_count_batches(batch_iter):
 
 
 def _write_segments(part_docs, index_dir: str, n_parts: int, dyn: dict,
-                    aligned: bool = False, derive_part: bool = False):
+                    aligned: bool = False, derive_part: bool = False,
+                    profile: str = "code"):
     """Tokenize + per-doc term counts -> hive-partitioned segment table.
 
     ``aligned=True`` promises every input task holds rows of a single
@@ -239,7 +241,7 @@ def _write_segments(part_docs, index_dir: str, n_parts: int, dyn: dict,
         if not aligned:
             docs = docs.repartition(n_parts, "part")
     counted = docs.mapInArrow(
-        _fused_count_batches,
+        lambda it: _fused_count_batches(it, profile),
         "part int, doc_id long, term string, tf long, dl long")
     (counted.write.partitionBy("part").mode("overwrite").options(**dyn)
      .parquet(f"{index_dir}/segments"))
@@ -280,7 +282,8 @@ def _manifest_segment_rows(spark, index_dir: str, parts: list[int],
 
 
 def write_stats(index_dir: str, n_docs: int, avgdl: float,
-                hot_threshold: int, block_size: int) -> None:
+                hot_threshold: int, block_size: int,
+                profile: str = "code") -> None:
     """Single-row stats table written directly with pyarrow. The
     ``dense`` flag records whether the CURRENT postings are in ordinal
     space — readers cross-check it against the docmap's presence so a
@@ -298,6 +301,10 @@ def write_stats(index_dir: str, n_docs: int, avgdl: float,
         "hot_threshold": pa.array([hot_threshold], pa.int64()),
         "block_size": pa.array([block_size], pa.int32()),
         "dense": pa.array([dense], pa.bool_()),
+        # the analyzer profile documents are tokenized with — readers
+        # analyze query text with the SAME profile (ADVICE r4): an
+        # index is a (postings, analyzer) pair, like a Lucene schema
+        "profile": pa.array([profile], pa.string()),
     }), f"{index_dir}/stats/stats.parquet")
 
 
@@ -430,8 +437,12 @@ def build_index(docs: DataFrame, index_dir: str, *,
                 input_snapshot: str = "",
                 driver_stats_max_bytes: int | None = None,
                 merge_runs: bool = False,
-                id_col: str = "doc_id", text_col: str = "text") -> None:
+                id_col: str = "doc_id", text_col: str = "text",
+                profile: str = "code") -> None:
     """Build the index at ``index_dir``.
+
+    ``profile`` is the tokenizer/analyzer profile (tokenizer.PROFILES);
+    it is stamped into stats/ so readers analyze queries identically.
 
     ``parts_per_job`` controls the checkpoint-granularity / job-overhead
     trade: each phase-A Spark job processes that many partitions (all
@@ -501,14 +512,15 @@ def build_index(docs: DataFrame, index_dir: str, *,
             part_docs = (spark.read.parquet(staged_path)
                          .filter(F.col("part").isin(batch)))
             _write_segments(part_docs, index_dir, n_parts, dyn,
-                            aligned=True)
+                            aligned=True, profile=profile)
             _manifest_segment_rows(spark, index_dir, batch, build_id,
                                    input_snapshot, driver_stats_max_bytes)
             processed += len(batch)
     else:
         # ---- one-shot phase A: tokenize straight from the input,
         # zero exchanges (part = input split id; see _write_segments) --
-        _write_segments(prepared, index_dir, n_parts, dyn, derive_part=True)
+        _write_segments(prepared, index_dir, n_parts, dyn,
+                        derive_part=True, profile=profile)
         _manifest_segment_rows(spark, index_dir, list(range(n_parts)),
                                build_id, input_snapshot,
                                driver_stats_max_bytes)
@@ -518,7 +530,8 @@ def build_index(docs: DataFrame, index_dir: str, *,
         spark, index_dir, n_salts=n_salts, hot_threshold=hot_threshold,
         block_size=block_size, driver_stats_max_bytes=driver_stats_max_bytes,
         dense_doc_ids=dense_doc_ids, merge_runs=merge_runs)
-    write_stats(index_dir, n_docs, avgdl, int(hot_threshold), block_size)
+    write_stats(index_dir, n_docs, avgdl, int(hot_threshold), block_size,
+                profile=profile)
     _append_manifest(spark, index_dir, [(
         build_id, "postings", -1, "done", n_docs,
         _postings_term_count(index_dir),
@@ -1089,6 +1102,8 @@ class IndexReader:
         # round-1 indexes predate the flag -> None (fall back to docmap
         # presence without the cross-check)
         self.stats_dense = getattr(st, "dense", None)
+        # pre-profile indexes lack the column -> "code" (their builder)
+        self.profile = getattr(st, "profile", None) or "code"
 
     def postings(self) -> DataFrame:
         if self._post is None:

@@ -44,7 +44,8 @@ import numpy as np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..ops.querylang import (ParsedQuery, filters_predicate,
+from ..ops.querylang import (ParsedQuery, filters_condition,
+                             filters_predicate,
                              parse_querystring)
 from ..tokenizer import sql_quote as _sq
 from .build import IndexReader
@@ -57,12 +58,20 @@ def _route_distributed(ix: IndexReader, pq: "ParsedQuery",
                        score_terms: list[str],
                        docs_parquet: str | None) -> bool:
     """The driver-vs-distributed routing decision shared by search /
-    count / sort: posting rows of the score + MUST_NOT terms must fit
-    the fast-path budget, AND — since posting rows aren't the only
-    driver-side set — an unselective metadata filter ('lang:en'
-    matching most of the corpus) routes distributed too, decided by
-    one COUNT(*) point read."""
-    if _over_budget(ix, score_terms + sorted(set(pq.must_not))):
+    count / sort: posting rows of EVERY term whose match set the
+    driver path materializes must fit the fast-path budget — score
+    terms, MUST_NOT terms, and the terms of negated + sloppy phrase
+    clauses (VERDICT r4: a hot negated phrase used to escape the
+    budget and collect its full match set driver-side). AND — since
+    posting rows aren't the only driver-side set — an unselective
+    metadata filter ('lang:en' matching most of the corpus) routes
+    distributed too, decided by one COUNT(*) point read."""
+    budget_terms = set(score_terms) | set(pq.must_not)
+    for nph in pq.not_phrases:
+        budget_terms.update(nph)
+    for terms, _slop in pq.slop_phrases:
+        budget_terms.update(terms)
+    if _over_budget(ix, sorted(budget_terms)):
         return True
     if pq.filters:
         if docs_parquet is None:
@@ -457,7 +466,7 @@ def _distributed_scored_src(ix: IndexReader, pq: ParsedQuery,
                 "query has field filters; pass docs_parquet (the index "
                 "stores no document metadata)")
         f_ids = (spark.read.parquet(docs_parquet)
-                 .filter(F.expr(filters_predicate(pq.filters)))
+                 .filter(filters_condition(pq.filters))
                  .select("doc_id"))
         scored_src = scored_src.join(f_ids, "doc_id", "left_semi")
     if pq.must_not:
@@ -486,7 +495,7 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
     anti-join — works in raw doc_id space; one scoring aggregation, one
     TakeOrderedAndProject. Same scores/tie-breaking as every other
     path (parity-tested)."""
-    pq: ParsedQuery = parse_querystring(qs)
+    pq: ParsedQuery = parse_querystring(qs, ix.profile)
     spark = ix.spark
     exp_lists = _clause_expansions(ix, pq, max_expansions)
     weights = pq.expansion_weights(exp_lists)
@@ -547,7 +556,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
     from .wand import decoded_tc
 
     spark = ix.spark
-    parsed = {qid: parse_querystring(queries[qid])
+    parsed = {qid: parse_querystring(queries[qid], ix.profile)
               for qid in sorted(queries)}
     exp_by_q = {qid: _clause_expansions(ix, pq, max_expansions)
                 for qid, pq in parsed.items()}
@@ -726,6 +735,8 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 "index stores no document metadata)")
         docs_df = spark.read.parquet(docs_parquet)
         # identical predicates across queries share ONE pushdown scan
+        # (grouped by the canonical predicate TEXT; applied as a typed
+        # Column so no user text reaches the Spark SQL parser)
         uniq_f: dict = {}
         for q in f_qids:
             uniq_f.setdefault(
@@ -734,7 +745,8 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         for pred, qids in sorted(uniq_f.items()):
             tag = F.broadcast(spark.createDataFrame(
                 [(q,) for q in sorted(qids)], "query_id string"))
-            parts.append(docs_df.filter(F.expr(pred)).select("doc_id")
+            cond = filters_condition(parsed[qids[0]].filters)
+            parts.append(docs_df.filter(cond).select("doc_id")
                          .crossJoin(tag)
                          .select("query_id", "doc_id"))
         f_ok = parts[0]
@@ -799,7 +811,7 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
     on the distributed plan (``querystring_topk_distributed``) and
     collect its <= k rows — identical results either way
     (parity-tested)."""
-    pq: ParsedQuery = parse_querystring(qs)
+    pq: ParsedQuery = parse_querystring(qs, ix.profile)
     exp_lists = _clause_expansions(ix, pq, max_expansions)
     weights = pq.expansion_weights(exp_lists)
     score_terms = sorted(weights)
@@ -1000,7 +1012,7 @@ def querystring_count_indexed(ix: IndexReader, qs: str,
     posting-set algebra on the driver within the fast-path budget, a
     distinct-count over the distributed constrained plan past it.
     Parity: ``ops.querylang.querystring_count``."""
-    pq: ParsedQuery = parse_querystring(qs)
+    pq: ParsedQuery = parse_querystring(qs, ix.profile)
     exp_lists = _clause_expansions(ix, pq, max_expansions)
     score_terms = sorted(pq.expansion_weights(exp_lists))
     if _route_distributed(ix, pq, score_terms, docs_parquet):
@@ -1034,7 +1046,7 @@ def querystring_sort_indexed(ix: IndexReader, qs: str,
     if sort_field != "doc_id" and docs_parquet is None:
         raise ValueError("sorting on a metadata field needs "
                          "docs_parquet (the index stores no metadata)")
-    pq: ParsedQuery = parse_querystring(qs)
+    pq: ParsedQuery = parse_querystring(qs, ix.profile)
     exp_lists = _clause_expansions(ix, pq, max_expansions)
     score_terms = sorted(pq.expansion_weights(exp_lists))
     dir_ = "ASC" if ascending else "DESC"

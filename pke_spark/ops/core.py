@@ -62,7 +62,7 @@ def bm25_exprs(k1: float = K1, b: float = B):
 
 def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
                    k1: float = K1, b: float = B,
-                   constrain=None) -> DataFrame:
+                   constrain=None, profile: str = "code") -> DataFrame:
     """THE corpus-side BM25 kernel: rank docs against a (term)
     DataFrame of query terms. Every DataFrame scorer (plain / fielded
     / expansion / query-string) delegates here, so the scoring math,
@@ -84,7 +84,7 @@ def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
     shuffle is tc⋈dl on doc_id, then a partial-aggregated
     groupBy(doc_id) and a TakeOrderedAndProject global top-k.
     """
-    toks = tokens_exploded(docs)
+    toks = tokens_exploded(docs, profile=profile)
     # push the query-term filter BELOW both term-side aggregations:
     # Catalyst will not push a join under a groupBy, so filter the token
     # stream first — df for a term only needs that term's rows. Only the

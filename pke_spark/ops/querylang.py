@@ -236,9 +236,110 @@ def filters_predicate(filters: list) -> str:
     return " AND ".join(parts)
 
 
+def filters_condition(filters: list):
+    """Typed Spark ``Column`` for the parsed filters — semantically
+    identical to ``F.expr(filters_predicate(filters))`` but built from
+    ``F.col``/``F.lit`` so no user-controlled text ever reaches the
+    Spark SQL parser (ADVICE r4, high). The predicate *text* stays the
+    DuckDB-oracle / routing-probe / batch-grouping representation."""
+    from pyspark.sql import functions as F
+    cond = None
+    for f_, v in filters:
+        if isinstance(v, RangeFilter):
+            c = None
+            if v.lo is not None:
+                lo = (F.col(f_) >= v.lo) if v.lo_inc else (F.col(f_) > v.lo)
+                c = lo
+            if v.hi is not None:
+                hi = (F.col(f_) <= v.hi) if v.hi_inc else (F.col(f_) < v.hi)
+                c = hi if c is None else (c & hi)
+            if c is None:
+                c = F.col(f_).isNotNull()
+        elif f_ in NUMERIC_FILTER_FIELDS:
+            c = F.col(f_) == int(v)
+        else:
+            c = F.col(f_) == F.lit(v)
+        cond = c if cond is None else (cond & c)
+    return cond if cond is not None else F.lit(True)
+
+
+# Lucene classic-parser keyword connectives (uppercase only, like
+# Lucene: lowercase 'and'/'or'/'not' stay ordinary search terms)
+_CONNECTIVES = {"AND": "AND", "&&": "AND",
+                "OR": "OR", "||": "OR",
+                "NOT": "NOT", "!": "NOT"}
+
+
+def _is_filter_clause(c: str) -> bool:
+    m = re.match(r"^([A-Za-z_]+):", c)
+    return bool(m) and m.group(1) in FILTER_FIELDS
+
+
+def _rewrite_connectives(clauses: list[str]) -> list[str]:
+    """Compile ``a AND b OR c NOT d`` keyword syntax onto the engine's
+    occur-flags — Lucene's own classic-QueryParser rewrite with the
+    default operator OR: ``AND`` upgrades BOTH neighbors to MUST (``+``)
+    when unsigned, ``OR`` leaves its neighbors SHOULD, ``NOT`` signs the
+    next clause MUST_NOT (``-``). Pure sugar: the output is a clause
+    list in the existing grammar, so all four execution paths (DataFrame
+    op, DuckDB twin, index driver path, index distributed path) inherit
+    the semantics from one place."""
+    out: list[str] = []
+    conj: str | None = None
+    neg = False
+    for c in clauses:
+        kind = _CONNECTIVES.get(c)
+        if kind in ("AND", "OR"):
+            if conj is not None or neg or not out:
+                raise ValueError(f"misplaced connective {c!r}")
+            conj = kind
+            continue
+        if kind == "NOT":
+            if neg:
+                raise ValueError("NOT NOT is not supported")
+            neg = True
+            continue
+        signed = c[:1] in "+-"
+        # field filters are non-scoring and ALWAYS required — an AND
+        # next to one is satisfied without a sign (which the filter
+        # grammar rejects)
+        if (conj == "AND" and out[-1][:1] not in "+-"
+                and not _is_filter_clause(out[-1])):
+            out[-1] = "+" + out[-1]       # Lucene's upgrade of the
+        if neg:                           # left operand (also for
+            if signed:                    # 'a AND NOT b' -> +a -b)
+                raise ValueError(
+                    f"NOT cannot combine with a signed clause ({c!r})")
+            c = "-" + c
+        elif conj == "AND" and not signed and not _is_filter_clause(c):
+            c = "+" + c
+        out.append(c)
+        conj = None
+        neg = False
+    if conj is not None or neg:
+        raise ValueError("query string ends with a dangling connective")
+    return out
+
+
+def _split_clauses(qs: str) -> list[str]:
+    """Clause lexer with residue detection (ADVICE r4): every clause
+    match must start at a whitespace boundary, so malformed input like
+    ``"a b"x`` or ``(a b)x`` raises instead of silently parsing as a
+    phrase/group plus a stray bare term (the ``\\S+`` fallback used to
+    swallow the residue)."""
+    clauses = []
+    for m in _CLAUSE_RE.finditer(qs):
+        if m.start() > 0 and not qs[m.start() - 1].isspace():
+            raise ValueError(
+                f"malformed clause at offset {m.start()} in {qs!r}: "
+                f"{m.group(0)!r} is glued to the previous clause")
+        clauses.append(m.group(0))
+    return clauses
+
+
 def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
     pq = ParsedQuery()
-    clauses = _CLAUSE_RE.findall(qs)
+    clauses = _rewrite_connectives(_split_clauses(qs))
     if not clauses:
         raise ValueError("empty query string")
     def add_weight(terms: list, boost: float) -> None:
@@ -338,6 +439,18 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
                     continue
                 raise ValueError(f"numeric filter {f_}:{v!r} needs an "
                                  f"integer or a [lo TO hi] range")
+            # conservative value charset (ADVICE r4, high): the
+            # predicate text is shared verbatim between DuckDB and
+            # Spark SQL, whose string literals disagree on backslash
+            # escaping — a value like x\'or(...)-- would terminate the
+            # Spark literal early (SQL injection) while DuckDB reads
+            # one literal. Spark-side application is also typed
+            # (filters_condition), so this is belt-and-braces.
+            if not re.fullmatch(r"[A-Za-z0-9_.\-]+", v):
+                raise ValueError(
+                    f"string filter value {v!r} for field {f_!r} must "
+                    f"match [A-Za-z0-9_.-]+ (quotes/backslashes/spaces "
+                    f"are not valid in {STRING_FILTER_FIELDS} values)")
             pq.filters.append((f_, v))
             continue
         if m:
@@ -417,7 +530,7 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
 # ----------------------------------------------------------------- Spark
 
 def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
-             min_should_match: int = 0):
+             min_should_match: int = 0, profile: str = "code"):
     """(qdf, constrain): the weighted (term, boost) query DataFrame and
     the candidate-constraint hook — shared by every corpus-side front
     door (scoring top-k, hit counting, sort-by-field)."""
@@ -426,19 +539,20 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                              expand_wildcard)
 
     spark = docs.sparkSession
-    toks = tokens_exploded(docs)
+    toks = tokens_exploded(docs, profile=profile)
 
     # per-clause (term, df) expansion DataFrames in the canonical order
     # (prefixes, fuzzies, wildcards, regexes) — aligned with
     # pq.expansion_boosts; built ONCE and shared between the scoring
     # qdf and the msm clause map (each carries a full-corpus vocab agg)
     expansion_dfs = (
-        [expand_prefix(docs, p, max_expansions) for p, _ in pq.prefixes]
-        + [expand_fuzzy(docs, t, e, 1, max_expansions)
+        [expand_prefix(docs, p, max_expansions, profile)
+         for p, _ in pq.prefixes]
+        + [expand_fuzzy(docs, t, e, 1, max_expansions, profile)
            for t, e, _ in pq.fuzzies]
-        + [expand_wildcard(docs, p, max_expansions)
+        + [expand_wildcard(docs, p, max_expansions, profile)
            for p, _ in pq.wildcards]
-        + [expand_regex(docs, p, max_expansions)
+        + [expand_regex(docs, p, max_expansions, profile)
            for p, _ in pq.regexes])
 
     parts = []
@@ -486,10 +600,9 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                   .select("doc_id"))
             scored_src = scored_src.join(ok, "doc_id", "left_semi")
         if pq.filters:
-            pred = filters_predicate(pq.filters)
             scored_src = scored_src.join(
-                docs.filter(F.expr(pred)).select("doc_id"), "doc_id",
-                "left_semi")
+                docs.filter(filters_condition(pq.filters))
+                .select("doc_id"), "doc_id", "left_semi")
         if pq.must:
             mdf = spark.createDataFrame(
                 [(t,) for t in dict.fromkeys(pq.must)], "term string")
@@ -541,19 +654,24 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
 def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
                      max_expansions: int = 32,
                      k1: float = K1, b: float = B,
-                     min_should_match: int = 0) -> DataFrame:
-    """(rank, doc_id, score) for a parsed+compiled query string."""
+                     min_should_match: int = 0,
+                     profile: str = "code") -> DataFrame:
+    """(rank, doc_id, score) for a parsed+compiled query string.
+    ``profile`` is the corpus tokenizer profile; it analyzes the query
+    text AND the document token stream identically (ADVICE r4)."""
     from .core import bm25_rank_over
 
-    pq = parse_querystring(qs)
-    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match)
-    return bm25_rank_over(docs, qdf, k, k1, b, constrain)
+    pq = parse_querystring(qs, profile)
+    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match,
+                              profile)
+    return bm25_rank_over(docs, qdf, k, k1, b, constrain, profile)
 
 
-def _candidates(docs: DataFrame, qdf: DataFrame, constrain) -> DataFrame:
+def _candidates(docs: DataFrame, qdf: DataFrame, constrain,
+                profile: str = "code") -> DataFrame:
     """One-column (doc_id) candidate set: docs matching >=1 scoring
     term, run through every constraint clause."""
-    cand = (tokens_exploded(docs)
+    cand = (tokens_exploded(docs, profile=profile)
             .join(F.broadcast(qdf.select("term")), "term")
             .select("doc_id").distinct())
     return constrain(cand)
@@ -561,22 +679,25 @@ def _candidates(docs: DataFrame, qdf: DataFrame, constrain) -> DataFrame:
 
 def querystring_count(docs: DataFrame, qs: str,
                       max_expansions: int = 32,
-                      min_should_match: int = 0) -> DataFrame:
+                      min_should_match: int = 0,
+                      profile: str = "code") -> DataFrame:
     """(n_hits) — Lucene's TotalHitCountCollector: how many docs match
     the query, without scoring. Same candidate semantics as
     ``querystring_topk`` (>=1 scoring term + all constraints); the
     plan skips the scoring joins entirely — one broadcast-filtered
     token scan + the constraint semi/anti joins + a 1-row count."""
-    pq = parse_querystring(qs)
-    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match)
-    return _candidates(docs, qdf, constrain).agg(
+    pq = parse_querystring(qs, profile)
+    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match,
+                              profile)
+    return _candidates(docs, qdf, constrain, profile).agg(
         F.count("*").alias("n_hits"))
 
 
 def querystring_explain(docs: DataFrame, qs: str, k: int = 10,
                         max_expansions: int = 32,
                         k1: float = K1, b: float = B,
-                        min_should_match: int = 0) -> DataFrame:
+                        min_should_match: int = 0,
+                        profile: str = "code") -> DataFrame:
     """Per-term score breakdown for the query's top-k hits — Lucene's
     Explanation surface: one row per (doc_id, term) with tf, df, the
     clause weight, the idf, and the weighted contribution
@@ -589,10 +710,12 @@ def querystring_explain(docs: DataFrame, qs: str, k: int = 10,
     what ``querystring_topk`` scores."""
     from .core import bm25_exprs, bm25_rank_over
 
-    pq = parse_querystring(qs)
-    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match)
-    top = bm25_rank_over(docs, qdf, k, k1, b, constrain).select("doc_id")
-    toks = tokens_exploded(docs)
+    pq = parse_querystring(qs, profile)
+    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match,
+                              profile)
+    top = bm25_rank_over(docs, qdf, k, k1, b, constrain,
+                         profile).select("doc_id")
+    toks = tokens_exploded(docs, profile=profile)
     tc_q = (toks.join(F.broadcast(qdf.select("term")), "term")
             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -615,7 +738,8 @@ def querystring_sort_topk(docs: DataFrame, qs: str,
                           sort_field: str = "n_chars",
                           ascending: bool = False, k: int = 10,
                           max_expansions: int = 32,
-                          min_should_match: int = 0) -> DataFrame:
+                          min_should_match: int = 0,
+                          profile: str = "code") -> DataFrame:
     """(rank, doc_id, <sort_field>) — Lucene Sort(SortField): top-k
     query matches ordered by a stored metadata field instead of BM25
     (ties broken by doc_id ASC). The candidate set is the same as
@@ -625,9 +749,10 @@ def querystring_sort_topk(docs: DataFrame, qs: str,
     if sort_field not in FILTER_FIELDS:
         raise ValueError(f"unknown sort field {sort_field!r} "
                          f"(allowed: {FILTER_FIELDS})")
-    pq = parse_querystring(qs)
-    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match)
-    vals = _candidates(docs, qdf, constrain)
+    pq = parse_querystring(qs, profile)
+    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match,
+                              profile)
+    vals = _candidates(docs, qdf, constrain, profile)
     if sort_field != "doc_id":
         vals = vals.join(docs.select("doc_id", sort_field), "doc_id")
     order = [F.asc(sort_field) if ascending else F.desc(sort_field),
@@ -645,11 +770,12 @@ def querystring_sort_topk(docs: DataFrame, qs: str,
 
 
 def _sql_parts(pq: ParsedQuery, max_expansions: int,
-               min_should_match: int) -> tuple[list, list]:
+               min_should_match: int,
+               profile: str = "code") -> tuple[list, list]:
     """(ctes, constraints) shared by the scoring / count / sort twins:
     toks + expansion + qterms + tc CTEs, and the candidate constraint
     predicates (which append their own cm/msm_ok/ph CTEs)."""
-    ctes = [duckdb_toks_cte()]
+    ctes = [duckdb_toks_cte(profile=profile)]
     qterm_selects = []
     lits = pq.literal_score_terms
     if lits:
@@ -769,10 +895,12 @@ def _sql_parts(pq: ParsedQuery, max_expansions: int,
 
 def querystring_sql(qs: str, k: int = 10, max_expansions: int = 32,
                     k1: float = K1, b: float = B,
-                    min_should_match: int = 0) -> str:
+                    min_should_match: int = 0,
+                    profile: str = "code") -> str:
     """DuckDB twin: the same parse, compiled to one CTE chain."""
-    pq = parse_querystring(qs)
-    ctes, constraints = _sql_parts(pq, max_expansions, min_should_match)
+    pq = parse_querystring(qs, profile)
+    ctes, constraints = _sql_parts(pq, max_expansions, min_should_match,
+                                   profile)
     ctes.append("dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks "
                 "GROUP BY doc_id)")
     ctes.append("g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl "
@@ -805,9 +933,10 @@ LIMIT {k}"""
 def querystring_explain_sql(qs: str, k: int = 10,
                             max_expansions: int = 32,
                             k1: float = K1, b: float = B,
-                            min_should_match: int = 0) -> str:
+                            min_should_match: int = 0,
+                            profile: str = "code") -> str:
     """DuckDB twin of ``querystring_explain``."""
-    pq = parse_querystring(qs)
+    pq = parse_querystring(qs, profile)
     ctes, constraints = _sql_parts(pq, max_expansions, min_should_match)
     ctes.append("dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks "
                 "GROUP BY doc_id)")
@@ -848,21 +977,24 @@ ORDER BY doc_id ASC, term ASC"""
 
 
 def _candidates_sql(pq: ParsedQuery, max_expansions: int,
-                    min_should_match: int) -> tuple[str, str]:
+                    min_should_match: int,
+                    profile: str = "code") -> tuple[str, str]:
     """(cte_block, cand_select): the candidate doc_id set as SQL —
     distinct docs holding >=1 scoring term, under every constraint."""
-    ctes, constraints = _sql_parts(pq, max_expansions, min_should_match)
+    ctes, constraints = _sql_parts(pq, max_expansions, min_should_match,
+                                   profile)
     where = ("WHERE " + " AND ".join(constraints)) if constraints else ""
     return ",\n".join(ctes), \
         f"SELECT DISTINCT tc.doc_id FROM tc {where}"
 
 
 def querystring_count_sql(qs: str, max_expansions: int = 32,
-                          min_should_match: int = 0) -> str:
+                          min_should_match: int = 0,
+                          profile: str = "code") -> str:
     """DuckDB twin of ``querystring_count``."""
-    pq = parse_querystring(qs)
+    pq = parse_querystring(qs, profile)
     cte_block, cand = _candidates_sql(pq, max_expansions,
-                                      min_should_match)
+                                      min_should_match, profile)
     return f"""WITH {cte_block}
 SELECT count(*)::BIGINT AS n_hits FROM ({cand})"""
 
@@ -870,14 +1002,15 @@ SELECT count(*)::BIGINT AS n_hits FROM ({cand})"""
 def querystring_sort_sql(qs: str, sort_field: str = "n_chars",
                          ascending: bool = False, k: int = 10,
                          max_expansions: int = 32,
-                         min_should_match: int = 0) -> str:
+                         min_should_match: int = 0,
+                         profile: str = "code") -> str:
     """DuckDB twin of ``querystring_sort_topk``."""
     if sort_field not in FILTER_FIELDS:
         raise ValueError(f"unknown sort field {sort_field!r} "
                          f"(allowed: {FILTER_FIELDS})")
-    pq = parse_querystring(qs)
+    pq = parse_querystring(qs, profile)
     cte_block, cand = _candidates_sql(pq, max_expansions,
-                                      min_should_match)
+                                      min_should_match, profile)
     dir_ = "ASC" if ascending else "DESC"
     order = f"ORDER BY {sort_field} {dir_}, doc_id ASC"
     val_col = f", {sort_field}" if sort_field != "doc_id" else ""

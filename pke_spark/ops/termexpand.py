@@ -48,31 +48,33 @@ def _bm25_over_expansion(docs: DataFrame, expanded: DataFrame,
     return bm25_rank_over(docs, expanded, k, k1, b)
 
 
-def _vocab(docs: DataFrame) -> DataFrame:
+def _vocab(docs: DataFrame, profile: str = "code") -> DataFrame:
     """(term, df) over the corpus — the A1 term dictionary."""
     from ..tokenizer import tokens_exploded
-    return (tokens_exploded(docs).select("doc_id", "term").distinct()
+    return (tokens_exploded(docs, profile=profile)
+            .select("doc_id", "term").distinct()
             .groupBy("term").agg(F.count("*").alias("df")))
 
 
 def expand_prefix(docs: DataFrame, prefix: str,
-                  max_expansions: int = 32) -> DataFrame:
+                  max_expansions: int = 32,
+                  profile: str = "code") -> DataFrame:
     """(term, df) expansion set for a prefix query."""
     if not prefix:
         raise ValueError("empty prefix would expand the whole vocabulary")
-    return (_vocab(docs)
+    return (_vocab(docs, profile)
             .filter(F.col("term").startswith(prefix))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_expansions))
 
 
 def expand_fuzzy(docs: DataFrame, term: str, max_edits: int = 1,
-                 prefix_len: int = 1, max_expansions: int = 32
-                 ) -> DataFrame:
+                 prefix_len: int = 1, max_expansions: int = 32,
+                 profile: str = "code") -> DataFrame:
     """(term, df, dist) expansion set for a fuzzy query."""
     if max_edits < 1:
         raise ValueError("max_edits must be >= 1 (0 is a TermQuery)")
-    v = _vocab(docs)
+    v = _vocab(docs, profile)
     if prefix_len > 0:
         v = v.filter(F.col("term").startswith(term[:prefix_len]))
     v = v.filter(
@@ -123,13 +125,14 @@ def _check_wildcard(pattern: str) -> None:
 
 
 def expand_wildcard(docs: DataFrame, pattern: str,
-                    max_expansions: int = 32) -> DataFrame:
+                    max_expansions: int = 32,
+                    profile: str = "code") -> DataFrame:
     """(term, df) expansion set for a wildcard query (``te?t``,
     ``t*ble``): dictionary terms matching the whole pattern, gated by
     the sargable literal-prefix range before the LIKE evaluation,
     ranked (df DESC, term ASC), capped."""
     _check_wildcard(pattern)
-    return (_vocab(docs)
+    return (_vocab(docs, profile)
             .filter(F.col("term").startswith(wildcard_prefix(pattern)))
             .filter(F.col("term").like(wildcard_like(pattern)))
             .orderBy(F.desc("df"), F.asc("term"))
@@ -176,7 +179,8 @@ def regex_prefix(pattern: str) -> str:
 
 
 def expand_regex(docs: DataFrame, pattern: str,
-                 max_expansions: int = 32) -> DataFrame:
+                 max_expansions: int = 32,
+                 profile: str = "code") -> DataFrame:
     """(term, df) expansion set for a RegexpQuery: dictionary terms
     whose WHOLE text matches the pattern (Lucene semantics), ranked
     (df DESC, term ASC), capped. Patterns must stay in the common
@@ -191,7 +195,7 @@ def expand_regex(docs: DataFrame, pattern: str,
         _re.compile(pattern)
     except _re.error as e:
         raise ValueError(f"bad regex {pattern!r}: {e}") from e
-    v = _vocab(docs)
+    v = _vocab(docs, profile)
     pfx = regex_prefix(pattern)
     if pfx:
         v = v.filter(F.col("term").startswith(pfx))

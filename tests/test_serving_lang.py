@@ -345,3 +345,29 @@ def test_fixture_querystring_end_to_end(fx_ix):
     # phrase "beta beta" only in doc 3
     rows = SV.querystring_search_indexed(fx_ix, '"beta beta"', 10)
     assert [d for _, d, _ in rows] == [3]
+
+
+def test_hot_negated_phrase_routes_distributed(sf_ix, monkeypatch):
+    """VERDICT r4 "what's wrong" #2: negated-phrase terms used to
+    escape the routing budget — the driver path then collected the
+    phrase's FULL match set (unbounded on a hot phrase). The budget
+    now counts not-phrase (and slop-phrase) terms, so this query must
+    route to the distributed plan, with identical results."""
+    from pke_spark.index import wand as W
+    from pke_spark.ops.querylang import parse_querystring
+
+    qs = 'spark -"merge slow"'
+    want = SV.querystring_search_indexed(sf_ix, qs, 10)
+    dfs = sf_ix.term_dfs(["spark", "merge", "slow"])
+    assert dfs["merge"] > 0 and dfs["slow"] > 0
+    # budget admits the score term alone but NOT score + negated-phrase
+    # terms — exactly the hole: a pre-fix build would stay on the
+    # driver path and collect the phrase match set
+    bound = dfs["spark"] + 1
+    monkeypatch.setattr(W, "_fastpath_bound", lambda ix: bound)
+    pq = parse_querystring(qs)
+    assert SV._route_distributed(sf_ix, pq, ["spark"], None)
+    assert SV.querystring_search_indexed(sf_ix, qs, 10) == want
+    # sloppy phrases budget their terms the same way
+    pq_slop = parse_querystring('spark "merge slow"~2')
+    assert SV._route_distributed(sf_ix, pq_slop, ["spark"], None)
