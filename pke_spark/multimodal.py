@@ -39,12 +39,147 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return (arr.astype(np.float64) / 65535.0).astype(np.float64)
 
 
+def decode_pixels(payload: bytes) -> np.ndarray | None:
+    """REAL pixel decode for the dependency-free formats — pure numpy +
+    stdlib struct, no media libraries:
+
+    - BMP (``BM``, BITMAPINFOHEADER+, BI_RGB uncompressed): 8-bit
+      paletted, 24-bit BGR, 32-bit BGRA; bottom-up and top-down rows;
+      4-byte row stride.
+    - PPM binary (``P6``): RGB, maxval <= 65535 (16-bit samples are
+      big-endian per the spec, scaled to 8-bit).
+    - PGM binary (``P5``): grayscale, same maxval rules.
+
+    Returns an (H, W, C) uint8 array, or None when the payload is not
+    one of these formats (compressed formats stay behind the
+    NotImplementedError gate in ``real_decode``)."""
+    import struct
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = struct.unpack("<I", payload[10:14])[0]
+        dib = struct.unpack("<I", payload[14:18])[0]
+        if dib < 40:  # BITMAPCOREHEADER et al.: out of scope
+            return None
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        compression = struct.unpack("<I", payload[30:34])[0]
+        if compression != 0 or w <= 0 or h == 0 or \
+                bpp not in (8, 24, 32):
+            return None
+        top_down = h < 0
+        h = abs(h)
+        stride = ((bpp * w + 31) // 32) * 4
+        if data_off + stride * h > len(payload):
+            return None  # truncated pixel array
+        rows = np.frombuffer(
+            payload, np.uint8, stride * h, data_off).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        if bpp == 8:
+            # palette: 4-byte BGRX entries between the DIB header and
+            # the pixel array
+            n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+            pal_off = 14 + dib
+            if pal_off + 4 * n_colors > len(payload):
+                return None
+            pal = np.frombuffer(
+                payload, np.uint8, 4 * n_colors, pal_off
+            ).reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+            idx = rows[:, :w]
+            if int(idx.max(initial=0)) >= n_colors:
+                return None
+            return np.ascontiguousarray(pal[idx])
+        c = bpp // 8
+        px = rows[:, :w * c].reshape(h, w, c)
+        rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+        return np.ascontiguousarray(rgb)
+
+    if payload[:2] in (b"P5", b"P6"):
+        # token scanner: whitespace-separated header fields with
+        # '#'-to-EOL comments anywhere between them
+        pos, fields = 2, []
+        while len(fields) < 3 and pos < len(payload):
+            ch = payload[pos:pos + 1]
+            if ch.isspace():
+                pos += 1
+            elif ch == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = len(payload) if nl < 0 else nl + 1
+            elif ch.isdigit():
+                end = pos
+                while end < len(payload) and payload[end:end + 1].isdigit():
+                    end += 1
+                fields.append(int(payload[pos:end]))
+                pos = end
+            else:
+                return None
+        if len(fields) < 3 or pos >= len(payload) or \
+                not payload[pos:pos + 1].isspace():
+            return None
+        pos += 1  # exactly ONE whitespace byte after maxval (spec)
+        w, h, maxval = fields
+        if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+            return None
+        c = 3 if payload[:2] == b"P6" else 1
+        if maxval > 255:
+            n = w * h * c
+            if pos + 2 * n > len(payload):
+                return None
+            raw = np.frombuffer(payload, ">u2", n, pos).astype(np.float64)
+            return np.ascontiguousarray(
+                (raw * (255.0 / maxval)).round().astype(np.uint8)
+                .reshape(h, w, c))
+        n = w * h * c
+        if pos + n > len(payload):
+            return None
+        px = np.frombuffer(payload, np.uint8, n, pos).reshape(h, w, c)
+        if maxval != 255:
+            px = (px.astype(np.float64) * (255.0 / maxval)).round() \
+                .astype(np.uint8)
+        return np.ascontiguousarray(px)
+
+    return None
+
+
+def pixel_features(px: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM deterministic pooled statistics over a decoded
+    (H, W, C) uint8 image: per-channel mean/std (3 channels, grayscale
+    broadcast), global min/max, and an 8-bin luminance histogram —
+    the classic cheap visual fingerprint, all vectorized numpy."""
+    x = px.astype(np.float64)
+    if x.shape[2] == 1:
+        x = np.repeat(x, 3, axis=2)
+    means = x.mean(axis=(0, 1)) / 255.0
+    stds = x.std(axis=(0, 1)) / 255.0
+    lum = x.mean(axis=2)
+    hist = np.histogram(lum, bins=8, range=(0.0, 255.0))[0]
+    hist = hist / lum.size
+    out = np.concatenate([means, stds,
+                          [x.min() / 255.0, x.max() / 255.0], hist])
+    assert out.shape == (FEATURE_DIM,)
+    return out
+
+
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """Real decoder: pixel path for the dependency-free image formats
+    (uncompressed BMP, binary PPM/PGM — ``decode_pixels``); compressed
+    image formats and audio/video stay honestly gated (PIL/librosa/av
+    are not present in this environment)."""
+    if kind == "image":
+        px = decode_pixels(payload)
+        if px is not None:
+            return pixel_features(px)
+        hdr = image_header(payload)
+        detail = f"{hdr['format']} decode requires PIL" if hdr \
+            else "unrecognized image payload"
+        raise NotImplementedError(
+            f"{detail}; only uncompressed BMP and binary PPM/PGM decode "
+            f"without media libraries (decode_pixels)")
     raise NotImplementedError(
-        "pixel/sample decoding requires PIL/librosa/av, not present in "
-        "this environment; wire the real decoder here. Container-level "
-        "metadata (dimensions/format) IS decoded for real — see "
-        "image_header / probe_images.")
+        f"{kind} sample decoding requires librosa/av, not present in "
+        f"this environment; wire the real decoder here. Container-level "
+        f"metadata (dimensions/format) IS decoded for real — see "
+        f"image_header / probe_images.")
 
 
 DECODERS = {"stub": _fake_decode, "real": real_decode}
