@@ -103,7 +103,18 @@ def expand_prefix_indexed(ix: IndexReader, prefix: str,
     (df DESC, term ASC)-ranked and capped — identical semantics to
     ``ops.termexpand.expand_prefix`` (parity-tested). One pushdown
     range read; df is summed over LSM fragments (each (term, doc)
-    lives in exactly one fragment, so the sum IS the df)."""
+    lives in exactly one fragment, so the sum IS the df).
+
+    Deleted-doc df caveat (ADVICE r4, all ``expand_*_indexed``): the
+    ranking df is the BUILD-TIME count and still includes tombstoned
+    docs until ``purge_deleted``/compaction rewrites the postings —
+    exactly Lucene's ``docFreq`` semantics, where deletes don't touch
+    term statistics until a segment merge. With outstanding tombstones
+    a capped expansion set can therefore order differently from the
+    live-df corpus twin (which the row-for-row parity tests avoid by
+    purging first); match SETS still exclude tombstoned docs on every
+    path. Pinned by tests/test_delete.py::
+    test_expansion_df_semantics_with_tombstones."""
     if not prefix:
         raise ValueError("empty prefix would expand the whole vocabulary")
     hi = prefix + chr(0x10FFFF)

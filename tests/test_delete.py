@@ -281,3 +281,42 @@ def test_delete_empty_and_manifest(spark, corpus, tmp_path):
     m = spark.read.parquet(f"{d}/manifest")
     assert m.filter(m.phase == "delete").count() == 1
     assert glob.glob(f"{d}/tombstones/del_*/*.parquet")
+
+
+def test_expansion_df_semantics_with_tombstones(spark, tmp_path):
+    """ADVICE r4: index-backed expansions rank by BUILD-TIME df (Lucene
+    docFreq semantics — deletes don't touch term stats until a merge),
+    so with outstanding tombstones a capped expansion can order
+    differently from the live-df corpus twin. Pin both halves of the
+    contract: (a) the stale-df ordering is exactly the build-time one
+    and purge restores live-df parity; (b) match sets exclude the
+    tombstoned docs on every path even before purge."""
+    from pke_spark.index import serving as SV
+    from pke_spark.ops import termexpand as TE
+
+    # 'ab' appears in 4 docs, 'aa' in 3 — deleting two 'ab' docs makes
+    # live df(ab)=2 < df(aa)=3, flipping the (df DESC, term ASC) order
+    rows = [(1, "ab x"), (2, "ab y"), (3, "ab z"), (4, "ab aa"),
+            (5, "aa q"), (6, "aa r")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "ix")
+    build_index(docs, d, n_parts=2, n_salts=2)
+
+    ix = IndexReader(spark, d)
+    assert SV.expand_prefix_indexed(ix, "a", 2) == ["ab", "aa"]
+
+    delete_docs(spark, d, [1, 2])
+    ix2 = IndexReader(spark, d)
+    # (a) stale build-time df still ranks ab first (Lucene docFreq)...
+    assert SV.expand_prefix_indexed(ix2, "a", 2) == ["ab", "aa"]
+    # ...while the live-df corpus op flips
+    survivors = docs.filter(~docs.doc_id.isin([1, 2]))
+    live = [r.term for r in TE.expand_prefix(survivors, "a", 2).collect()]
+    assert live == ["aa", "ab"]
+    # (b) but match sets already exclude tombstoned docs pre-purge
+    hit_ids = {doc for _r, doc, _s in SV.prefix_search(ix2, "a", 10)}
+    assert hit_ids == {3, 4, 5, 6}
+    # purge rewrites postings: df becomes live and parity is restored
+    purge_deleted(spark, d)
+    ix3 = IndexReader(spark, d)
+    assert SV.expand_prefix_indexed(ix3, "a", 2) == live
