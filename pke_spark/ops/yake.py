@@ -106,22 +106,44 @@ _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 _WORD = re.compile(r"[A-Za-z0-9][A-Za-z0-9\-]*")
 
 
-def levenshtein(a: str, b: str) -> int:
-    """Classic DP edit distance (P5; nltk.edit_distance analog)."""
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Classic DP edit distance (P5; nltk.edit_distance analog).
+
+    ``cap``: early-abort bound — when every cell of a DP row reaches
+    ``cap`` the true distance is >= cap and ``cap`` is returned. The
+    redundancy test below is monotonically FALSE for every distance
+    >= its cap, so capped and exact distances decide identically
+    (bit-exact goldens; equivalence pinned in tests/test_yake_full.py).
+    """
     if a == b:
         return 0
     if not a:
         return len(b)
     if not b:
         return len(a)
+    if cap is not None and abs(len(a) - len(b)) >= cap:
+        return cap  # length difference is a lower bound on distance
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]
+        append = cur.append
         for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                           prev[j - 1] + (ca != cb)))
+            append(min(prev[j] + 1, cur[j - 1] + 1,
+                       prev[j - 1] + (ca != cb)))
+        if cap is not None and min(cur) >= cap:
+            return cap
         prev = cur
     return prev[-1]
+
+
+def _dedup_cap(maxlen: int, threshold: float) -> int:
+    """Smallest distance d where ``1 - d/maxlen > threshold`` is False
+    — evaluated in the exact float form the redundancy test uses, so
+    capping the DP at it can never flip a decision."""
+    for d in range(maxlen + 1):
+        if not (1.0 - d / maxlen > threshold):
+            return d
+    return maxlen + 1
 
 
 def yake_sentences(text: str) -> list[list[str]]:
@@ -188,8 +210,15 @@ def yake_doc(sentences: list[list[str]], stopset: set, k: int,
             elif surface[0].isupper() and off != sh:
                 tf_u += 1
         casing = max(tf_a, tf_u) / (1.0 + math.log(tf))
-        sids = list({t[2] for t in occ})
-        position = math.log(math.log(3.0 + float(np.median(sids))))
+        sids = sorted({t[2] for t in occ})
+        # exact np.median of ints, without numpy's per-call overhead
+        # (this ran once per vocab word and dominated the profile):
+        # odd n -> middle element; even n -> midpoint of the two middle
+        # values, the same (a+b)/2 float np.median computes
+        m = len(sids) // 2
+        med = float(sids[m]) if len(sids) % 2 else \
+            (sids[m - 1] + sids[m]) / 2.0
+        position = math.log(math.log(3.0 + med))
         frequency = tf / (mean_tf + std_tf)
         left, right = contexts[w]
         wl = (len(set(left)) / len(left)) if left else 0.0
@@ -263,7 +292,9 @@ def yake_doc(sentences: list[list[str]], stopset: set, k: int,
     best = sorted(weights, key=lambda c: (weights[c], c))
     sel: list[str] = []
     for c in best:
-        if any(1.0 - levenshtein(c, p) / max(len(c), len(p)) > threshold
+        if any(1.0 - levenshtein(c, p, _dedup_cap(max(len(c), len(p)),
+                                                  threshold))
+               / max(len(c), len(p)) > threshold
                for p in sel):
             continue
         sel.append(c)
