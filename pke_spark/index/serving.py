@@ -539,6 +539,68 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
     return _rank_topk(scored, k)
 
 
+def _batch_champion_thetas(ix: IndexReader, parsed: dict, fan, stats,
+                           qt_rows: list, raw_ids, idf, tf_part,
+                           score_agg, keys: list, k: int,
+                           min_should_match: int) -> dict:
+    """Exact pruning thresholds for the batched plan: for each
+    CONSTRAINT-FREE query, θ = the exact (rounded) k-th score among the
+    union of its terms' top-k champion docs, where a term's champions
+    are its top-k docs by query-independent BM25 contribution. Any doc
+    whose final score reaches θ must have one term contributing at
+    least θ/|terms| — the per-row bound the caller filters the fan on.
+    Queries with constraints (or fewer than k champion candidates, or
+    any min_should_match) are excluded: constraints can evict
+    champions and lower the true k-th score, so θ would over-prune.
+
+    Cost: one decode pass to rank champions (salted two-phase per-term
+    top-k) + one fan pass to score <= |queries|*|terms|*k candidate
+    pairs, collected driver-side (bounded, tiny)."""
+    from .wand import decoded_tc
+
+    if min_should_match:
+        return {}
+    spark = ix.spark
+    with_terms = {q for q, _t, _w in qt_rows}
+    uq = sorted(
+        qid for qid, pq in parsed.items()
+        if qid in with_terms
+        and not (pq.must or pq.must_not or pq.phrases or pq.not_phrases
+                 or pq.slop_phrases or pq.filters or pq.must_any))
+    if not uq:
+        return {}
+    uq_set = set(uq)
+    u_terms = sorted({t for q, t, _w in qt_rows if q in uq_set})
+    base = (raw_ids(decoded_tc(ix, u_terms)).join(stats, "term")
+            .withColumn("contrib", idf * tf_part))
+    worder = [F.desc("contrib"), F.asc("doc_id")]
+    w1 = Window.partitionBy("term", "salt").orderBy(*worder)
+    w2 = Window.partitionBy("term").orderBy(*worder)
+    champ = (base.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(32)).cast("int"))
+        .withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= int(k)).drop("salt", "r")
+        .withColumn("r", F.row_number().over(w2))
+        .where(F.col("r") <= int(k))
+        .select("term", "doc_id"))
+    qt_u = F.broadcast(spark.createDataFrame(
+        sorted((q, t) for q, t, _w in qt_rows if q in uq_set),
+        "query_id string, term string"))
+    cand0 = (champ.join(qt_u, "term")
+             .select("query_id", "doc_id").distinct())
+    scored0 = (fan.join(F.broadcast(cand0), keys, "left_semi")
+               .join(stats, "term").groupBy(*keys).agg(score_agg))
+    by_q: dict = {}
+    for r in scored0.collect():
+        by_q.setdefault(r.query_id, []).append((r.score, r.doc_id))
+    theta = {}
+    for qid, lst in by_q.items():
+        if len(lst) >= k:
+            lst.sort(key=lambda x: (-x[0], x[1]))
+            theta[qid] = float(lst[k - 1][0])
+    return theta
+
+
 def querystring_topk_batch(ix: IndexReader, queries: dict,
                            k: int = 10, max_expansions: int = 32,
                            docs_parquet: str | None = None,
@@ -601,8 +663,61 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
     # did not beat recomputation — the decode is cheaper than
     # materializing ~10^8 fanned rows.)
     fan = raw_ids(decoded_tc(ix, sorted(dfs))).join(qt, "term")
-    cand = fan.select("query_id", "doc_id").distinct()
     keys = ["query_id", "doc_id"]
+
+    # Score-once-then-constrain (round-5 batch replan): the old plan
+    # materialized cand = fan.distinct() (a full shuffle of the fanned
+    # stream), semi-joined fan back against it (a second full
+    # shuffle), and only then aggregated. Constraint predicates never
+    # change a surviving doc's score (BM25 uses full-corpus stats), so
+    # aggregate FIRST — one map-side-combined shuffle over the fan —
+    # and apply every constraint to the (query_id, doc_id, score)
+    # table, whose right-hand sides are clause-bounded. 2 of 3
+    # corpus-sized shuffles gone.
+    n, avgdl = float(ix.n_docs), float(ix.avgdl)
+    idf = F.log(F.lit(1.0)
+                + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / \
+        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    score_agg = F.round(F.sum(F.col("boost") * idf * tf_part), 6) \
+        .alias("score")
+    cols = ["query_id", "doc_id", "score"]
+
+    theta = _batch_champion_thetas(
+        ix, parsed, fan, stats, qt_rows, raw_ids, idf, tf_part,
+        score_agg, keys, k, min_should_match)
+    if theta:
+        # Champion-list pruning (MaxScore family, exact): for a
+        # CONSTRAINT-FREE query, θ = the exact k-th score among the
+        # per-term top-k champion docs is a lower bound of the final
+        # k-th score. Any doc with score >= θ has some term where
+        # boost*contrib >= θ/|terms|, so filtering the fan on that
+        # per-row bound (minus one 6-dec rounding ulp) keeps every
+        # possible top-k member and drops the long tail BEFORE the big
+        # aggregation — the hot-term fan rows collapse to the few docs
+        # whose single-term contribution is championship-grade.
+        # Constrained queries skip this: a constraint can evict
+        # champions and lower the true k-th score, so θ would
+        # over-prune. Parity pinned by the batch tests + fuzzers.
+        n_terms_q: dict = {}
+        for qid, _t, _w in qt_rows:
+            n_terms_q[qid] = n_terms_q.get(qid, 0) + 1
+        thr = F.broadcast(spark.createDataFrame(
+            [(qid, (th - 1e-6) / n_terms_q[qid])
+             for qid, th in sorted(theta.items())],
+            "query_id string, thr double"))
+        keep = (fan.join(thr, "query_id").join(stats, "term")
+                .where(F.col("boost") * idf * tf_part >= F.col("thr"))
+                .select(*keys).distinct())
+        tq = sorted(theta)
+        pruned = (fan.where(F.col("query_id").isin(tq))
+                  .join(keep, keys, "left_semi")
+                  .join(stats, "term").groupBy(*keys).agg(score_agg))
+        rest = (fan.where(~F.col("query_id").isin(tq))
+                .join(stats, "term").groupBy(*keys).agg(score_agg))
+        cand = rest.unionByName(pruned)
+    else:
+        cand = fan.join(stats, "term").groupBy(*keys).agg(score_agg)
 
     if min_should_match:
         cm_rows = []
@@ -639,7 +754,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 .join(n_must, "query_id")
                 .where((F.col("n_must") == 0)
                        | (F.col("nm") == F.col("n_must")))
-                .select(*keys))
+                .select(*cols))
 
     ma_rows = [(qid, gid, t)
                for qid, pq in parsed.items()
@@ -659,7 +774,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 .join(n_ma, "query_id")
                 .where((F.col("n_ma") == 0)
                        | (F.col("ng") == F.col("n_ma")))
-                .select(*keys))
+                .select(*cols))
 
     ph_specs = [(qid, pid, ph)
                 for qid, pq in parsed.items()
@@ -702,7 +817,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 .join(n_ph, "query_id")
                 .where((F.col("n_ph") == 0)
                        | (F.col("np") == F.col("n_ph")))
-                .select(*keys))
+                .select(*cols))
     if nph_specs:
         cand = cand.join(_phrase_pairs(nph_specs).select(*keys),
                          keys, "left_anti")
@@ -736,7 +851,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 .join(n_sp, "query_id")
                 .where((F.col("n_sp") == 0)
                        | (F.col("ns") == F.col("n_sp")))
-                .select(*keys))
+                .select(*cols))
 
     f_qids = [qid for qid, pq in parsed.items() if pq.filters]
     if f_qids:
@@ -771,7 +886,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                           "left")
                 .join(has_f, "query_id")
                 .where((F.col("has_f") == 0) | F.col("f_hit").isNotNull())
-                .select(*keys))
+                .select(*cols))
 
     not_rows = [(qid, t) for qid, pq in parsed.items()
                 for t in sorted(set(pq.must_not))]
@@ -783,19 +898,21 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                    .select(*keys).distinct())
         cand = cand.join(n_pairs, keys, "left_anti")
 
-    n, avgdl = float(ix.n_docs), float(ix.avgdl)
-    idf = F.log(F.lit(1.0)
-                + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_part = (F.col("tf") * (k1 + 1.0)) / \
-        (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-    scored = (fan.join(cand, keys, "left_semi")
-              .join(stats, "term")
-              .groupBy(*keys)
-              .agg(F.round(F.sum(F.col("boost") * idf * tf_part), 6)
-                   .alias("score")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
-                                               F.asc("doc_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+    # Salted two-phase per-query top-k: a single
+    # Window.partitionBy(query_id) sorts EVERY (query, doc) score in
+    # one task per query — a corpus-sized sort for hot queries. Phase 1
+    # takes top-k inside (query_id, doc-hash salt) sub-partitions
+    # (parallel, partial — like map-side TakeOrdered); the true top-k
+    # is a subset of the <= 32k survivors, so the final per-query
+    # window sorts a trivial set. Exact, tie-breaks included.
+    order = [F.desc("score"), F.asc("doc_id")]
+    w1 = Window.partitionBy("query_id", "salt").orderBy(*order)
+    pre = (cand.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(32)).cast("int"))
+        .withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= int(k)).drop("salt", "r"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (pre.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= int(k))
             .select("query_id", "rank", "doc_id", "score"))
 

@@ -371,3 +371,47 @@ def test_hot_negated_phrase_routes_distributed(sf_ix, monkeypatch):
     # sloppy phrases budget their terms the same way
     pq_slop = parse_querystring('spark "merge slow"~2')
     assert SV._route_distributed(sf_ix, pq_slop, ["spark"], None)
+
+
+def test_batch_champion_pruning_parity(spark, tmp_path):
+    """Round-5 batched-plan pruning: a batch mixing constraint-free
+    queries (θ-pruned via per-term champions) and constrained ones
+    (never pruned) over a corpus where every query matches far more
+    than k docs — per-query rows must equal the sequential serving
+    path exactly, tie-breaks included."""
+    from pke_spark.index import serving as SVm
+    from pke_spark.index.build import build_index
+    from pke_spark.index.positions import build_positions
+
+    rows = [(i,
+             ("alpha beta " * (1 + i % 7)
+              + "gamma " * (i % 5)
+              + ("delta " if i % 3 else "epsilon ")
+              + f"uniq{i}"))
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "ix")
+    build_index(docs, d, n_parts=4, n_salts=2)
+    build_positions(docs, d, n_salts=2)
+    ix = IndexReader(spark, d)
+
+    qset = {
+        "plain": "alpha gamma",            # unconstrained -> θ-pruned
+        "boost": "alpha^2 beta delta^0.5",  # unconstrained -> θ-pruned
+        "tie": "alpha beta",               # mass ties -> doc_id breaks
+        "must": "+delta alpha",            # constrained -> unpruned
+        "notq": "alpha -epsilon",          # constrained -> unpruned
+        "rare": "uniq7 uniq9",             # < k matches -> no θ
+    }
+    # the prune path must actually engage for the unconstrained queries
+    parsed = {q: SVm.parse_querystring(s, ix.profile)
+              for q, s in qset.items()}
+    got = SVm.querystring_topk_batch(ix, qset, 10).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.score))
+    for qid, qs in qset.items():
+        want = SVm.querystring_search_indexed(ix, qs, 10)
+        assert sorted(by_q.get(qid, [])) == sorted(want), qid
+    assert len(by_q["plain"]) == 10  # matches >> k, top-k returned
