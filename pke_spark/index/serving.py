@@ -320,7 +320,12 @@ def _score_candidates(ix: IndexReader, score_terms: list[str],
     acc = np.zeros(len(cand), dtype=np.float64)
     for t in live:
         d, tf, dl = posts[t]
-        m = np.isin(d, cand, assume_unique=True)
+        # membership of d in the SORTED cand via one binary search —
+        # np.isin sort-merges both arrays per call and dominated the
+        # batched driver profile at multi-million-row unions
+        idx = np.searchsorted(cand, d)
+        idx[idx == len(cand)] = 0
+        m = cand[idx] == d
         if not m.any():
             continue
         idf = _idf(int(n), dfs[t])
@@ -330,17 +335,123 @@ def _score_candidates(ix: IndexReader, score_terms: list[str],
         dlf = dl[m].astype(np.float64)
         c = idf * (tff * (k1 + 1.0)) / \
             (tff + k1 * (1.0 - b + b * dlf / avgdl))
-        idx = np.searchsorted(cand, d[m])
+        idx = idx[m]
         acc[idx] += c
         hit[idx] = True
     docs = cand[hit]
     scores = np.round(acc[hit], 6)
-    order = np.lexsort((docs, -scores))[:k]
+    order = _topk_order(docs, scores, k)
     out = [(i + 1, int(docs[j]), float(scores[j]))
            for i, j in enumerate(order)]
     if ix.dense:
         out = _translate_rows(ix, out)
     return [(r, int(d), float(s)) for r, d, s in out]
+
+
+class _BatchScorer:
+    """Shared-term scorer for the batched driver path: the per-term
+    work _score_candidates repeats for every query — positions of the
+    term's postings inside the sorted candidate union, and the two
+    BM25 factor arrays — is precomputed ONCE per distinct term and
+    reused by every query in the batch. Per query, scoring is then two
+    fused array ops per term over one reused accumulator.
+
+    Bit-exactness: the per-row expression is evaluated with the same
+    tree as ``_score_candidates`` — ``(idf*boost) * A / B`` with
+    A = tf*(k1+1) and B = tf + k1*(1-b+b*dl/avgdl) — in the same
+    sorted-term order, followed by the same round-to-6 and
+    (score DESC, doc_id ASC) selection, so batched and single-query
+    driver results are float-identical (parity-tested)."""
+
+    def __init__(self, ix: IndexReader, terms: list[str],
+                 k1: float, b: float):
+        self.ix = ix
+        dfs = ix.term_dfs(sorted(set(terms)))
+        posts = ix.decoded_postings(sorted(dfs))
+        avgdl = float(ix.avgdl)
+        self.n = int(ix.n_docs)
+        self.dfs = dfs
+        docs_arrays = [posts[t][0] for t in sorted(dfs)
+                       if len(posts[t][0])]
+        self.union = (np.unique(np.concatenate(docs_arrays))
+                      if docs_arrays else np.empty(0, np.int64))
+        self.pos: dict = {}
+        self.A: dict = {}
+        self.B: dict = {}
+        for t in sorted(dfs):
+            d, tf, dl = posts[t]
+            if not len(d):
+                continue
+            self.pos[t] = np.searchsorted(self.union, d)
+            tff = tf.astype(np.float64)
+            dlf = dl.astype(np.float64)
+            self.A[t] = tff * (k1 + 1.0)
+            self.B[t] = tff + k1 * (1.0 - b + b * dlf / avgdl)
+        self._acc = np.zeros(len(self.union), dtype=np.float64)
+        self._hit = np.zeros(len(self.union), dtype=bool)
+
+    def score(self, score_terms: list[str], cand: np.ndarray | None,
+              k: int, boosts: dict | None = None
+              ) -> list[tuple[int, int, float]]:
+        live = [t for t in sorted(set(score_terms)) if t in self.pos]
+        if not live or not len(self.union):
+            return []
+        acc, hit = self._acc, self._hit
+        acc.fill(0.0)
+        hit.fill(False)
+        for t in live:
+            idf = _idf(self.n, self.dfs[t])
+            if boosts is not None:
+                idf *= float(boosts.get(t, 1.0))
+            p = self.pos[t]
+            acc[p] += idf * self.A[t] / self.B[t]
+            hit[p] = True
+        if cand is None:
+            sel = hit
+        else:
+            cm = np.zeros(len(self.union), dtype=bool)
+            cp = np.searchsorted(self.union, cand)
+            cp_ok = cp < len(self.union)
+            cp = cp[cp_ok]
+            cm[cp[self.union[cp] == np.asarray(cand)[cp_ok]]] = True
+            sel = hit & cm
+        docs = self.union[sel]
+        if not len(docs):
+            return []
+        scores = np.round(acc[sel], 6)
+        order = _topk_order(docs, scores, k)
+        out = [(i + 1, int(docs[j]), float(scores[j]))
+               for i, j in enumerate(order)]
+        if self.ix.dense:
+            out = _translate_rows(self.ix, out)
+        return [(r, int(d), float(s)) for r, d, s in out]
+
+
+def _topk_order(docs: np.ndarray, scores: np.ndarray, k: int
+                ) -> np.ndarray:
+    """Indices of the top-k rows by (score DESC, doc_id ASC) — exactly
+    ``np.lexsort((docs, -scores))[:k]``, but O(n) selection instead of
+    a full sort: partition on the k-th score value, fully order the
+    strictly-above set (< k rows), and among the threshold ties pick
+    the smallest doc_ids by another partition (ties are broken by
+    doc ASC, so the k-th score's tie group never needs a full sort —
+    a mass-tie corpus made the lexsort the scoring hot spot)."""
+    m = len(scores)
+    if m <= max(k, 64):
+        return np.lexsort((docs, -scores))[:k]
+    thr = np.partition(scores, m - k)[m - k]
+    above = scores > thr
+    ia = np.flatnonzero(above)
+    ia = ia[np.lexsort((docs[ia], -scores[ia]))]
+    need = k - len(ia)
+    if need <= 0:
+        return ia[:k]
+    ie = np.flatnonzero(scores == thr)
+    if need < len(ie):
+        part = np.argpartition(docs[ie], need - 1)[:need]
+        ie = ie[part]
+    ie = ie[np.argsort(docs[ie])]
+    return np.concatenate([ia, ie[:need]])
 
 
 def _expansion_search(ix: IndexReader, expanded: list[str], k: int,
@@ -539,66 +650,12 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
     return _rank_topk(scored, k)
 
 
-def _batch_champion_thetas(ix: IndexReader, parsed: dict, fan, stats,
-                           qt_rows: list, raw_ids, idf, tf_part,
-                           score_agg, keys: list, k: int,
-                           min_should_match: int) -> dict:
-    """Exact pruning thresholds for the batched plan: for each
-    CONSTRAINT-FREE query, θ = the exact (rounded) k-th score among the
-    union of its terms' top-k champion docs, where a term's champions
-    are its top-k docs by query-independent BM25 contribution. Any doc
-    whose final score reaches θ must have one term contributing at
-    least θ/|terms| — the per-row bound the caller filters the fan on.
-    Queries with constraints (or fewer than k champion candidates, or
-    any min_should_match) are excluded: constraints can evict
-    champions and lower the true k-th score, so θ would over-prune.
-
-    Cost: one decode pass to rank champions (salted two-phase per-term
-    top-k) + one fan pass to score <= |queries|*|terms|*k candidate
-    pairs, collected driver-side (bounded, tiny)."""
-    from .wand import decoded_tc
-
-    if min_should_match:
-        return {}
-    spark = ix.spark
-    with_terms = {q for q, _t, _w in qt_rows}
-    uq = sorted(
-        qid for qid, pq in parsed.items()
-        if qid in with_terms
-        and not (pq.must or pq.must_not or pq.phrases or pq.not_phrases
-                 or pq.slop_phrases or pq.filters or pq.must_any))
-    if not uq:
-        return {}
-    uq_set = set(uq)
-    u_terms = sorted({t for q, t, _w in qt_rows if q in uq_set})
-    base = (raw_ids(decoded_tc(ix, u_terms)).join(stats, "term")
-            .withColumn("contrib", idf * tf_part))
-    worder = [F.desc("contrib"), F.asc("doc_id")]
-    w1 = Window.partitionBy("term", "salt").orderBy(*worder)
-    w2 = Window.partitionBy("term").orderBy(*worder)
-    champ = (base.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(32)).cast("int"))
-        .withColumn("r", F.row_number().over(w1))
-        .where(F.col("r") <= int(k)).drop("salt", "r")
-        .withColumn("r", F.row_number().over(w2))
-        .where(F.col("r") <= int(k))
-        .select("term", "doc_id"))
-    qt_u = F.broadcast(spark.createDataFrame(
-        sorted((q, t) for q, t, _w in qt_rows if q in uq_set),
-        "query_id string, term string"))
-    cand0 = (champ.join(qt_u, "term")
-             .select("query_id", "doc_id").distinct())
-    scored0 = (fan.join(F.broadcast(cand0), keys, "left_semi")
-               .join(stats, "term").groupBy(*keys).agg(score_agg))
-    by_q: dict = {}
-    for r in scored0.collect():
-        by_q.setdefault(r.query_id, []).append((r.score, r.doc_id))
-    theta = {}
-    for qid, lst in by_q.items():
-        if len(lst) >= k:
-            lst.sort(key=lambda x: (-x[0], x[1]))
-            theta[qid] = float(lst[k - 1][0])
-    return theta
+# Batch driver-path budget: total decoded posting rows the batch may
+# hold on the driver (one decode per DISTINCT term, amortized over the
+# whole query set). 64M rows x ~24 B/row ≈ 1.5 GB — modest for a
+# serving coordinator; a web-scale union (one 10^9-row mega-term)
+# exceeds it and routes to the distributed plan.
+BATCH_DRIVER_MAX_ROWS = 64_000_000
 
 
 def querystring_topk_batch(ix: IndexReader, queries: dict,
@@ -645,6 +702,47 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         [], "query_id string, rank int, doc_id long, score double")
     if not qt_rows:
         return empty
+
+    # ---- batch driver fast path (round 5) ----
+    # The batch decodes each DISTINCT term once, so the routing unit is
+    # the whole batch's working set, not a single query's: when the
+    # union of all score + MUST_NOT posting rows fits the batch driver
+    # budget, warm the decoded-postings LRU with ONE term-pruned point
+    # read and answer every query with the same numpy posting-set
+    # algebra the single-query driver path uses (shared body — results
+    # can never diverge). 200 hot 2-term queries then cost one decode
+    # plus ~milliseconds of vectorized set ops each, instead of fanning
+    # queries x postings through a corpus-sized shuffle. Past the
+    # budget (a web-scale mega-term union), the distributed plan below
+    # is the honest shape.
+    not_terms = sorted({t for pq in parsed.values()
+                        for t in set(pq.must_not)} - set(dfs))
+    union_rows = sum(dfs.values()) + \
+        sum(ix.term_dfs(not_terms).values() if not_terms else [])
+    if union_rows <= BATCH_DRIVER_MAX_ROWS:
+        old_budget = ix.POSTINGS_CACHE_MAX_ROWS
+        ix.POSTINGS_CACHE_MAX_ROWS = max(old_budget, union_rows + 1)
+        try:
+            # one term-pruned read warms the LRU; the shared-term
+            # scorer amortizes per-term position/factor arrays over
+            # every query in the batch
+            bs = _BatchScorer(ix, sorted(dfs), k1, b)
+            rows = []
+            for qid in sorted(queries):
+                pq = parsed[qid]
+                w = pq.expansion_weights(exp_by_q[qid])
+                out = _querystring_driver(
+                    ix, pq, exp_by_q[qid], w, sorted(w), k,
+                    docs_parquet, k1, b, min_should_match, scorer=bs)
+                rows += [(qid, int(r), int(d), float(s))
+                         for r, d, s in out]
+        finally:
+            ix.POSTINGS_CACHE_MAX_ROWS = old_budget
+        if not rows:
+            return empty
+        return spark.createDataFrame(
+            rows, "query_id string, rank int, doc_id long, score double")
+
     qt = F.broadcast(spark.createDataFrame(
         qt_rows, "query_id string, term string, boost double"))
     stats = F.broadcast(spark.createDataFrame(
@@ -659,9 +757,9 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
     # MUST / group / msm clause terms all SCORE, so their (query_id,
     # term, doc_id) presence facts are already rows of ``fan`` — every
     # constraint joins the fanned stream instead of re-decoding
-    # postings. (A persist() of the stream was A/B'd at 2M docs and
-    # did not beat recomputation — the decode is cheaper than
-    # materializing ~10^8 fanned rows.)
+    # postings. (A persist() of the decoded stream and of the fan were
+    # both A/B'd at 2M docs and did not beat recomputation — the
+    # decode is ~4% of the job; the fanned aggregation dominates.)
     fan = raw_ids(decoded_tc(ix, sorted(dfs))).join(qt, "term")
     keys = ["query_id", "doc_id"]
 
@@ -682,42 +780,7 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
     score_agg = F.round(F.sum(F.col("boost") * idf * tf_part), 6) \
         .alias("score")
     cols = ["query_id", "doc_id", "score"]
-
-    theta = _batch_champion_thetas(
-        ix, parsed, fan, stats, qt_rows, raw_ids, idf, tf_part,
-        score_agg, keys, k, min_should_match)
-    if theta:
-        # Champion-list pruning (MaxScore family, exact): for a
-        # CONSTRAINT-FREE query, θ = the exact k-th score among the
-        # per-term top-k champion docs is a lower bound of the final
-        # k-th score. Any doc with score >= θ has some term where
-        # boost*contrib >= θ/|terms|, so filtering the fan on that
-        # per-row bound (minus one 6-dec rounding ulp) keeps every
-        # possible top-k member and drops the long tail BEFORE the big
-        # aggregation — the hot-term fan rows collapse to the few docs
-        # whose single-term contribution is championship-grade.
-        # Constrained queries skip this: a constraint can evict
-        # champions and lower the true k-th score, so θ would
-        # over-prune. Parity pinned by the batch tests + fuzzers.
-        n_terms_q: dict = {}
-        for qid, _t, _w in qt_rows:
-            n_terms_q[qid] = n_terms_q.get(qid, 0) + 1
-        thr = F.broadcast(spark.createDataFrame(
-            [(qid, (th - 1e-6) / n_terms_q[qid])
-             for qid, th in sorted(theta.items())],
-            "query_id string, thr double"))
-        keep = (fan.join(thr, "query_id").join(stats, "term")
-                .where(F.col("boost") * idf * tf_part >= F.col("thr"))
-                .select(*keys).distinct())
-        tq = sorted(theta)
-        pruned = (fan.where(F.col("query_id").isin(tq))
-                  .join(keep, keys, "left_semi")
-                  .join(stats, "term").groupBy(*keys).agg(score_agg))
-        rest = (fan.where(~F.col("query_id").isin(tq))
-                .join(stats, "term").groupBy(*keys).agg(score_agg))
-        cand = rest.unionByName(pruned)
-    else:
-        cand = fan.join(stats, "term").groupBy(*keys).agg(score_agg)
+    cand = fan.join(stats, "term").groupBy(*keys).agg(score_agg)
 
     if min_should_match:
         cm_rows = []
@@ -950,7 +1013,22 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
             min_should_match)
         return [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
                 for r in df.collect()]
+    return _querystring_driver(ix, pq, exp_lists, weights, score_terms,
+                               k, docs_parquet, k1, b, min_should_match)
 
+
+def _querystring_driver(ix: IndexReader, pq: ParsedQuery,
+                        exp_lists: list, weights: dict,
+                        score_terms: list, k: int,
+                        docs_parquet: str | None, k1: float, b: float,
+                        min_should_match: int,
+                        scorer: "_BatchScorer | None" = None
+                        ) -> list[tuple[int, int, float]]:
+    """The driver fast-path body of ``querystring_search_indexed``
+    (posting-set algebra on the decoded-postings LRU) — shared verbatim
+    by the single-query front door and the batched driver path, so the
+    two can never diverge. ``scorer`` swaps the per-query scoring for
+    the batch's shared-term _BatchScorer (float-identical)."""
     cand: np.ndarray | None = None  # None = union of score-term postings
 
     def constrain(doc_set: np.ndarray) -> np.ndarray | None:
@@ -1046,6 +1124,8 @@ def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,
         cand = cand[~np.isin(cand, excl_set, assume_unique=True)]
         if not len(cand):
             return []
+    if scorer is not None:
+        return scorer.score(score_terms, cand, k, weights)
     return _score_candidates(ix, score_terms, cand, k, k1, b, weights)
 
 

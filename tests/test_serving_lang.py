@@ -373,12 +373,13 @@ def test_hot_negated_phrase_routes_distributed(sf_ix, monkeypatch):
     assert SV._route_distributed(sf_ix, pq_slop, ["spark"], None)
 
 
-def test_batch_champion_pruning_parity(spark, tmp_path):
-    """Round-5 batched-plan pruning: a batch mixing constraint-free
-    queries (θ-pruned via per-term champions) and constrained ones
-    (never pruned) over a corpus where every query matches far more
-    than k docs — per-query rows must equal the sequential serving
-    path exactly, tie-breaks included."""
+def test_batch_distributed_mixed_parity(spark, tmp_path, monkeypatch):
+    """Distributed batched plan on a batch mixing unconstrained,
+    boosted, mass-tie, +must / -not constrained, and sub-k queries
+    over a corpus where most queries match far more than k docs —
+    per-query rows must equal the sequential serving path exactly,
+    tie-breaks included. Forced past the driver budget so the
+    distributed score-once-then-constrain plan is what runs."""
     from pke_spark.index import serving as SVm
     from pke_spark.index.build import build_index
     from pke_spark.index.positions import build_positions
@@ -396,16 +397,14 @@ def test_batch_champion_pruning_parity(spark, tmp_path):
     ix = IndexReader(spark, d)
 
     qset = {
-        "plain": "alpha gamma",            # unconstrained -> θ-pruned
-        "boost": "alpha^2 beta delta^0.5",  # unconstrained -> θ-pruned
+        "plain": "alpha gamma",            # unconstrained
+        "boost": "alpha^2 beta delta^0.5",  # boosts thread through
         "tie": "alpha beta",               # mass ties -> doc_id breaks
-        "must": "+delta alpha",            # constrained -> unpruned
-        "notq": "alpha -epsilon",          # constrained -> unpruned
-        "rare": "uniq7 uniq9",             # < k matches -> no θ
+        "must": "+delta alpha",            # MUST constraint
+        "notq": "alpha -epsilon",          # MUST_NOT constraint
+        "rare": "uniq7 uniq9",             # fewer matches than k
     }
-    # the prune path must actually engage for the unconstrained queries
-    parsed = {q: SVm.parse_querystring(s, ix.profile)
-              for q, s in qset.items()}
+    monkeypatch.setattr(SVm, "BATCH_DRIVER_MAX_ROWS", 0)
     got = SVm.querystring_topk_batch(ix, qset, 10).collect()
     by_q: dict = {}
     for r in got:
@@ -415,3 +414,32 @@ def test_batch_champion_pruning_parity(spark, tmp_path):
         want = SVm.querystring_search_indexed(ix, qs, 10)
         assert sorted(by_q.get(qid, [])) == sorted(want), qid
     assert len(by_q["plain"]) == 10  # matches >> k, top-k returned
+
+
+def test_batch_routes_and_both_paths_agree(spark, tmp_path, monkeypatch):
+    """The batch routes by the UNION working set: under the budget it
+    answers driver-side (shared _querystring_driver body), over it the
+    distributed score-once plan runs — both must be row-identical."""
+    from pke_spark.index import serving as SVm
+    from pke_spark.index.build import build_index
+    from pke_spark.index.positions import build_positions
+
+    rows = [(i, "alpha beta " * (1 + i % 5) + ("gamma " if i % 2 else "")
+             + "merge slow " * (i % 3))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "ix")
+    build_index(docs, d, n_parts=2, n_salts=2)
+    build_positions(docs, d, n_salts=2)
+    ix = IndexReader(spark, d)
+    qset = {"a": "alpha gamma", "b": "+alpha^2 beta -gamma",
+            "c": 'alpha "merge slow"', "d": "(beta gamma) alpha^0.5"}
+
+    def rows_of(df):
+        return sorted((r.query_id, r.rank, r.doc_id, r.score)
+                      for r in df.collect())
+
+    driver = rows_of(SVm.querystring_topk_batch(ix, qset, 10))
+    monkeypatch.setattr(SVm, "BATCH_DRIVER_MAX_ROWS", 0)
+    dist = rows_of(SVm.querystring_topk_batch(ix, qset, 10))
+    assert driver == dist and len(driver) >= 30
