@@ -1089,6 +1089,8 @@ class IndexReader:
         self._term_df: dict[str, int] | None = None
         self._decoded = None
         self._decoded_rows = 0
+        self._docsets = None
+        self._docset_rows = 0
         self._duck = None
         # tombstones resolve at construction, like the postings pointer:
         # a reader serves the live set it saw when built (cheap — a glob
@@ -1151,8 +1153,15 @@ class IndexReader:
 
     # decoded-postings LRU bound, in posting ROWS (not terms): a hot
     # term's list is n_docs long, a cold term's is 1 — bounding by rows
-    # bounds driver memory (~24 bytes/row -> ~100 MB at the default)
-    POSTINGS_CACHE_MAX_ROWS = 4_000_000
+    # bounds driver memory (~24 bytes/row -> ~1.5 GB at the default,
+    # modest for a serving coordinator). This bound IS the
+    # driver-vs-distributed routing rule (wand._fastpath_bound): a
+    # query whose working set fits the cache serves from numpy; a
+    # web-scale mega-term (10^9-row postings) exceeds any driver cache
+    # and takes the distributed block-max plan. Raised 4M -> 64M in
+    # round 5 after the batched path proved the working-set size at 2M
+    # docs (and cut the count collector 35x by keeping it driver-side).
+    POSTINGS_CACHE_MAX_ROWS = 64_000_000
 
     def decoded_postings(self, terms: list[str]) -> dict:
         """term -> (doc_ids, tfs, dls) numpy arrays, concatenated over
@@ -1213,6 +1222,37 @@ class IndexReader:
                 _, (d, _t, _d2) = cache.popitem(last=False)
                 self._decoded_rows -= len(d)
         return {t: cache[t] for t in req}
+
+    # doc-set LRU bound, in rows — Lucene's LRUQueryCache analog for
+    # clause-level match sets (phrase / sloppy-phrase doc sets, which
+    # cost a positional-sidecar job to compute and are reused verbatim
+    # by every repeat of the clause in a serving stream)
+    DOCSET_CACHE_MAX_ROWS = 16_000_000
+
+    def docset_cache(self, key: str, compute) -> "np.ndarray":
+        """Memoized sorted int64 doc-set for a clause, keyed by the
+        clause's canonical string. Sound to cache per reader for the
+        same reason decoded_postings is: postings pointer, positional
+        sidecar, and tombstone set are all fixed at reader
+        construction. The result array is treated as immutable by every
+        caller. Bounded by total cached rows, oldest evicted first."""
+        from collections import OrderedDict
+        import numpy as np
+        if self._docsets is None:
+            self._docsets = OrderedDict()
+            self._docset_rows = 0
+        cache = self._docsets
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
+        arr = np.ascontiguousarray(compute(), dtype=np.int64)
+        cache[key] = arr
+        self._docset_rows += len(arr)
+        while (self._docset_rows > self.DOCSET_CACHE_MAX_ROWS
+               and len(cache) > 1):
+            _, old = cache.popitem(last=False)
+            self._docset_rows -= len(old)
+        return arr
 
     def _duckdb(self):
         """One long-lived DuckDB connection per reader: per-query

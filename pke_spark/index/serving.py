@@ -225,12 +225,13 @@ def _docids_to_postspace(ix: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
     con = ix._duckdb()
     con.register("_filter_ids",
                  pd.DataFrame({"doc_id": np.asarray(doc_ids, np.int64)}))
-    rows = con.execute(
+    ords = con.execute(
         f"SELECT m.ord FROM "
         f"read_parquet('{docmap_path(ix.postings_dir)}/*.parquet') m "
-        f"JOIN _filter_ids USING (doc_id) ORDER BY m.ord").fetchall()
+        f"JOIN _filter_ids USING (doc_id) ORDER BY m.ord"
+    ).fetchnumpy()["ord"]
     con.unregister("_filter_ids")
-    return np.asarray([r[0] for r in rows], dtype=np.int64)
+    return np.ascontiguousarray(ords, dtype=np.int64)
 
 
 def _metadata_filter_set(ix: IndexReader, docs_parquet: str,
@@ -239,11 +240,11 @@ def _metadata_filter_set(ix: IndexReader, docs_parquet: str,
     numeric range) — Lucene's filter bitset, resolved once per query by
     a column-pruned predicate-pushdown scan of the documents parquet."""
     pred = filters_predicate(filters)
-    rows = ix._duckdb().execute(
+    ids = ix._duckdb().execute(
         f"SELECT doc_id FROM read_parquet('{docs_parquet}') "
-        f"WHERE {pred}").fetchall()
+        f"WHERE {pred}").fetchnumpy()["doc_id"]
     return _docids_to_postspace(
-        ix, np.asarray([r[0] for r in rows], dtype=np.int64))
+        ix, np.ascontiguousarray(ids, dtype=np.int64))
 
 
 def _phrase_ids_df(ix: IndexReader, phrase: list[str]):
@@ -265,10 +266,18 @@ def _phrase_ids_df(ix: IndexReader, phrase: list[str]):
 
 
 def _phrase_doc_set(ix: IndexReader, phrase: list[str]) -> np.ndarray:
-    """Posting-space doc set for a phrase clause (driver path)."""
-    ids = _phrase_ids_df(ix, phrase).collect()
-    return _docids_to_postspace(
-        ix, np.asarray([r.doc_id for r in ids], dtype=np.int64))
+    """Posting-space doc set for a phrase clause (driver path). Arrow
+    collection: a phrase can match a corpus-sized doc set, and pickled
+    Row deserialization was 70% of the warm driver-path latency at 2M
+    docs (profile, round 5) — one Arrow column transfers in ~100x less
+    driver CPU. Memoized in the reader's doc-set LRU (Lucene's
+    LRUQueryCache shape): the positional-sidecar job runs once per
+    distinct clause per reader, repeats are an O(1) lookup."""
+    def compute():
+        ids = _phrase_ids_df(ix, phrase).toArrow()
+        return _docids_to_postspace(
+            ix, ids["doc_id"].to_numpy().astype(np.int64, copy=False))
+    return ix.docset_cache("ph:" + "\x1f".join(phrase), compute)
 
 
 def _slop_ids_df(ix: IndexReader, terms: list[str], slop: int):
@@ -281,11 +290,14 @@ def _slop_ids_df(ix: IndexReader, terms: list[str], slop: int):
 
 def _slop_doc_set(ix: IndexReader, terms: list[str],
                   slop: int) -> np.ndarray:
-    """Posting-space doc set for a sloppy-phrase clause (driver
-    path)."""
-    ids = _slop_ids_df(ix, terms, slop).collect()
-    return _docids_to_postspace(
-        ix, np.asarray([r.doc_id for r in ids], dtype=np.int64))
+    """Posting-space doc set for a sloppy-phrase clause (driver path).
+    Arrow-collected and LRU-memoized like ``_phrase_doc_set``."""
+    def compute():
+        ids = _slop_ids_df(ix, terms, slop).toArrow()
+        return _docids_to_postspace(
+            ix, ids["doc_id"].to_numpy().astype(np.int64, copy=False))
+    return ix.docset_cache(
+        f"slop{int(slop)}:" + "\x1f".join(terms), compute)
 
 
 # ------------------------------------------------------------- scoring

@@ -443,3 +443,28 @@ def test_batch_routes_and_both_paths_agree(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(SVm, "BATCH_DRIVER_MAX_ROWS", 0)
     dist = rows_of(SVm.querystring_topk_batch(ix, qset, 10))
     assert driver == dist and len(driver) >= 30
+
+
+def test_docset_cache_memoizes_and_evicts(fx_ix):
+    """The reader's doc-set LRU (Lucene LRUQueryCache shape): a repeat
+    of the same phrase clause returns the SAME cached array without
+    recomputing; the row bound evicts oldest-first; a fresh reader
+    starts cold (per-reader scope is what makes caching sound under
+    deletes — a new reader sees the new tombstone set)."""
+    fx_ix._docsets = None  # isolate from other tests in the module
+    a1 = SV._phrase_doc_set(fx_ix, ["alpha", "beta"])
+    a2 = SV._phrase_doc_set(fx_ix, ["alpha", "beta"])
+    assert a2 is a1  # cache hit, no recompute
+    assert list(a1) == [2]  # only doc 2 has adjacent "alpha beta"
+    # eviction: shrink the bound so a second entry evicts the first
+    old = fx_ix.DOCSET_CACHE_MAX_ROWS
+    fx_ix.DOCSET_CACHE_MAX_ROWS = 1
+    try:
+        b1 = SV._slop_doc_set(fx_ix, ["alpha", "beta"], 2)
+        assert len(b1) >= len(a1)  # slop-2 superset of the exact phrase
+        assert "ph:alpha\x1fbeta" not in fx_ix._docsets  # evicted
+        a3 = SV._phrase_doc_set(fx_ix, ["alpha", "beta"])
+        assert a3 is not a1 and list(a3) == list(a1)  # recomputed equal
+    finally:
+        fx_ix.DOCSET_CACHE_MAX_ROWS = old
+        fx_ix._docsets = None
