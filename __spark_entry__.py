@@ -18,10 +18,10 @@ import math  # noqa: E402
 
 from pke_spark import golden  # noqa: E402
 from pke_spark.ops import (boolquery, core, dedup, events,  # noqa: E402
-                           fielded, grammar, graph, keyphrase, phrase,
-                           querylang, similarity, snippets, stemmed,
-                           supervised, termexpand, textstats, topicrank,
-                           tpr, wingnus, yake)
+                           fielded, grammar, graph, keyphrase, mlt,
+                           phrase, querylang, similarity, snippets,
+                           stemmed, supervised, termexpand, textstats,
+                           topicrank, tpr, wingnus, yake)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,6 +230,22 @@ def _wildcard_indexed(s: SparkSession, d: str) -> DataFrame:
 def _regex_indexed(s: SparkSession, d: str) -> DataFrame:
     from pke_spark.index.serving import regex_search
     rows = regex_search(_served_reader(s, d), REGEX_QUERY, 10)
+    return _rows_df(s, rows, "rank int, doc_id long, score double")
+
+
+# More-Like-This source doc: min(doc_id) — sf-independent and identical
+# to the oracle's (SELECT min(doc_id) FROM documents)
+def _mlt_src(s: SparkSession, d: str) -> int:
+    return _docs(s, d).selectExpr("min(doc_id)").first()[0]
+
+
+def _mlt_corpus(s: SparkSession, d: str) -> DataFrame:
+    return mlt.mlt_topk(_docs(s, d), _mlt_src(s, d), 10)
+
+
+def _mlt_indexed(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.index.serving import more_like_this_indexed
+    rows = more_like_this_indexed(_served_reader(s, d), _mlt_src(s, d), 10)
     return _rows_df(s, rows, "rank int, doc_id long, score double")
 
 
@@ -451,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("fuzzy", _fuzzy_indexed),
             ("wildcard", _wildcard_indexed),
             ("regex", _regex_indexed)),
+        "more_like_this": _variants(
+            ("corpus", _mlt_corpus),
+            ("indexed", _mlt_indexed)),
         "querystring_batch": _querystring_batch,
         "weighted_topk_variants": _variants(
             ("kpminer", lambda s, d: keyphrase.kpminer(_docs(s, d), 5)),
@@ -535,6 +554,11 @@ def oracle_sql() -> dict[str, str]:
             ("wildcard", termexpand.wildcard_bm25_topk_sql(
                 WILDCARD_QUERY, 10)),
             ("regex", termexpand.regex_bm25_topk_sql(REGEX_QUERY, 10))),
+        "more_like_this": _variants_sql(
+            ("corpus", mlt.mlt_topk_sql(
+                "(SELECT min(doc_id) FROM documents)", 10)),
+            ("indexed", mlt.mlt_topk_sql(
+                "(SELECT min(doc_id) FROM documents)", 10))),
         "querystring_batch": _querystring_batch_sql(),
         "weighted_topk_variants": _variants_sql(
             ("kpminer", keyphrase.kpminer_sql(5)),

@@ -482,6 +482,72 @@ def _expansion_search(ix: IndexReader, expanded: list[str], k: int,
     return _score_candidates(ix, expanded, None, k, k1, b)
 
 
+def more_like_this_indexed(ix: IndexReader, doc_id: int, k: int = 10,
+                           max_query_terms: int = 25,
+                           min_term_freq: int = 2,
+                           min_doc_freq: int = 2,
+                           k1: float = K1, b: float = B
+                           ) -> list[tuple[int, int, float]]:
+    """Index-backed More-Like-This (parity: ``ops.mlt.mlt_topk``;
+    Lucene ``MoreLikeThis`` — see ops/mlt.py for the documented
+    adaptation). The source document's term vector comes from ONE
+    doc_id-pruned read of the durable segments checkpoint (batch +
+    stream epochs — the same union ``encode_postings`` folds), term
+    selection is driver-side arithmetic over the term dictionary's
+    dfs, and the search is the shared expansion scorer.
+
+    df semantics under deletes match the expansion caveat (build-time
+    df = Lucene docFreq); the RESULT set always excludes tombstoned
+    docs, and a tombstoned source doc still works (its vector is in
+    the segments until a purge rewrites them). Direct-built indexes
+    (no segments checkpoint) can't serve MLT — use the corpus op."""
+    import os
+    seg = f"{ix.index_dir}/segments"
+    if not os.path.isdir(seg):
+        raise FileNotFoundError(
+            f"{seg} missing — direct-built index has no segments "
+            "checkpoint; use ops.mlt.mlt_topk on the corpus instead")
+    globs = [f"'{seg}/*/*.parquet'"]
+    stream = f"{ix.index_dir}/segments_stream"
+    if os.path.isdir(stream):
+        globs.append(f"'{stream}/*/*/*.parquet'")
+    rows = ix._duckdb().execute(
+        f"SELECT term, sum(tf)::BIGINT AS tf FROM "
+        f"read_parquet([{', '.join(globs)}]) "
+        f"WHERE doc_id = ? GROUP BY term HAVING sum(tf) >= ?",
+        [int(doc_id), int(min_term_freq)]).fetchall()
+    if not rows:
+        return []
+    dfs = ix.term_dfs(sorted(t for t, _tf in rows))
+    n = int(ix.n_docs)
+    cand = [(-round(tf * _idf(n, dfs[t]), 6), t)
+            for t, tf in rows
+            if dfs.get(t, 0) >= int(min_doc_freq)]
+    cand.sort()
+    terms = [t for _neg, t in cand[:int(max_query_terms)]]
+    if not terms:
+        return []
+    if _over_budget(ix, terms):
+        # distributed path: exhaustive scorer minus the source doc
+        from .wand import bm25_indexed
+        out = bm25_indexed(ix, terms, int(k) + 1, k1, b).collect()
+        kept = [(int(r["doc_id"]), float(r["score"])) for r in out
+                if int(r["doc_id"]) != int(doc_id)][:int(k)]
+        return [(i + 1, d, s) for i, (d, s) in enumerate(kept)]
+    posts = ix.decoded_postings(terms)
+    arrs = [posts[t][0] for t in terms if len(posts[t][0])]
+    if not arrs:
+        return []
+    union = np.unique(np.concatenate(arrs))
+    excl = _docids_to_postspace(
+        ix, np.asarray([int(doc_id)], dtype=np.int64))
+    if len(excl):
+        union = union[~np.isin(union, excl, assume_unique=True)]
+    if not len(union):
+        return []
+    return _score_candidates(ix, terms, union, k, k1, b)
+
+
 def prefix_search(ix: IndexReader, prefix: str, k: int = 10,
                   max_expansions: int = 32,
                   k1: float = K1, b: float = B

@@ -37,6 +37,9 @@ def main() -> None:
                    help="text file, one Lucene-lite query string per "
                         "line; the whole set (full grammar per query) "
                         "runs as ONE batched Spark job")
+    g.add_argument("--more-like", type=int, metavar="DOC_ID",
+                   help="More-Like-This: rank docs similar to DOC_ID "
+                        "(its top tf*idf terms searched as SHOULD)")
     ap.add_argument("--docs", help="documents parquet (required only "
                     "when --querystring has field:value filters)")
     ap.add_argument("--min-should-match", type=int, default=0,
@@ -79,6 +82,17 @@ def main() -> None:
             "latency_sec": round(time.time() - t0, 4),
             "results": {qid: sorted(v, key=lambda x: x["rank"])
                         for qid, v in sorted(out.items())}}))
+        return
+
+    if args.more_like is not None:
+        from pke_spark.index.serving import more_like_this_indexed
+        t0 = time.time()
+        rows = more_like_this_indexed(ix, args.more_like, args.k)
+        print(json.dumps({
+            "doc_id": args.more_like, "mode": "more_like_this",
+            "latency_sec": round(time.time() - t0, 4),
+            "results": [{"rank": r, "doc_id": d, "score": s}
+                        for r, d, s in rows]}))
         return
 
     if args.querystring_file:

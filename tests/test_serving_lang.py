@@ -468,3 +468,25 @@ def test_docset_cache_memoizes_and_evicts(fx_ix):
     finally:
         fx_ix.DOCSET_CACHE_MAX_ROWS = old
         fx_ix._docsets = None
+
+
+def test_more_like_this_semantics_and_parity(fx_ix, sf_ix, sf_docs):
+    """MLT (Lucene MoreLikeThis adaptation, ops/mlt.py): on the hand
+    fixture the only source term passing min_term_freq=2 in doc 2 is
+    'alpha' (tf 2), so the result is exactly the other alpha docs with
+    the source excluded, BM25-ordered (doc 5 is shorter than doc 1 ->
+    higher). On sf0.001, the index-backed path must equal the corpus
+    DataFrame op row-for-row (dense + raw-id indexes both, via the
+    parametrized fixture)."""
+    from pke_spark.ops import mlt as MLT
+
+    got = SV.more_like_this_indexed(fx_ix, 2, 10)
+    assert [d for _r, d, _s in got] == [5, 1]
+    assert got[0][2] > got[1][2] > 0
+
+    src = sf_docs.selectExpr("min(doc_id)").first()[0]
+    want = [(r.rank, r.doc_id, r.score)
+            for r in MLT.mlt_topk(sf_docs, src, 10).collect()]
+    assert SV.more_like_this_indexed(sf_ix, src, 10) == want
+    assert len(want) == 10
+    assert all(d != src for _r, d, _s in want)
