@@ -39,7 +39,8 @@ def run_once(i: int) -> tuple[dict, float]:
     tot0, st0 = _cpu_times()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=3600, cwd=REPO)
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_BENCH_CLOBBER": "1"})
     tot1, st1 = _cpu_times()
     steal = 100.0 * (st1 - st0) / max(tot1 - tot0, 1)
     if out.returncode != 0:

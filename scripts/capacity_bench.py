@@ -161,6 +161,31 @@ def main() -> None:
     out["batch200_querystring_sec"] = round(dt, 2)
     out["batch200_querystring_qps"] = round(200 / dt, 1)
     out["batch200_rows"] = int(n_rows)
+    # the same 200-query set FORCED onto the distributed plan (budget
+    # zeroed): what a mega-term union beyond any driver budget costs —
+    # the round-5 score-once-then-constrain replan vs r4's 504 s.
+    # Parity between the two paths is asserted on a 10-query sample.
+    sample = {k: qset[k] for k in sorted(qset)[:10]}
+    fast = sorted(map(tuple,
+                      SV.querystring_topk_batch(ixq, sample, 10).collect()))
+    old_budget = SV.BATCH_DRIVER_MAX_ROWS
+    SV.BATCH_DRIVER_MAX_ROWS = 0
+    try:
+        t0 = time.time()
+        n_rows_d = SV.querystring_topk_batch(ixq, qset, 10).count()
+        dt = time.time() - t0
+        out["batch200_distributed_sec"] = round(dt, 2)
+        out["batch200_distributed_qps"] = round(200 / dt, 1)
+        assert int(n_rows_d) == int(n_rows), \
+            f"batch path row mismatch: {n_rows_d} != {n_rows}"
+        dist = sorted(map(tuple,
+                          SV.querystring_topk_batch(ixq, sample,
+                                                    10).collect()))
+        assert fast == dist, "batch fast/distributed parity broke"
+        out["batch_path_parity"] = "fast == distributed on 10-query " \
+            "sample; equal row counts on all 200"
+    finally:
+        SV.BATCH_DRIVER_MAX_ROWS = old_budget
 
     # ---- stream-append + refresh ----
     # new doc space: reuse synth content but derive doc ids with a salt
