@@ -35,8 +35,9 @@ def main() -> None:
                         "onto the index serving path")
     g.add_argument("--querystring-file",
                    help="text file, one Lucene-lite query string per "
-                        "line; the whole set (full grammar per query) "
-                        "runs as ONE batched Spark job")
+                        "line (or 'id<TAB>query' lines); the whole "
+                        "set (full grammar per query) runs as ONE "
+                        "batched Spark job")
     g.add_argument("--more-like", type=int, metavar="DOC_ID",
                    help="More-Like-This: rank docs similar to DOC_ID "
                         "(its top tf*idf terms searched as SHOULD)")
@@ -97,9 +98,19 @@ def main() -> None:
 
     if args.querystring_file:
         from pke_spark.index.serving import querystring_topk_batch
+        # one query per line; a line may carry its own id as
+        # "id<TAB>query" (the usual eval-set TSV shape)
+        qset = {}
         with open(args.querystring_file) as f:
-            qset = {f"q{i:05d}": line.strip()
-                    for i, line in enumerate(f) if line.strip()}
+            for i, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                qid, tab, rest = line.partition("\t")
+                if tab and rest.strip():
+                    qset[qid.strip()] = rest.strip()
+                else:
+                    qset[f"q{i:05d}"] = line
         t0 = time.time()
         rows = querystring_topk_batch(
             ix, qset, args.k, docs_parquet=args.docs,
