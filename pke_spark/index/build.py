@@ -486,6 +486,24 @@ def build_index(docs: DataFrame, index_dir: str, *,
     checkpointed = (resume or fail_after_parts is not None
                     or (parts_per_job is not None and parts_per_job < n_parts))
 
+    if not checkpointed and not dense_doc_ids and not merge_runs:
+        # One-shot sparse build: delegate to the fused teed pass — ONE
+        # tokenize+count+encode job that writes the durable segments as
+        # a side effect, instead of a segment-write job followed by a
+        # segment-read+encode job. Byte-equal postings and stats
+        # (tests/test_streaming.py::test_teed_build_equals_batch...),
+        # measured N->4N scaling 0.83 vs 0.716 for the two-pass plan
+        # (benchmarks/scaling_teed.json). The legacy two-pass path
+        # remains for what it alone supports: per-part resume /
+        # crash-checkpointed builds, dense ordinals, eager merge_runs.
+        build_index_teed(docs, index_dir, n_parts=n_parts, n_salts=n_salts,
+                         hot_threshold=hot_threshold, block_size=block_size,
+                         input_snapshot=input_snapshot, id_col=id_col,
+                         text_col=text_col, out_name="postings",
+                         profile=profile,
+                         driver_stats_max_bytes=driver_stats_max_bytes)
+        return
+
     if checkpointed:
         staged_path = f"{index_dir}/staged"
         if not (resume and os.path.exists(staged_path)):
@@ -546,7 +564,10 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
                      block_size: int = codec.BLOCK_SIZE,
                      input_snapshot: str = "",
                      id_col: str = "doc_id",
-                     text_col: str = "text") -> None:
+                     text_col: str = "text",
+                     out_name: str | None = None,
+                     profile: str = "code",
+                     driver_stats_max_bytes: int | None = None) -> None:
     """Checkpointed build at direct-build cost: ONE fused pass
     (tokenize -> count -> sort -> run-encode, like
     ``build_index_direct``) that TEES the counted batches to the
@@ -572,7 +593,11 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
 
     spark = docs.sparkSession
     build_id = uuid.uuid4().hex[:12]
-    new_name = f"postings_{build_id}"
+    # default: build into a fresh versioned dir adopted by the atomic
+    # POSTINGS_CURRENT flip. ``out_name`` (the build_index delegation)
+    # writes straight to that directory instead — the legacy fresh-build
+    # layout, same crash semantics as the one-shot batch build had.
+    new_name = out_name if out_name is not None else f"postings_{build_id}"
     new_dir = f"{index_dir}/{new_name}"
     seg_dir = f"{index_dir}/segments"
     shutil.rmtree(seg_dir, ignore_errors=True)
@@ -615,7 +640,8 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
                 yield cb
 
         try:
-            yield from _encode_runs(tee(_fused_count_batches(batch_iter)),
+            yield from _encode_runs(tee(_fused_count_batches(batch_iter,
+                                                             profile)),
                                     block_size)
         finally:
             if writer is not None:
@@ -629,22 +655,36 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
     (salted.repartition("term", "shard")
      .write.mode("overwrite").parquet(new_dir))
 
+    if driver_stats_max_bytes is None:
+        driver_stats_max_bytes = DRIVER_STATS_MAX_BYTES
     if n_docs is None:
-        n_docs = docs.count()
+        # same semantics as the batch build's phase B: N = distinct docs
+        # in the teed segments (footer-cheap DuckDB scan when small,
+        # Spark agg over the pruned doc_id column otherwise) — no extra
+        # recompute of the input DataFrame
+        if _dir_bytes(seg_dir) <= driver_stats_max_bytes:
+            import duckdb
+            n_docs = int(duckdb.connect().execute(
+                f"SELECT count(DISTINCT doc_id) FROM "
+                f"read_parquet('{seg_dir}/*/*.parquet')").fetchone()[0])
+        else:
+            n_docs = int(spark.read.parquet(seg_dir)
+                         .select("doc_id").distinct().count())
     import duckdb
     total_tf = duckdb.connect().execute(
         f"SELECT coalesce(sum(cf), 0) FROM "
         f"read_parquet('{new_dir}/*.parquet')").fetchone()[0] \
-        if _dir_bytes(new_dir) <= DRIVER_STATS_MAX_BYTES \
+        if _dir_bytes(new_dir) <= driver_stats_max_bytes \
         else spark.read.parquet(new_dir)
     if not isinstance(total_tf, (int, float)):
         total_tf = int(total_tf.agg(F.sum("cf")).first()[0] or 0)
     avgdl = float(total_tf) / n_docs if n_docs else 0.0
     if hot_threshold is None:
         hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))
-    swap_postings(index_dir, new_name)
+    if out_name is None:
+        swap_postings(index_dir, new_name)
     write_stats(index_dir, int(n_docs), avgdl, int(hot_threshold),
-                block_size)
+                block_size, profile=profile)
     _append_manifest(spark, index_dir, [(
         build_id, "postings_teed", -1, "done", int(n_docs),
         _postings_term_count(index_dir),

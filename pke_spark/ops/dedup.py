@@ -82,11 +82,16 @@ _LAST_SIGS: list = []
 MAX_BAND_GROUP = 64  # star-link guard for mass-duplicate band groups
 
 
-def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
-                      n_bands: int = N_BANDS,
-                      max_group: int = MAX_BAND_GROUP) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard) for pairs sharing >= 1 LSH band.
-    est_jaccard = fraction of matching minhash signatures.
+def _lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
+                         n_bands: int = N_BANDS,
+                         max_group: int = MAX_BAND_GROUP
+                         ) -> tuple[DataFrame, DataFrame]:
+    """(pairs, sigs): the distinct (doc_a, doc_b) LSH candidate pairs
+    plus the cached signature table they came from. Shared by the
+    pair-scoring surface (``minhash_lsh_pairs``) and the clustering
+    surface (``dedup_clusters``), which needs only the edge SET — the
+    est_jaccard aggregation (two sig joins + groupBy) is computed only
+    where it is returned.
 
     Hot-group guard: a band bucket holding a mass of near-identical
     documents would emit O(g^2) pairs from one reducer. Buckets larger
@@ -114,7 +119,17 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
                               & (F.col("doc_id") != F.col("gmin")))
                  .select(F.col("gmin").alias("doc_a"),
                          F.col("doc_id").alias("doc_b")))
-    pairs = small_pairs.unionByName(big_pairs).distinct()
+    return small_pairs.unionByName(big_pairs).distinct(), sigs
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
+                      n_bands: int = N_BANDS,
+                      max_group: int = MAX_BAND_GROUP) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for pairs sharing >= 1 LSH band.
+    est_jaccard = fraction of matching minhash signatures. Pair
+    generation (and its hot-group star-link guard) lives in
+    ``_lsh_candidate_pairs``."""
+    pairs, sigs = _lsh_candidate_pairs(docs, n_hashes, n_bands, max_group)
     est = (pairs
            .join(sigs.withColumnRenamed("doc_id", "doc_a")
                      .withColumnRenamed("sig", "sig_a"), ["doc_a"])
@@ -274,14 +289,25 @@ def dedup_clusters(docs: DataFrame, n_hashes: int = N_MINHASH,
     The driver loop only checks a one-row convergence count per round;
     ``localCheckpoint`` truncates the growing lineage so round N's plan
     does not replay rounds 1..N-1.
+
+    The edge list itself is materialized ONCE (eager localCheckpoint)
+    before the loop: without it every propagation round re-executed the
+    whole LSH candidate pipeline (band window + self-join) from the
+    cached signatures — the suite's single most expensive query. Rounds
+    are now one join + groupBy over a few-MB edge table. Clustering
+    also skips est_jaccard entirely (the edge SET is the same; the
+    estimate was aggregated and immediately discarded).
     """
     from pyspark.sql import Observation
 
-    pairs = minhash_lsh_pairs(docs, n_hashes, n_bands)
+    pairs, sigs = _lsh_candidate_pairs(docs, n_hashes, n_bands)
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                       F.col("doc_a").alias("dst"))))
+                                       F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=True))
+    sigs.unpersist()  # edges are materialized; the signature cache is
+    # only needed again by a later minhash_lsh_pairs call, which re-caches
     labels = docs.select("doc_id",
                          F.col("doc_id").alias("cluster_id"))
     converged = False

@@ -325,8 +325,11 @@ def test_teed_build_equals_batch_and_refreshes(spark, tmp_path):
     build_index_teed(part_a, ix_dir, n_parts=4, n_salts=4,
                      hot_threshold=30, block_size=32)
     ref_dir = str(tmp_path / "ix_batch_teed")
+    # parts_per_job=1 pins the legacy two-pass checkpointed build:
+    # build_index's one-shot sparse mode now DELEGATES to the teed pass,
+    # so an unpinned reference would compare teed against itself
     build_index(part_a, ref_dir, n_parts=4, n_salts=4, hot_threshold=30,
-                block_size=32)
+                block_size=32, parts_per_job=1)
     pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
                                   _decoded(spark, ref_dir))
     ia, ib = IndexReader(spark, ix_dir), IndexReader(spark, ref_dir)
@@ -339,7 +342,7 @@ def test_teed_build_equals_batch_and_refreshes(spark, tmp_path):
                                block_size=32, incremental=True)
     full_dir = str(tmp_path / "ix_batch_full")
     build_index(docs, full_dir, n_parts=4, n_salts=4, hot_threshold=30,
-                block_size=32)
+                block_size=32, parts_per_job=1)
     pd.testing.assert_frame_equal(_decoded(spark, ix_dir),
                                   _decoded(spark, full_dir))
     # FULL refresh re-encodes from teed segments + stream epochs
@@ -356,3 +359,37 @@ def test_teed_build_equals_batch_and_refreshes(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
         check_exact=False, atol=1e-9)
+
+
+@pytest.mark.timeout(300)
+def test_build_index_oneshot_delegates_to_teed(spark, tmp_path):
+    """build_index's one-shot sparse mode (the default entrypoint) now
+    runs the fused teed pass: postings + stats must equal the legacy
+    two-pass build, the durable segments must exist (streaming-refresh
+    contract), and the postings must live at the plain ``postings``
+    path (no pointer indirection for a fresh build)."""
+    import os
+
+    from pke_spark.index.build import read_manifest
+
+    c = with_doc_ids(synth_corpus(spark, 140, partitions=4))
+    docs = c.select("doc_id", c.content.alias("text")).cache()
+
+    d_new = str(tmp_path / "ix_oneshot")
+    build_index(docs, d_new, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32)
+    d_ref = str(tmp_path / "ix_legacy")
+    build_index(docs, d_ref, n_parts=4, n_salts=4, hot_threshold=30,
+                block_size=32, parts_per_job=1)
+
+    pd.testing.assert_frame_equal(_decoded(spark, d_new),
+                                  _decoded(spark, d_ref))
+    ia = IndexReader(spark, d_new)
+    ib = IndexReader(spark, d_ref)
+    assert (ia.n_docs, round(ia.avgdl, 9)) == (ib.n_docs,
+                                               round(ib.avgdl, 9))
+    assert os.path.isdir(f"{d_new}/segments")
+    assert os.path.isdir(f"{d_new}/postings")
+    assert not os.path.exists(f"{d_new}/POSTINGS_CURRENT")
+    phases = {r.phase for r in read_manifest(spark, d_new).collect()}
+    assert "postings_teed" in phases
