@@ -54,9 +54,8 @@ def _bm25_after_delete(s: SparkSession, d: str) -> DataFrame:
         rows = search(IndexReader(s, ixd), BM25_QUERY, 10)
     finally:
         shutil.rmtree(ixd, ignore_errors=True)
-    return s.createDataFrame(
-        [(int(r), int(dd), float(sc)) for r, dd, sc in rows],
-        "rank int, doc_id long, score double")
+    return _rows_df(s, [(int(r), int(dd), float(sc)) for r, dd, sc in rows],
+                    "rank int, doc_id long, score double")
 
 # Fixed reference query set (FIXTURES.md F2): multi-term, hot single
 # term, and a term absent from the corpus (empty result).
@@ -157,7 +156,8 @@ def _served_reader(spark: SparkSession, sf_dir: str):
 
 
 def _rows_df(s: SparkSession, rows, schema: str) -> DataFrame:
-    return s.createDataFrame([tuple(r) for r in rows], schema)
+    from pke_spark.rows import rows_df
+    return rows_df(s, rows, schema)
 
 
 def _querystring_indexed(s: SparkSession, d: str) -> DataFrame:
@@ -297,6 +297,68 @@ def _variants(*members) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _union_variants(pairs) -> DataFrame:
+    """`_variants`' union over PREBUILT member DataFrames — used by the
+    composites whose members share one materialized token table (the
+    composite is a single declared query; sharing the per-query
+    intermediate across its members is the same plan sharing the DuckDB
+    twin gets from its UNION ALL of CTE-bearing oracles)."""
+    from pyspark.sql import functions as F
+    outs = [df.select(F.lit(name).alias("variant"), "*")
+            for name, df in pairs]
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _bm25_variants(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.ops.core import corpus_tokens
+    docs = _docs(s, d)
+    toks = corpus_tokens(docs)
+    return _union_variants([
+        ("topk", core.bm25_topk(docs, BM25_QUERY, 10, toks=toks)),
+        ("hot", core.bm25_topk(docs, BM25_HOT_QUERY, 10, toks=toks)),
+        ("miss", core.bm25_topk(docs, BM25_MISS_QUERY, 10, toks=toks)),
+        ("filtered", fielded.filtered_bm25_topk(
+            docs, BM25_QUERY, FIELD_PREDICATE, 10, toks=toks)),
+        ("after_delete", _bm25_after_delete(s, d)),
+    ])
+
+
+def _querystring_variants(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.ops.core import corpus_tokens
+    docs = _docs(s, d)
+    toks = corpus_tokens(docs)
+    qt = querylang.querystring_topk
+    return _union_variants([
+        ("search", qt(docs, QUERYSTRING, 10, toks=toks)),
+        ("boosted", qt(docs, QUERYSTRING_BOOSTED, 10, toks=toks)),
+        ("msm", qt(docs, QUERYSTRING_MSM[0], 10,
+                   min_should_match=QUERYSTRING_MSM[1], toks=toks)),
+        ("notphrase", qt(docs, QUERYSTRING_NOTPHRASE, 10, toks=toks)),
+        ("slop", qt(docs, QUERYSTRING_SLOP, 10, toks=toks)),
+        ("groups", qt(docs, QUERYSTRING_GROUPS, 10, toks=toks)),
+        ("connectives", qt(docs, QUERYSTRING_CONNECTIVES, 10, toks=toks)),
+    ])
+
+
+def _expansion_bm25(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.ops.core import corpus_tokens
+    docs = _docs(s, d)
+    toks = corpus_tokens(docs)
+    return _union_variants([
+        ("prefix", termexpand.prefix_bm25_topk(
+            docs, PREFIX_QUERY, 10, toks=toks)),
+        ("fuzzy", termexpand.fuzzy_bm25_topk(
+            docs, FUZZY_QUERY[0], FUZZY_QUERY[1], 10, toks=toks)),
+        ("wildcard", termexpand.wildcard_bm25_topk(
+            docs, WILDCARD_QUERY, 10, toks=toks)),
+        ("regex", termexpand.regex_bm25_topk(
+            docs, REGEX_QUERY, 10, toks=toks)),
+    ])
+
+
 def _variants_sql(*members) -> str:
     """DuckDB twin of _variants: UNION ALL BY NAME over the member
     oracles, each tagged with its variant label. Members are
@@ -396,15 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("stemmed", lambda s, d: stemmed.token_counts_stemmed(
                 _docs(s, d)), {"stem": "token"})),
         "term_stats": lambda s, d: core.term_stats(_docs(s, d)),
-        "bm25_variants": _variants(
-            ("topk", lambda s, d: core.bm25_topk(_docs(s, d), BM25_QUERY, 10)),
-            ("hot", lambda s, d: core.bm25_topk(
-                _docs(s, d), BM25_HOT_QUERY, 10)),
-            ("miss", lambda s, d: core.bm25_topk(
-                _docs(s, d), BM25_MISS_QUERY, 10)),
-            ("filtered", lambda s, d: fielded.filtered_bm25_topk(
-                _docs(s, d), BM25_QUERY, FIELD_PREDICATE, 10)),
-            ("after_delete", _bm25_after_delete)),
+        "bm25_variants": _bm25_variants,
         "positional_variants": _variants(
             ("phrase2", lambda s, d: phrase.phrase_topk(
                 _docs(s, d), PHRASE_QUERY, 10), {"phrase_tf": "matches"}),
@@ -420,35 +474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("corpus", lambda s, d: fielded.facet_counts(
                 _docs(s, d), BM25_QUERY, FACET_COL)),
             ("indexed", _facets_indexed)),
-        "expansion_bm25": _variants(
-            ("prefix", lambda s, d: termexpand.prefix_bm25_topk(
-                _docs(s, d), PREFIX_QUERY, 10)),
-            ("fuzzy", lambda s, d: termexpand.fuzzy_bm25_topk(
-                _docs(s, d), FUZZY_QUERY[0], FUZZY_QUERY[1], 10)),
-            ("wildcard", lambda s, d: termexpand.wildcard_bm25_topk(
-                _docs(s, d), WILDCARD_QUERY, 10)),
-            ("regex", lambda s, d: termexpand.regex_bm25_topk(
-                _docs(s, d), REGEX_QUERY, 10))),
+        "expansion_bm25": _expansion_bm25,
         "snippet_variants": _variants(
             ("corpus", lambda s, d: snippets.snippet_windows(
                 _docs(s, d), BM25_QUERY, 10)),
             ("indexed", _snippets_indexed)),
-        "querystring_variants": _variants(
-            ("search", lambda s, d: querylang.querystring_topk(
-                _docs(s, d), QUERYSTRING, 10)),
-            ("boosted", lambda s, d: querylang.querystring_topk(
-                _docs(s, d), QUERYSTRING_BOOSTED, 10)),
-            ("msm", lambda s, d: querylang.querystring_topk(
-                _docs(s, d), QUERYSTRING_MSM[0], 10,
-                min_should_match=QUERYSTRING_MSM[1])),
-            ("notphrase", lambda s, d: querylang.querystring_topk(
-                _docs(s, d), QUERYSTRING_NOTPHRASE, 10)),
-            ("slop", lambda s, d: querylang.querystring_topk(
-                _docs(s, d), QUERYSTRING_SLOP, 10)),
-            ("groups", lambda s, d: querylang.querystring_topk(
-                _docs(s, d), QUERYSTRING_GROUPS, 10)),
-            ("connectives", lambda s, d: querylang.querystring_topk(
-                _docs(s, d), QUERYSTRING_CONNECTIVES, 10))),
+        "querystring_variants": _querystring_variants,
         "querystring_explain": lambda s, d: querylang.querystring_explain(
             _docs(s, d), QUERYSTRING_BOOSTED, 10),
         "querystring_count": lambda s, d: querylang.querystring_count(

@@ -17,6 +17,7 @@ import csv
 import gzip
 
 from pyspark.sql import DataFrame, SparkSession
+from .rows import rows_df
 
 NB_DOC_KEY = "--NB_DOC--"
 
@@ -52,6 +53,6 @@ def read_df_tsv_gz(path: str, delimiter: str = "\t") -> tuple[dict, int]:
 def df_table_to_spark(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     """Import a pke DF artifact as a (term, df) DataFrame + corpus size."""
     freqs, n_docs = read_df_tsv_gz(path)
-    df = spark.createDataFrame(
-        [(t, int(v)) for t, v in sorted(freqs.items())], "term string, df long")
+    df = rows_df(spark, [(t, int(v)) for t, v in sorted(freqs.items())],
+                 "term string, df long")
     return df, n_docs

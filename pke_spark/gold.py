@@ -23,6 +23,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 
 from .stemmer import porter_stem
+from .rows import rows_df
 
 
 def _normalize(kp: str) -> str:
@@ -59,9 +60,7 @@ def load_references(spark: SparkSession, path: str, *,
         rows = [(d, _normalize(kp)) for d, kp in rows]
     if excluded_doc is not None:
         rows = [(d, kp) for d, kp in rows if d != excluded_doc]
-    return spark.createDataFrame(rows or [("", "")],
-                                 "doc_id string, gold string") \
-        .filter("doc_id <> '' OR gold <> ''")
+    return rows_df(spark, rows, "doc_id string, gold string")
 
 
 def loo_folds(gold: DataFrame) -> list[tuple[str, DataFrame, DataFrame]]:

@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec
+from ..rows import rows_df
 from .build import (POSTINGS_SCHEMA, _append_manifest, docmap_path,
                     postings_path, swap_postings, write_stats)
 
@@ -102,7 +103,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
         vals = sorted({int(d) for d in doc_ids})
         if not vals:
             return 0
-        ids = spark.createDataFrame([(v,) for v in vals], "doc_id long")
+        ids = rows_df(spark, [(v,) for v in vals], "doc_id long")
 
     dm = docmap_path(postings_path(index_dir))
     if os.path.exists(dm):
@@ -218,7 +219,7 @@ def purge_segment_checkpoints(spark: SparkSession, index_dir: str) -> int:
                 removed.append(n_dead)
             yield pd.DataFrame({"removed": removed})
 
-    fdf = spark.createDataFrame([(f,) for f in files], "path string") \
+    fdf = rows_df(spark, [(f,) for f in files], "path string") \
         .repartition(min(len(files), 64))
     n = fdf.mapInPandas(_filter_files, "removed long") \
         .agg(F.sum("removed").alias("n")).first().n

@@ -54,6 +54,7 @@ from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from . import codec
+from ..rows import rows_df
 
 POS_BLOCK_STRUCT = StructType([
     StructField("first_doc", LongType()),
@@ -405,8 +406,8 @@ def _exclude(df: DataFrame, exclude_doc_ids) -> DataFrame:
     if exclude_doc_ids is None or len(exclude_doc_ids) == 0:
         return df
     spark = df.sparkSession
-    ex = spark.createDataFrame([(int(d),) for d in exclude_doc_ids],
-                               "doc_id long")
+    ex = rows_df(spark, [(int(d),) for d in exclude_doc_ids],
+                 "doc_id long")
     return df.join(F.broadcast(ex), "doc_id", "left_anti")
 
 

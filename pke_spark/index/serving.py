@@ -49,6 +49,7 @@ from ..ops.querylang import (ParsedQuery, filters_condition,
                              parse_querystring)
 from ..tokenizer import sql_quote as _sq
 from .build import IndexReader
+from ..rows import rows_df
 from .positions import term_positions
 from .wand import B, K1, _idf, _translate_rows
 
@@ -254,8 +255,8 @@ def _phrase_ids_df(ix: IndexReader, phrase: list[str]):
     groupBy is the same plan ``positions.phrase_topk_indexed`` is
     parity-gated on)."""
     pos = term_positions(ix.spark, ix.index_dir, phrase)
-    off = ix.spark.createDataFrame(
-        [(t, i) for i, t in enumerate(phrase)], "term string, off int")
+    off = rows_df(ix.spark, [(t, i) for i, t in enumerate(phrase)],
+                  "term string, off int")
     hits = (pos.join(F.broadcast(off), "term")
             .select("doc_id", (F.col("pos") - F.col("off")).alias("start"),
                     "off"))
@@ -625,8 +626,7 @@ def _distributed_scored_src(ix: IndexReader, pq: ParsedQuery,
                    for t in terms]
         if not cm_rows:
             return None
-        cm = spark.createDataFrame(cm_rows,
-                                   "term string, cid int, need int")
+        cm = rows_df(spark, cm_rows, "term string, cid int, need int")
         all_terms = sorted({r[0] for r in cm_rows})
         ok = (raw_ids(decoded_tc(ix, all_terms))
               .join(F.broadcast(cm), "term")
@@ -702,12 +702,11 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
     score_terms = sorted(weights)
     from .wand import _rank_topk
 
-    empty = spark.createDataFrame(
-        [], "rank int, doc_id long, score double")
+    empty = rows_df(spark, [], "rank int, doc_id long, score double")
     stats_rows = sorted(ix.term_dfs(score_terms).items())
     if not stats_rows:
         return empty
-    stats = spark.createDataFrame(stats_rows, "term string, df long")
+    stats = rows_df(spark, stats_rows, "term string, df long")
     scored_src = _distributed_scored_src(
         ix, pq, score_terms, exp_lists, docs_parquet, min_should_match)
     if scored_src is None:
@@ -718,8 +717,8 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
                 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1.0)) / \
         (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-    boosts_df = spark.createDataFrame(
-        sorted(weights.items()), "term string, boost double")
+    boosts_df = rows_df(spark, sorted(weights.items()),
+                        "term string, boost double")
     scored = (scored_src.join(F.broadcast(stats), "term")
               .join(F.broadcast(boosts_df), "term")
               .groupBy("doc_id")
@@ -776,8 +775,8 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
     dfs = {t: d for t, d in ix.term_dfs(all_terms).items() if d > 0}
     qt_rows = [(qid, t, w) for (qid, t), w in sorted(weights.items())
                if t in dfs]
-    empty = spark.createDataFrame(
-        [], "query_id string, rank int, doc_id long, score double")
+    empty = rows_df(spark, [],
+                    "query_id string, rank int, doc_id long, score double")
     if not qt_rows:
         return empty
 
@@ -818,13 +817,13 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
             ix.POSTINGS_CACHE_MAX_ROWS = old_budget
         if not rows:
             return empty
-        return spark.createDataFrame(
-            rows, "query_id string, rank int, doc_id long, score double")
+        return rows_df(
+            spark, rows, "query_id string, rank int, doc_id long, score double")
 
-    qt = F.broadcast(spark.createDataFrame(
-        qt_rows, "query_id string, term string, boost double"))
-    stats = F.broadcast(spark.createDataFrame(
-        sorted(dfs.items()), "term string, df long"))
+    qt = F.broadcast(rows_df(
+        spark, qt_rows, "query_id string, term string, boost double"))
+    stats = F.broadcast(rows_df(spark, sorted(dfs.items()),
+                                "term string, df long"))
 
     def raw_ids(df):
         if not ix.dense:
@@ -869,8 +868,8 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 cm_rows += [(qid, cid, t, need) for t in terms]
         if not cm_rows:
             return empty
-        cm = F.broadcast(spark.createDataFrame(
-            cm_rows, "query_id string, cid int, term string, need int"))
+        cm = F.broadcast(rows_df(
+            spark, cm_rows, "query_id string, cid int, term string, need int"))
         ok = (fan.join(cm, ["query_id", "term"])
               .groupBy("query_id", "cid", "need", "doc_id")
               .agg(F.countDistinct("term").alias("nt"))
@@ -883,10 +882,10 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
     must_rows = [(qid, t) for qid, pq in parsed.items()
                  for t in sorted(set(pq.must))]
     if must_rows:
-        mm = F.broadcast(spark.createDataFrame(
-            must_rows, "query_id string, term string"))
-        n_must = F.broadcast(spark.createDataFrame(
-            [(qid, len(set(pq.must))) for qid, pq in parsed.items()],
+        mm = F.broadcast(rows_df(spark, must_rows,
+                                 "query_id string, term string"))
+        n_must = F.broadcast(rows_df(
+            spark, [(qid, len(set(pq.must))) for qid, pq in parsed.items()],
             "query_id string, n_must int"))
         m_ok = (fan.join(mm, ["query_id", "term"])
                 .groupBy(*keys)
@@ -902,10 +901,10 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                for gid, (terms, _gb) in enumerate(pq.must_any)
                for t in sorted(set(terms))]
     if ma_rows:
-        gm = F.broadcast(spark.createDataFrame(
-            ma_rows, "query_id string, gid int, term string"))
-        n_ma = F.broadcast(spark.createDataFrame(
-            [(qid, len(pq.must_any)) for qid, pq in parsed.items()],
+        gm = F.broadcast(rows_df(spark, ma_rows,
+                                 "query_id string, gid int, term string"))
+        n_ma = F.broadcast(rows_df(
+            spark, [(qid, len(pq.must_any)) for qid, pq in parsed.items()],
             "query_id string, n_ma int"))
         ma_ok = (fan.join(gm, ["query_id", "term"])
                  .select("query_id", "gid", "doc_id").distinct()
@@ -929,12 +928,12 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         off ONE positional-sidecar read of the union of all terms."""
         from .positions import term_positions
         union_terms = sorted({t for _q, _p, ph in specs for t in ph})
-        pm = F.broadcast(spark.createDataFrame(
-            [(qid, pid, t, off)
-             for qid, pid, ph in specs for off, t in enumerate(ph)],
+        pm = F.broadcast(rows_df(
+            spark, [(qid, pid, t, off)
+                    for qid, pid, ph in specs for off, t in enumerate(ph)],
             "query_id string, pid int, term string, off int"))
-        plens = F.broadcast(spark.createDataFrame(
-            [(qid, pid, len(ph)) for qid, pid, ph in specs],
+        plens = F.broadcast(rows_df(
+            spark, [(qid, pid, len(ph)) for qid, pid, ph in specs],
             "query_id string, pid int, n int"))
         pos = term_positions(spark, ix.index_dir, union_terms)
         hits = (pos.join(pm, "term")
@@ -948,8 +947,8 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 .select("query_id", "pid", "doc_id").distinct())
 
     if ph_specs:
-        n_ph = F.broadcast(spark.createDataFrame(
-            [(qid, len(pq.phrases)) for qid, pq in parsed.items()],
+        n_ph = F.broadcast(rows_df(
+            spark, [(qid, len(pq.phrases)) for qid, pq in parsed.items()],
             "query_id string, n_ph int"))
         ph_ok = (_phrase_pairs(ph_specs)
                  .groupBy(*keys)
@@ -975,16 +974,16 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
             uniq_sp.setdefault((tuple(terms), slop), []).append((qid, sid))
         sp_parts = []
         for (terms_t, slop), pairs in sorted(uniq_sp.items()):
-            tag = F.broadcast(spark.createDataFrame(
-                sorted(pairs), "query_id string, sid int"))
+            tag = F.broadcast(rows_df(spark, sorted(pairs),
+                                      "query_id string, sid int"))
             sp_parts.append(
                 _slop_ids_df(ix, list(terms_t), slop).crossJoin(tag)
                 .select("query_id", "sid", "doc_id"))
         sp_pairs = sp_parts[0]
         for p in sp_parts[1:]:
             sp_pairs = sp_pairs.unionByName(p)
-        n_sp = F.broadcast(spark.createDataFrame(
-            [(qid, len(pq.slop_phrases)) for qid, pq in parsed.items()],
+        n_sp = F.broadcast(rows_df(
+            spark, [(qid, len(pq.slop_phrases)) for qid, pq in parsed.items()],
             "query_id string, n_sp int"))
         sp_ok = (sp_pairs.groupBy(*keys)
                  .agg(F.countDistinct("sid").alias("ns")))
@@ -1010,8 +1009,8 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                 filters_predicate(parsed[q].filters), []).append(q)
         parts = []
         for pred, qids in sorted(uniq_f.items()):
-            tag = F.broadcast(spark.createDataFrame(
-                [(q,) for q in sorted(qids)], "query_id string"))
+            tag = F.broadcast(rows_df(spark, [(q,) for q in sorted(qids)],
+                                      "query_id string"))
             cond = filters_condition(parsed[qids[0]].filters)
             parts.append(docs_df.filter(cond).select("doc_id")
                          .crossJoin(tag)
@@ -1019,9 +1018,9 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         f_ok = parts[0]
         for p in parts[1:]:
             f_ok = f_ok.unionByName(p)
-        has_f = F.broadcast(spark.createDataFrame(
-            [(qid, int(bool(pq.filters)))
-             for qid, pq in parsed.items()],
+        has_f = F.broadcast(rows_df(
+            spark, [(qid, int(bool(pq.filters)))
+                    for qid, pq in parsed.items()],
             "query_id string, has_f int"))
         cand = (cand.join(f_ok.withColumn("f_hit", F.lit(1)), keys,
                           "left")
@@ -1032,8 +1031,8 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
     not_rows = [(qid, t) for qid, pq in parsed.items()
                 for t in sorted(set(pq.must_not))]
     if not_rows:
-        nn = F.broadcast(spark.createDataFrame(
-            not_rows, "query_id string, term string"))
+        nn = F.broadcast(rows_df(spark, not_rows,
+                                 "query_id string, term string"))
         n_terms = sorted({t for _q, t in not_rows})
         n_pairs = (raw_ids(decoded_tc(ix, n_terms)).join(nn, "term")
                    .select(*keys).distinct())

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from . import codec
 from .build import IndexReader
+from ..rows import rows_df
 from .delete import keep_mask
 
 K1 = 1.2
@@ -80,8 +81,8 @@ def _translate_ords(ix: IndexReader, ranked: DataFrame) -> DataFrame:
         return ranked
     rows = [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
             for r in ranked.collect()]
-    return ix.spark.createDataFrame(
-        _translate_rows(ix, rows) or [], "rank int, doc_id long, score double")
+    return rows_df(ix.spark, _translate_rows(ix, rows) or [],
+                   "rank int, doc_id long, score double")
 
 
 def decoded_tc(ix: IndexReader, terms: list[str]) -> DataFrame:
@@ -116,10 +117,7 @@ def bm25_indexed(ix: IndexReader, query_terms: list[str], k: int = 10,
     """Exhaustive BM25 from the index (decode + DataFrame scoring)."""
     terms = sorted(set(query_terms))
     stats_rows = sorted(ix.term_dfs(terms).items())
-    stats = ix.spark.createDataFrame(stats_rows or [("", 0)],
-                                     "term string, df long")
-    if not stats_rows:
-        stats = stats.filter(F.lit(False))
+    stats = rows_df(ix.spark, stats_rows, "term string, df long")
     tc = decoded_tc(ix, terms)
     n, avgdl = float(ix.n_docs), float(ix.avgdl)
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -192,8 +190,8 @@ def _driver_rows(ix: IndexReader, terms: list[str], k: int,
 def _driver_topk(ix: IndexReader, terms: list[str], k: int,
                  k1: float, b: float) -> DataFrame:
     out = _driver_rows(ix, terms, k, k1, b)
-    return ix.spark.createDataFrame(out or [],
-                                    "rank int, doc_id long, score double")
+    return rows_df(ix.spark, out or [],
+                   "rank int, doc_id long, score double")
 
 
 def search(ix: IndexReader, query_terms: list[str], k: int = 10,
@@ -304,7 +302,7 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
     term_df = ix.term_dfs(terms)
     if not term_df:
         return _rank_topk(
-            ix.spark.createDataFrame([], "doc_id long, score double"), k)
+            rows_df(ix.spark, [], "doc_id long, score double"), k)
     if driver_fastpath and sum(term_df.values()) <= _fastpath_bound(ix):
         return _driver_topk(ix, sorted(term_df), k, k1, b)
     n_docs, avgdl = int(ix.n_docs), float(ix.avgdl)
@@ -445,7 +443,8 @@ def wand_topk(ix: IndexReader, query_terms: list[str], k: int = 10,
            for i, r in enumerate(rows[:k])]
     if ix.dense:
         out = _translate_rows(ix, out)
-    return ix.spark.createDataFrame(out or [], "rank int, doc_id long, score double")
+    return rows_df(ix.spark, out or [],
+                   "rank int, doc_id long, score double")
 
 
 def bm25_topk_batch(ix: IndexReader, queries: dict[str, list[str]],
@@ -472,12 +471,12 @@ def bm25_topk_batch(ix: IndexReader, queries: dict[str, list[str]],
     pairs = [(qid, t) for qid, ts in sorted(queries.items())
              for t in sorted(set(ts)) if t in dfs]
     if not pairs:
-        return ix.spark.createDataFrame(
-            [], "query_id string, rank int, doc_id long, score double")
-    qt = F.broadcast(ix.spark.createDataFrame(
-        pairs, "query_id string, term string"))
-    stats = F.broadcast(ix.spark.createDataFrame(
-        sorted(dfs.items()), "term string, df long"))
+        return rows_df(ix.spark, [],
+                       "query_id string, rank int, doc_id long, score double")
+    qt = F.broadcast(rows_df(ix.spark, pairs,
+                             "query_id string, term string"))
+    stats = F.broadcast(rows_df(ix.spark, sorted(dfs.items()),
+                                "term string, df long"))
     post = ix.term_postings(sorted(dfs))
 
     tomb = ix.tombstones()

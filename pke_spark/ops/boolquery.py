@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..tokenizer import duckdb_toks_cte, sql_str_list, tokens_exploded
-from .core import B, K1
+from ..rows import rows_df
+from .core import B, K1, corpus_tokens
 
 
 def boolean_bm25_topk(docs: DataFrame, must: list[str],
@@ -48,22 +49,22 @@ def boolean_bm25_topk(docs: DataFrame, must: list[str],
         raise ValueError(f"terms both required and excluded: {overlap}")
     spark = docs.sparkSession
     score_terms = list(dict.fromkeys(must + should))
-    toks = tokens_exploded(docs)
+    toks = corpus_tokens(docs)  # one tokenize pass for the 5 consumers
 
-    q = spark.createDataFrame([(t,) for t in score_terms], "term string")
+    q = rows_df(spark, [(t,) for t in score_terms], "term string")
     tc_q = (toks.join(F.broadcast(q), "term")
             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
 
-    m = spark.createDataFrame([(t,) for t in dict.fromkeys(must)],
-                              "term string")
+    m = rows_df(spark, [(t,) for t in dict.fromkeys(must)],
+                "term string")
     cand = (toks.join(F.broadcast(m), "term")
             .groupBy("doc_id")
             .agg(F.countDistinct("term").alias("nm"))
             .where(F.col("nm") == len(set(must)))
             .select("doc_id"))
     if must_not:
-        mn = spark.createDataFrame([(t,) for t in dict.fromkeys(must_not)],
-                                   "term string")
+        mn = rows_df(spark, [(t,) for t in dict.fromkeys(must_not)],
+                     "term string")
         excluded = (toks.join(F.broadcast(mn), "term")
                     .select("doc_id").distinct())
         cand = cand.join(excluded, "doc_id", "left_anti")

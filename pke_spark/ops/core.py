@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tokenizer import duckdb_toks_cte, tokens_exploded
+from ..rows import rows_df
 
 K1 = 1.2
 B = 0.75
@@ -60,9 +61,33 @@ def bm25_exprs(k1: float = K1, b: float = B):
     return idf, tf_part
 
 
+def corpus_tokens(docs: DataFrame, profile: str = "code") -> DataFrame:
+    """(doc_id, pos, term), materialized ONCE per query via an eager
+    ``localCheckpoint``. Every corpus-side scorer consumes the token
+    table several times in one plan — per-(doc, term) counts, the
+    doc-length table, corpus stats, and (for the query language) one
+    semi-join per clause — and Spark re-runs the tokenize+posexplode
+    subtree for each consumer: the query-string composite was scanning
+    and regex-tokenizing the corpus 170+ times per run. One
+    materialization (MEMORY_AND_DISK blocks, freed when the query's
+    DataFrame is GC'd) turns all of those into block reads; this is a
+    per-query intermediate, not a cross-run cache. Guide §2.4
+    ("two operations keyed the same way can share one exchange") taken
+    to its limit: share the whole tokenized table.
+
+    LAZY (eager=False) deliberately: the blocks materialize inside the
+    query's own action — an eager checkpoint would serialize an extra
+    up-front job per query, which measured ~2x slower end-to-end on
+    short queries (the first stage that touches a partition computes
+    and caches it; any concurrent first-touch recompute is bounded,
+    correct, and cheaper than the extra job barrier)."""
+    return tokens_exploded(docs, profile=profile).localCheckpoint(eager=False)
+
+
 def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
                    k1: float = K1, b: float = B,
-                   constrain=None, profile: str = "code") -> DataFrame:
+                   constrain=None, profile: str = "code",
+                   toks: DataFrame | None = None) -> DataFrame:
     """THE corpus-side BM25 kernel: rank docs against a (term)
     DataFrame of query terms. Every DataFrame scorer (plain / fielded
     / expansion / query-string) delegates here, so the scoring math,
@@ -84,7 +109,8 @@ def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
     shuffle is tc⋈dl on doc_id, then a partial-aggregated
     groupBy(doc_id) and a TakeOrderedAndProject global top-k.
     """
-    toks = tokens_exploded(docs, profile=profile)
+    if toks is None:
+        toks = corpus_tokens(docs, profile)
     # push the query-term filter BELOW both term-side aggregations:
     # Catalyst will not push a join under a groupBy, so filter the token
     # stream first — df for a term only needs that term's rows. Only the
@@ -113,11 +139,12 @@ def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
 
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
-              k1: float = K1, b: float = B) -> DataFrame:
+              k1: float = K1, b: float = B,
+              toks: DataFrame | None = None) -> DataFrame:
     """Exhaustive BM25 top-k as pure DataFrame ops (the M1 scorer)."""
-    q = docs.sparkSession.createDataFrame(
-        [(t,) for t in query_terms], "term string")
-    return bm25_rank_over(docs, q, k, k1, b)
+    q = rows_df(docs.sparkSession, [(t,) for t in query_terms],
+                "term string")
+    return bm25_rank_over(docs, q, k, k1, b, toks=toks)
 
 
 # --------------------------------------------------------------- DuckDB

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..tokenizer import duckdb_toks_cte, sql_str_list, tokens_exploded
+from ..rows import rows_df
 from .core import B, K1
 
 #: metadata columns a filter predicate may reference (shared by the
@@ -41,7 +42,8 @@ FILTER_COLS = ("doc_id", "lang", "source", "n_chars")
 
 def filtered_bm25_topk(docs: DataFrame, query_terms: list[str],
                        predicate: str, k: int = 10,
-                       k1: float = K1, b: float = B) -> DataFrame:
+                       k1: float = K1, b: float = B,
+                       toks: DataFrame | None = None) -> DataFrame:
     """BM25 top-k over documents satisfying a metadata ``predicate``
     (a SQL boolean expression over FILTER_COLS, e.g. ``lang = 'en'``).
 
@@ -51,14 +53,15 @@ def filtered_bm25_topk(docs: DataFrame, query_terms: list[str],
     doc_id ASC) tie-breaking to ``core.bm25_topk``.
     """
     from .core import bm25_rank_over
-    q = docs.sparkSession.createDataFrame(
-        [(t,) for t in query_terms], "term string")
+    q = rows_df(docs.sparkSession, [(t,) for t in query_terms],
+                "term string")
     # the filter: pushable predicate on the documents scan, pruned to
     # (doc_id) after evaluation
     cand = docs.filter(F.expr(predicate)).select("doc_id")
     return bm25_rank_over(
         docs, q, k, k1, b,
-        constrain=lambda tc: tc.join(cand, "doc_id", "left_semi"))
+        constrain=lambda tc: tc.join(cand, "doc_id", "left_semi"),
+        toks=toks)
 
 
 def facet_counts(docs: DataFrame, query_terms: list[str],
@@ -68,7 +71,7 @@ def facet_counts(docs: DataFrame, query_terms: list[str],
     (n_docs DESC, facet ASC). Lucene's FacetsCollector over the
     query's full match set — counts ALL matches, not just top-k."""
     spark = docs.sparkSession
-    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    q = rows_df(spark, [(t,) for t in query_terms], "term string")
     matched = (tokens_exploded(docs).join(F.broadcast(q), "term")
                .select("doc_id").distinct())
     return (matched.join(docs.select("doc_id", facet_col), "doc_id")

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..rows import rows_df
 from ..tokenizer import (TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list,
                          tokens_exploded)
 
@@ -109,8 +110,8 @@ def from_pretagged(spark, rows) -> DataFrame:
             for word, tag in sent:
                 off += 1
                 data.append((doc_id, off, word.lower(), tag))
-    return spark.createDataFrame(
-        data, "doc_id long, pos int, term string, tag string")
+    return rows_df(spark, data,
+                   "doc_id long, pos int, term string, tag string")
 
 
 # --------------------------------------------------------------- DuckDB

@@ -30,9 +30,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from ..tokenizer import TEXT_STOPWORDS, tokens_exploded
+from ..tokenizer import TEXT_STOPWORDS
 
 ALPHA = 0.85
 
@@ -138,12 +137,11 @@ def _pagerank_scores_custom(terms: list[str], positions: list[int],
     return {t: float(scores[idx[t]]) for t in nodes}
 
 
-def _rank_doc(pdf: pd.DataFrame, stopset: set, window: int, weighted: bool,
-              personalize: bool, k: int) -> pd.DataFrame:
-    pdf = pdf.sort_values("pos")
-    terms = pdf["term"].tolist()
-    positions = pdf["pos"].tolist()
-    doc_id = int(pdf["doc_id"].iloc[0])
+def _rank_doc_rows(doc_id: int, terms: list[str], positions: list[int],
+                   stopset: set, window: int, weighted: bool,
+                   personalize: bool, k: int) -> list[tuple]:
+    """Lean per-doc core over plain lists (no per-doc pandas frames —
+    the frame churn dominated the old applyInPandas path)."""
     scores = _pagerank_scores(terms, positions, stopset, window, weighted,
                               personalize)
     # candidates = maximal non-stopword runs (C2); score = sum word scores
@@ -164,48 +162,56 @@ def _rank_doc(pdf: pd.DataFrame, stopset: set, window: int, weighted: bool,
             run.append(t)
     flush()
     top = sorted(cands.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+    return [(doc_id, i + 1, t, round(s, 6))
+            for i, (t, s) in enumerate(top)]
+
+
+def _rank_doc(pdf: pd.DataFrame, stopset: set, window: int, weighted: bool,
+              personalize: bool, k: int) -> pd.DataFrame:
+    """(doc_id, pos, term) frame wrapper around ``_rank_doc_rows`` —
+    kept for the driver-side parity tests; the executor feeds the core
+    directly."""
+    pdf = pdf.sort_values("pos")
+    rows = _rank_doc_rows(int(pdf["doc_id"].iloc[0]), pdf["term"].tolist(),
+                          pdf["pos"].tolist(), stopset, window, weighted,
+                          personalize, k)
     return pd.DataFrame({
-        "doc_id": doc_id,
-        "rank": pd.array(range(1, len(top) + 1), dtype="int32"),
-        "candidate": [t for t, _ in top],
-        "score": [round(s, 6) for _, s in top]})
+        "doc_id": [r[0] for r in rows],
+        "rank": pd.array([r[1] for r in rows], dtype="int32"),
+        "candidate": [r[2] for r in rows],
+        "score": [r[3] for r in rows]})
 
 
 def _graph_topk(docs: DataFrame, k: int, window: int, weighted: bool,
                 personalize: bool,
                 stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    from .perdoc import per_doc_rows
     stopset = set(stoplist)
-    toks = tokens_exploded(docs)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _rank_doc(pdf, stopset, window, weighted, personalize, k)
+    def row_fn(doc_id: int, terms: list[str]) -> list[tuple]:
+        return _rank_doc_rows(doc_id, terms, list(range(1, len(terms) + 1)),
+                              stopset, window, weighted, personalize, k)
 
-    return toks.groupBy("doc_id").applyInPandas(
-        fn, "doc_id long, rank int, candidate string, score double")
+    return per_doc_rows(docs, row_fn,
+                        "doc_id long, rank int, candidate string, "
+                        "score double")
 
 
 def textrank_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     return _graph_topk(docs, k, window=2, weighted=False, personalize=False)
 
 
-def _textrank_tp_doc(pdf: pd.DataFrame, stopset: set, k: int,
-                     top_percent: float) -> pd.DataFrame:
+def _textrank_tp_rows(doc_id: int, terms: list[str], positions: list[int],
+                      stopset: set, k: int,
+                      top_percent: float) -> list[tuple]:
     """The pke-default TextRank path (textrank.py:160-185, T3 + C4):
     keep floor(n_nodes * T) best words, rebuild candidates as maximal
     runs of KEPT words (longest_keyword_sequence_selection), weight =
     sum of word scores + first_offset * 1e-8 explicit tie-break."""
     import math
-    pdf = pdf.sort_values("pos")
-    terms = pdf["term"].tolist()
-    positions = pdf["pos"].tolist()
-    doc_id = int(pdf["doc_id"].iloc[0])
     scores = _pagerank_scores(terms, positions, stopset, 2, False, False)
-    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                          "rank": pd.Series(dtype="int32"),
-                          "candidate": pd.Series(dtype="object"),
-                          "score": pd.Series(dtype="float64")})
     if not scores:
-        return empty
+        return []
     to_keep = min(math.floor(len(scores) * top_percent), len(scores))
     # Round to the engine's 6-decimal convention BEFORE the cut: raw
     # float scores can differ by an ulp across BLAS builds, and an
@@ -234,13 +240,24 @@ def _textrank_tp_doc(pdf: pd.DataFrame, stopset: set, k: int,
         if phrase not in cands:
             cands[phrase] = (sum(scores[w] for w in run) + start * 1e-8, start)
     if not cands:
-        return empty
+        return []
     top = sorted(cands.items(), key=lambda kv: (-round(kv[1][0], 6), kv[0]))[:k]
+    return [(doc_id, i + 1, t, round(v[0], 6))
+            for i, (t, v) in enumerate(top)]
+
+
+def _textrank_tp_doc(pdf: pd.DataFrame, stopset: set, k: int,
+                     top_percent: float) -> pd.DataFrame:
+    """Frame wrapper around ``_textrank_tp_rows`` (driver-side tests)."""
+    pdf = pdf.sort_values("pos")
+    rows = _textrank_tp_rows(int(pdf["doc_id"].iloc[0]),
+                             pdf["term"].tolist(), pdf["pos"].tolist(),
+                             stopset, k, top_percent)
     return pd.DataFrame({
-        "doc_id": doc_id,
-        "rank": pd.array(range(1, len(top) + 1), dtype="int32"),
-        "candidate": [t for t, _ in top],
-        "score": [round(v[0], 6) for _, v in top]})
+        "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "rank": pd.array([r[1] for r in rows], dtype="int32"),
+        "candidate": pd.Series([r[2] for r in rows], dtype="object"),
+        "score": pd.Series([r[3] for r in rows], dtype="float64")})
 
 
 def textrank_top_percent(docs: DataFrame, k: int = 5,
@@ -249,14 +266,17 @@ def textrank_top_percent(docs: DataFrame, k: int = 5,
                          ) -> DataFrame:
     """pke's default TextRank usage: candidates rebuilt from the
     top-percent words (rows-only; parity in tests/test_graph_nx.py)."""
+    from .perdoc import per_doc_rows
     stopset = set(stoplist)
-    toks = tokens_exploded(docs)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _textrank_tp_doc(pdf, stopset, k, top_percent)
+    def row_fn(doc_id: int, terms: list[str]) -> list[tuple]:
+        return _textrank_tp_rows(doc_id, terms,
+                                 list(range(1, len(terms) + 1)),
+                                 stopset, k, top_percent)
 
-    return toks.groupBy("doc_id").applyInPandas(
-        fn, "doc_id long, rank int, candidate string, score double")
+    return per_doc_rows(docs, row_fn,
+                        "doc_id long, rank int, candidate string, "
+                        "score double")
 
 
 def singlerank_topk(docs: DataFrame, k: int = 5) -> DataFrame:

@@ -195,7 +195,12 @@ def kpminer(docs: DataFrame, k: int = 5,
     c = (c.withColumn("n_d", F.sum("tf").over(wd))
          .withColumn("p_d", F.greatest(
              F.lit(1), F.sum(F.when(F.col("n_words") > 1, F.col("tf"))
-                             .otherwise(F.lit(0))).over(wd))))
+                             .otherwise(F.lit(0))).over(wd)))
+         # materialize once (lazy): both uni_df and the weighted join
+         # consume this table — without the checkpoint the whole
+         # ngram-candidate DAG (scan + window + explode) re-runs per
+         # consumer
+         .localCheckpoint(eager=False))
     # df stats over single-word candidates only (kpminer df lookup is
     # unigram-only; multiword candidate_df = 1)
     uni_df = (c.filter(F.col("n_words") == 1)

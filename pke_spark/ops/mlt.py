@@ -43,11 +43,13 @@ def mlt_terms(docs: DataFrame, doc_id: int,
               max_query_terms: int = MAX_QUERY_TERMS,
               min_term_freq: int = MIN_TERM_FREQ,
               min_doc_freq: int = MIN_DOC_FREQ,
-              profile: str = "code") -> DataFrame:
+              profile: str = "code",
+              toks=None) -> DataFrame:
     """(term, tscore): the source doc's interesting terms, selected by
     round(tf * idf, 6) DESC, term ASC, gated and capped per Lucene's
     MoreLikeThis knobs."""
-    toks = tokens_exploded(docs, profile=profile)
+    if toks is None:
+        toks = tokens_exploded(docs, profile=profile)
     src = (toks.where(F.col("doc_id") == int(doc_id))
            .groupBy("term").agg(F.count("*").alias("tf"))
            .where(F.col("tf") >= int(min_term_freq)))
@@ -78,11 +80,14 @@ def mlt_topk(docs: DataFrame, doc_id: int, k: int = 10,
              k1: float = K1, b: float = B) -> DataFrame:
     """(rank, doc_id, score): BM25 top-k of the documents most like
     ``doc_id``, source doc excluded."""
+    from .core import corpus_tokens
+    toks = corpus_tokens(docs)
     q = mlt_terms(docs, doc_id, max_query_terms, min_term_freq,
-                  min_doc_freq).select("term")
+                  min_doc_freq, toks=toks).select("term")
     return bm25_rank_over(
         docs, q, k, k1, b,
-        constrain=lambda tc: tc.where(F.col("doc_id") != int(doc_id)))
+        constrain=lambda tc: tc.where(F.col("doc_id") != int(doc_id)),
+        toks=toks)
 
 
 # --------------------------------------------------------------- DuckDB

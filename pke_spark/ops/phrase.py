@@ -35,12 +35,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..rows import rows_df
+
 from ..tokenizer import duckdb_toks_cte, tokens_exploded
 
 
 def _term_offsets(spark, terms: list[str]) -> DataFrame:
-    return spark.createDataFrame(
-        [(t, i) for i, t in enumerate(terms)], "term string, off int")
+    return rows_df(spark, [(t, i) for i, t in enumerate(terms)],
+                   "term string, off int")
 
 
 def phrase_from_positions(pos: DataFrame, terms: list[str],

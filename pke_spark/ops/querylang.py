@@ -101,6 +101,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..rows import rows_df
 from ..tokenizer import (duckdb_toks_cte, sql_quote, sql_str_list,
                          tokenize_text, tokens_exploded)
 
@@ -530,7 +531,8 @@ def parse_querystring(qs: str, profile: str = "code") -> ParsedQuery:
 # ----------------------------------------------------------------- Spark
 
 def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
-             min_should_match: int = 0, profile: str = "code"):
+             min_should_match: int = 0, profile: str = "code",
+             toks: DataFrame | None = None):
     """(qdf, constrain): the weighted (term, boost) query DataFrame and
     the candidate-constraint hook — shared by every corpus-side front
     door (scoring top-k, hit counting, sort-by-field)."""
@@ -538,28 +540,35 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
     from .termexpand import (expand_fuzzy, expand_prefix, expand_regex,
                              expand_wildcard)
 
+    from .core import corpus_tokens
     spark = docs.sparkSession
-    toks = tokens_exploded(docs, profile=profile)
+    # ONE materialized token table per query (or a caller-shared one —
+    # composite entries pass the same table to every member): every
+    # clause below (scoring counts, msm map, must/group/phrase/slop/not
+    # semi-joins, expansion vocab aggs) re-used this subtree —
+    # previously each was its own full tokenize pass over the corpus
+    if toks is None:
+        toks = corpus_tokens(docs, profile)
 
     # per-clause (term, df) expansion DataFrames in the canonical order
     # (prefixes, fuzzies, wildcards, regexes) — aligned with
     # pq.expansion_boosts; built ONCE and shared between the scoring
     # qdf and the msm clause map (each carries a full-corpus vocab agg)
     expansion_dfs = (
-        [expand_prefix(docs, p, max_expansions, profile)
+        [expand_prefix(docs, p, max_expansions, profile, toks=toks)
          for p, _ in pq.prefixes]
-        + [expand_fuzzy(docs, t, e, 1, max_expansions, profile)
+        + [expand_fuzzy(docs, t, e, 1, max_expansions, profile, toks=toks)
            for t, e, _ in pq.fuzzies]
-        + [expand_wildcard(docs, p, max_expansions, profile)
+        + [expand_wildcard(docs, p, max_expansions, profile, toks=toks)
            for p, _ in pq.wildcards]
-        + [expand_regex(docs, p, max_expansions, profile)
+        + [expand_regex(docs, p, max_expansions, profile, toks=toks)
            for p, _ in pq.regexes])
 
     parts = []
     lits = pq.literal_score_terms
     if lits:
-        parts.append(spark.createDataFrame(
-            [(t, pq.boosts[t]) for t in lits], "term string, boost double"))
+        parts.append(rows_df(spark, [(t, pq.boosts[t]) for t in lits],
+                             "term string, boost double"))
     for edf, bs in zip(expansion_dfs, pq.expansion_boosts,
                        strict=True):
         parts.append(edf.select("term",
@@ -579,8 +588,8 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                 return scored_src.where(F.lit(False))
             cm_parts, cid = [], 0
             for terms, need in pq.should_clauses:
-                cm_parts.append(spark.createDataFrame(
-                    [(t, cid, need) for t in terms],
+                cm_parts.append(rows_df(
+                    spark, [(t, cid, need) for t in terms],
                     "term string, cid int, need int"))
                 cid += 1
             for edf in expansion_dfs:
@@ -604,8 +613,8 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                 docs.filter(filters_condition(pq.filters))
                 .select("doc_id"), "doc_id", "left_semi")
         if pq.must:
-            mdf = spark.createDataFrame(
-                [(t,) for t in dict.fromkeys(pq.must)], "term string")
+            mdf = rows_df(spark, [(t,) for t in dict.fromkeys(pq.must)],
+                          "term string")
             m_ids = (toks.join(F.broadcast(mdf), "term")
                      .groupBy("doc_id")
                      .agg(F.countDistinct("term").alias("nm"))
@@ -613,8 +622,8 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                      .select("doc_id"))
             scored_src = scored_src.join(m_ids, "doc_id", "left_semi")
         for terms, _gb in pq.must_any:
-            gdf = spark.createDataFrame(
-                [(t,) for t in sorted(set(terms))], "term string")
+            gdf = rows_df(spark, [(t,) for t in sorted(set(terms))],
+                          "term string")
             g_ids = (toks.join(F.broadcast(gdf), "term")
                      .select("doc_id").distinct())
             scored_src = scored_src.join(g_ids, "doc_id", "left_semi")
@@ -641,38 +650,39 @@ def _compile(docs: DataFrame, pq: ParsedQuery, max_expansions: int = 32,
                 spannear_ids_from_positions(toks, terms, slop),
                 "doc_id", "left_semi")
         if pq.must_not:
-            ndf = spark.createDataFrame(
-                [(t,) for t in dict.fromkeys(pq.must_not)], "term string")
+            ndf = rows_df(spark, [(t,) for t in dict.fromkeys(pq.must_not)],
+                          "term string")
             n_ids = (toks.join(F.broadcast(ndf), "term")
                      .select("doc_id").distinct())
             scored_src = scored_src.join(n_ids, "doc_id", "left_anti")
         return scored_src
 
-    return qdf, constrain
+    return qdf, constrain, toks
 
 
 def querystring_topk(docs: DataFrame, qs: str, k: int = 10,
                      max_expansions: int = 32,
                      k1: float = K1, b: float = B,
                      min_should_match: int = 0,
-                     profile: str = "code") -> DataFrame:
+                     profile: str = "code",
+                     toks: DataFrame | None = None) -> DataFrame:
     """(rank, doc_id, score) for a parsed+compiled query string.
     ``profile`` is the corpus tokenizer profile; it analyzes the query
     text AND the document token stream identically (ADVICE r4)."""
     from .core import bm25_rank_over
 
     pq = parse_querystring(qs, profile)
-    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match,
-                              profile)
-    return bm25_rank_over(docs, qdf, k, k1, b, constrain, profile)
+    qdf, constrain, toks = _compile(docs, pq, max_expansions,
+                                    min_should_match, profile, toks)
+    return bm25_rank_over(docs, qdf, k, k1, b, constrain, profile,
+                          toks=toks)
 
 
-def _candidates(docs: DataFrame, qdf: DataFrame, constrain,
-                profile: str = "code") -> DataFrame:
+def _candidates(toks: DataFrame, qdf: DataFrame, constrain) -> DataFrame:
     """One-column (doc_id) candidate set: docs matching >=1 scoring
-    term, run through every constraint clause."""
-    cand = (tokens_exploded(docs, profile=profile)
-            .join(F.broadcast(qdf.select("term")), "term")
+    term, run through every constraint clause. ``toks`` is the
+    query's materialized token table (from ``_compile``)."""
+    cand = (toks.join(F.broadcast(qdf.select("term")), "term")
             .select("doc_id").distinct())
     return constrain(cand)
 
@@ -687,9 +697,9 @@ def querystring_count(docs: DataFrame, qs: str,
     plan skips the scoring joins entirely — one broadcast-filtered
     token scan + the constraint semi/anti joins + a 1-row count."""
     pq = parse_querystring(qs, profile)
-    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match,
-                              profile)
-    return _candidates(docs, qdf, constrain, profile).agg(
+    qdf, constrain, toks = _compile(docs, pq, max_expansions,
+                                    min_should_match, profile)
+    return _candidates(toks, qdf, constrain).agg(
         F.count("*").alias("n_hits"))
 
 
@@ -711,11 +721,10 @@ def querystring_explain(docs: DataFrame, qs: str, k: int = 10,
     from .core import bm25_exprs, bm25_rank_over
 
     pq = parse_querystring(qs, profile)
-    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match,
-                              profile)
+    qdf, constrain, toks = _compile(docs, pq, max_expansions,
+                                    min_should_match, profile)
     top = bm25_rank_over(docs, qdf, k, k1, b, constrain,
-                         profile).select("doc_id")
-    toks = tokens_exploded(docs, profile=profile)
+                         profile, toks=toks).select("doc_id")
     tc_q = (toks.join(F.broadcast(qdf.select("term")), "term")
             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -750,9 +759,9 @@ def querystring_sort_topk(docs: DataFrame, qs: str,
         raise ValueError(f"unknown sort field {sort_field!r} "
                          f"(allowed: {FILTER_FIELDS})")
     pq = parse_querystring(qs, profile)
-    qdf, constrain = _compile(docs, pq, max_expansions, min_should_match,
-                              profile)
-    vals = _candidates(docs, qdf, constrain, profile)
+    qdf, constrain, toks = _compile(docs, pq, max_expansions,
+                                    min_should_match, profile)
+    vals = _candidates(toks, qdf, constrain)
     if sort_field != "doc_id":
         vals = vals.join(docs.select("doc_id", sort_field), "doc_id")
     order = [F.asc(sort_field) if ascending else F.desc(sort_field),

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..rows import rows_df
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -92,8 +94,8 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.45,
     spark = emb.sparkSession
     e = emb.select("vec_id", "embedding").withColumn(
         "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
-    bp = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+    bp = rows_df(
+        spark, [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int")
     left = (e.alias("e1")
             .join(F.broadcast(bp.alias("p1")),

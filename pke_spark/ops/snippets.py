@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tokenizer import duckdb_toks_cte, sql_str_list, tokens_exploded
-from .core import B, K1, bm25_topk
+from ..rows import rows_df
+from .core import B, K1, bm25_topk, corpus_tokens
 
 
 def snippet_windows(docs: DataFrame, query_terms: list[str],
@@ -35,10 +36,11 @@ def snippet_windows(docs: DataFrame, query_terms: list[str],
     top-k; win_* are 1-based token positions, n_terms = distinct query
     terms inside the best window."""
     spark = docs.sparkSession
-    top = bm25_topk(docs, query_terms, k, k1, b)
-    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    toks = corpus_tokens(docs)  # shared by the scorer and the windows
+    top = bm25_topk(docs, query_terms, k, k1, b, toks=toks)
+    q = rows_df(spark, [(t,) for t in query_terms], "term string")
     ids = top.select("doc_id")
-    mp = (tokens_exploded(docs)
+    mp = (toks
           .join(F.broadcast(q), "term")
           .join(F.broadcast(ids), "doc_id"))
     anchors = mp.select("doc_id", F.col("pos").alias("win_start")).distinct()

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ._cache import cache_latest
 from ..tokenizer import TEXT_STOPWORDS
+from ..rows import rows_df
 from .keyphrase import _cands_cte, candidate_runs
 
 
@@ -184,7 +185,8 @@ def eval_prf_gold(docs: DataFrame, pred: DataFrame,
     p = tp / np_ if np_ else 0.0
     r = tp / ng if ng else 0.0
     f = 2 * p * r / (p + r) if (p + r) else 0.0
-    return docs.sparkSession.createDataFrame(
+    return rows_df(
+        docs.sparkSession,
         [(tp, np_, ng, round(p, 6), round(r, 6), round(f, 6))],
         "tp long, n_pred long, n_gold long, precision double, "
         "recall double, f1 double")
@@ -208,7 +210,8 @@ def eval_prf(docs: DataFrame, k: int = 5,
     p = tp / np_ if np_ else 0.0
     r = tp / ng if ng else 0.0
     f = 2 * p * r / (p + r) if (p + r) else 0.0
-    return docs.sparkSession.createDataFrame(
+    return rows_df(
+        docs.sparkSession,
         [(tp, np_, ng, round(p, 6), round(r, 6), round(f, 6))],
         "tp long, n_pred long, n_gold long, precision double, "
         "recall double, f1 double")

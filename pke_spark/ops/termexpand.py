@@ -41,28 +41,35 @@ from .core import B, K1
 
 
 def _bm25_over_expansion(docs: DataFrame, expanded: DataFrame,
-                         k: int, k1: float, b: float) -> DataFrame:
+                         k: int, k1: float, b: float,
+                         toks: DataFrame | None = None) -> DataFrame:
     """BM25 top-k where the query-term set is a (term) DataFrame of
     <= max_expansions rows (broadcast into the token-stream filter)."""
     from .core import bm25_rank_over
-    return bm25_rank_over(docs, expanded, k, k1, b)
+    return bm25_rank_over(docs, expanded, k, k1, b, toks=toks)
 
 
-def _vocab(docs: DataFrame, profile: str = "code") -> DataFrame:
-    """(term, df) over the corpus — the A1 term dictionary."""
-    from ..tokenizer import tokens_exploded
-    return (tokens_exploded(docs, profile=profile)
+def _vocab(docs: DataFrame, profile: str = "code",
+           toks: DataFrame | None = None) -> DataFrame:
+    """(term, df) over the corpus — the A1 term dictionary. ``toks``:
+    an already-materialized token table (``core.corpus_tokens``) so the
+    expansion's vocab agg shares the query's single tokenize pass."""
+    if toks is None:
+        from ..tokenizer import tokens_exploded
+        toks = tokens_exploded(docs, profile=profile)
+    return (toks
             .select("doc_id", "term").distinct()
             .groupBy("term").agg(F.count("*").alias("df")))
 
 
 def expand_prefix(docs: DataFrame, prefix: str,
                   max_expansions: int = 32,
-                  profile: str = "code") -> DataFrame:
+                  profile: str = "code",
+                  toks: DataFrame | None = None) -> DataFrame:
     """(term, df) expansion set for a prefix query."""
     if not prefix:
         raise ValueError("empty prefix would expand the whole vocabulary")
-    return (_vocab(docs, profile)
+    return (_vocab(docs, profile, toks)
             .filter(F.col("term").startswith(prefix))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_expansions))
@@ -70,11 +77,12 @@ def expand_prefix(docs: DataFrame, prefix: str,
 
 def expand_fuzzy(docs: DataFrame, term: str, max_edits: int = 1,
                  prefix_len: int = 1, max_expansions: int = 32,
-                 profile: str = "code") -> DataFrame:
+                 profile: str = "code",
+                 toks: DataFrame | None = None) -> DataFrame:
     """(term, df, dist) expansion set for a fuzzy query."""
     if max_edits < 1:
         raise ValueError("max_edits must be >= 1 (0 is a TermQuery)")
-    v = _vocab(docs, profile)
+    v = _vocab(docs, profile, toks)
     if prefix_len > 0:
         v = v.filter(F.col("term").startswith(term[:prefix_len]))
     v = v.filter(
@@ -126,13 +134,14 @@ def _check_wildcard(pattern: str) -> None:
 
 def expand_wildcard(docs: DataFrame, pattern: str,
                     max_expansions: int = 32,
-                    profile: str = "code") -> DataFrame:
+                    profile: str = "code",
+                    toks: DataFrame | None = None) -> DataFrame:
     """(term, df) expansion set for a wildcard query (``te?t``,
     ``t*ble``): dictionary terms matching the whole pattern, gated by
     the sargable literal-prefix range before the LIKE evaluation,
     ranked (df DESC, term ASC), capped."""
     _check_wildcard(pattern)
-    return (_vocab(docs, profile)
+    return (_vocab(docs, profile, toks)
             .filter(F.col("term").startswith(wildcard_prefix(pattern)))
             .filter(F.col("term").like(wildcard_like(pattern)))
             .orderBy(F.desc("df"), F.asc("term"))
@@ -180,7 +189,8 @@ def regex_prefix(pattern: str) -> str:
 
 def expand_regex(docs: DataFrame, pattern: str,
                  max_expansions: int = 32,
-                 profile: str = "code") -> DataFrame:
+                 profile: str = "code",
+                 toks: DataFrame | None = None) -> DataFrame:
     """(term, df) expansion set for a RegexpQuery: dictionary terms
     whose WHOLE text matches the pattern (Lucene semantics), ranked
     (df DESC, term ASC), capped. Patterns must stay in the common
@@ -195,7 +205,7 @@ def expand_regex(docs: DataFrame, pattern: str,
         _re.compile(pattern)
     except _re.error as e:
         raise ValueError(f"bad regex {pattern!r}: {e}") from e
-    v = _vocab(docs, profile)
+    v = _vocab(docs, profile, toks)
     pfx = regex_prefix(pattern)
     if pfx:
         v = v.filter(F.col("term").startswith(pfx))
@@ -206,38 +216,57 @@ def expand_regex(docs: DataFrame, pattern: str,
 
 def prefix_bm25_topk(docs: DataFrame, prefix: str, k: int = 10,
                      max_expansions: int = 32,
-                     k1: float = K1, b: float = B) -> DataFrame:
+                     k1: float = K1, b: float = B,
+                     toks: DataFrame | None = None) -> DataFrame:
     """(rank, doc_id, score): BM25 top-k for the wildcard query
     ``prefix*``."""
+    if toks is None:
+        from .core import corpus_tokens
+        toks = corpus_tokens(docs)
     return _bm25_over_expansion(
-        docs, expand_prefix(docs, prefix, max_expansions), k, k1, b)
+        docs, expand_prefix(docs, prefix, max_expansions, toks=toks),
+        k, k1, b, toks=toks)
 
 
 def fuzzy_bm25_topk(docs: DataFrame, term: str, max_edits: int = 1,
                     k: int = 10, prefix_len: int = 1,
                     max_expansions: int = 32,
-                    k1: float = K1, b: float = B) -> DataFrame:
+                    k1: float = K1, b: float = B,
+                    toks: DataFrame | None = None) -> DataFrame:
     """(rank, doc_id, score): BM25 top-k for the fuzzy query
     ``term~max_edits``."""
+    if toks is None:
+        from .core import corpus_tokens
+        toks = corpus_tokens(docs)
     return _bm25_over_expansion(
         docs, expand_fuzzy(docs, term, max_edits, prefix_len,
-                           max_expansions), k, k1, b)
+                           max_expansions, toks=toks), k, k1, b, toks=toks)
 
 
 def wildcard_bm25_topk(docs: DataFrame, pattern: str, k: int = 10,
                        max_expansions: int = 32,
-                       k1: float = K1, b: float = B) -> DataFrame:
+                       k1: float = K1, b: float = B,
+                       toks: DataFrame | None = None) -> DataFrame:
     """(rank, doc_id, score): BM25 top-k for a wildcard query."""
+    if toks is None:
+        from .core import corpus_tokens
+        toks = corpus_tokens(docs)
     return _bm25_over_expansion(
-        docs, expand_wildcard(docs, pattern, max_expansions), k, k1, b)
+        docs, expand_wildcard(docs, pattern, max_expansions, toks=toks),
+        k, k1, b, toks=toks)
 
 
 def regex_bm25_topk(docs: DataFrame, pattern: str, k: int = 10,
                     max_expansions: int = 32,
-                    k1: float = K1, b: float = B) -> DataFrame:
+                    k1: float = K1, b: float = B,
+                    toks: DataFrame | None = None) -> DataFrame:
     """(rank, doc_id, score): BM25 top-k for a RegexpQuery."""
+    if toks is None:
+        from .core import corpus_tokens
+        toks = corpus_tokens(docs)
     return _bm25_over_expansion(
-        docs, expand_regex(docs, pattern, max_expansions), k, k1, b)
+        docs, expand_regex(docs, pattern, max_expansions, toks=toks),
+        k, k1, b, toks=toks)
 
 
 # --------------------------------------------------------------- DuckDB

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..tokenizer import TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list
+from ..rows import rows_df
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "is", "and", "of"),
@@ -31,8 +32,8 @@ def langid(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang, hits): argmax of marker-token hits per lang,
     tie-break lang ASC; zero hits -> 'unknown'."""
     spark = docs.sparkSession
-    markers = spark.createDataFrame(
-        [(lang, t) for lang, ts in LANG_MARKERS.items() for t in ts],
+    markers = rows_df(
+        spark, [(lang, t) for lang, ts in LANG_MARKERS.items() for t in ts],
         "mlang string, term string")
     toks = _toks(docs)
     hits = (toks.join(F.broadcast(markers), "term")

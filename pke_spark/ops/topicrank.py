@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..tokenizer import TEXT_STOPWORDS, tokens_exploded
+from ..tokenizer import TEXT_STOPWORDS
 from .graph import _pagerank_dense
 
 THRESHOLD = 0.74
@@ -112,18 +112,14 @@ def _upgma_clusters(dist: np.ndarray, t: float) -> list[int]:
     return labels
 
 
-def _topicrank_doc(pdf: pd.DataFrame, stopset: set, k: int,
-                   threshold: float) -> pd.DataFrame:
-    pdf = pdf.sort_values("pos")
-    doc_id = int(pdf["doc_id"].iloc[0])
-    cands = _runs_with_offsets(pdf["term"].tolist(), stopset)
+def _topicrank_rows(doc_id: int, terms: list[str], stopset: set, k: int,
+                    threshold: float) -> list[tuple]:
+    """Lean per-doc core over the term sequence (offsets are the dense
+    1-based token order — ``_runs_with_offsets`` derives them itself)."""
+    cands = _runs_with_offsets(terms, stopset)
     names = sorted(cands)
-    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                          "rank": pd.Series(dtype="int32"),
-                          "candidate": pd.Series(dtype="object"),
-                          "score": pd.Series(dtype="float64")})
     if not names:
-        return empty
+        return []
     # count vectorization + scipy-exact jaccard distances (J5/L1-L2)
     if len(names) == 1:
         labels = [0]
@@ -164,30 +160,41 @@ def _topicrank_doc(pdf: pd.DataFrame, stopset: set, k: int,
         rows.append((first, float(scores[a])))
     rows.sort(key=lambda r: (-round(r[1], 6), r[0]))
     rows = rows[:k]
+    return [(doc_id, i + 1, c, round(s, 6))
+            for i, (c, s) in enumerate(rows)]
+
+
+def _topicrank_doc(pdf: pd.DataFrame, stopset: set, k: int,
+                   threshold: float) -> pd.DataFrame:
+    """Frame wrapper around ``_topicrank_rows`` (driver-side tests)."""
+    pdf = pdf.sort_values("pos")
+    rows = _topicrank_rows(int(pdf["doc_id"].iloc[0]),
+                           pdf["term"].tolist(), stopset, k, threshold)
     return pd.DataFrame({
-        "doc_id": doc_id,
-        "rank": pd.array(range(1, len(rows) + 1), dtype="int32"),
-        "candidate": [r[0] for r in rows],
-        "score": [round(r[1], 6) for r in rows]})
+        "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "rank": pd.array([r[1] for r in rows], dtype="int32"),
+        "candidate": pd.Series([r[2] for r in rows], dtype="object"),
+        "score": pd.Series([r[3] for r in rows], dtype="float64")})
 
 
 def topicrank_topk(docs: DataFrame, k: int = 5,
                    stoplist: tuple[str, ...] = TEXT_STOPWORDS,
                    threshold: float = THRESHOLD) -> DataFrame:
+    from .perdoc import per_doc_rows
     stopset = set(stoplist)
-    toks = tokens_exploded(docs)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _topicrank_doc(pdf, stopset, k, threshold)
+    def row_fn(doc_id: int, terms: list[str]) -> list[tuple]:
+        return _topicrank_rows(doc_id, terms, stopset, k, threshold)
 
-    return toks.groupBy("doc_id").applyInPandas(
-        fn, "doc_id long, rank int, candidate string, score double")
+    return per_doc_rows(docs, row_fn,
+                        "doc_id long, rank int, candidate string, "
+                        "score double")
 
 
 # ------------------------------------------------------- MultipartiteRank
 
-def _multipartite_doc(pdf: pd.DataFrame, stopset: set, k: int,
-                      threshold: float, alpha: float) -> pd.DataFrame:
+def _multipartite_rows(doc_id: int, terms: list[str], stopset: set, k: int,
+                       threshold: float, alpha: float) -> list[tuple]:
     """MultipartiteRank (multipartiterank.py): directed CANDIDATE graph,
     inter-topic edges weight = sum 1/gap (both directions,
     :118-147), first-variant boost (weight_adjustment :149-195:
@@ -197,16 +204,10 @@ def _multipartite_doc(pdf: pd.DataFrame, stopset: set, k: int,
     exponent uses the same formula on our positions — documented
     adaptation, deterministic."""
     import math
-    pdf = pdf.sort_values("pos")
-    doc_id = int(pdf["doc_id"].iloc[0])
-    cands = _runs_with_offsets(pdf["term"].tolist(), stopset)
+    cands = _runs_with_offsets(terms, stopset)
     names = sorted(cands)
-    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                          "rank": pd.Series(dtype="int32"),
-                          "candidate": pd.Series(dtype="object"),
-                          "score": pd.Series(dtype="float64")})
     if not names:
-        return empty
+        return []
     if len(names) == 1:
         labels = [0]
     else:
@@ -263,22 +264,35 @@ def _multipartite_doc(pdf: pd.DataFrame, stopset: set, k: int,
     scores = _pagerank_dense(adj, pers, alpha=ALPHA)
     order = sorted(range(n), key=lambda i: (-round(float(scores[i]), 6),
                                             names[i]))[:k]
+    return [(doc_id, i + 1, names[j], round(float(scores[j]), 6))
+            for i, j in enumerate(order)]
+
+
+def _multipartite_doc(pdf: pd.DataFrame, stopset: set, k: int,
+                      threshold: float, alpha: float) -> pd.DataFrame:
+    """Frame wrapper around ``_multipartite_rows`` (driver-side tests)."""
+    pdf = pdf.sort_values("pos")
+    rows = _multipartite_rows(int(pdf["doc_id"].iloc[0]),
+                              pdf["term"].tolist(), stopset, k, threshold,
+                              alpha)
     return pd.DataFrame({
-        "doc_id": doc_id,
-        "rank": pd.array(range(1, len(order) + 1), dtype="int32"),
-        "candidate": [names[i] for i in order],
-        "score": [round(float(scores[i]), 6) for i in order]})
+        "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "rank": pd.array([r[1] for r in rows], dtype="int32"),
+        "candidate": pd.Series([r[2] for r in rows], dtype="object"),
+        "score": pd.Series([r[3] for r in rows], dtype="float64")})
 
 
 def multipartiterank_topk(docs: DataFrame, k: int = 5,
                           stoplist: tuple[str, ...] = TEXT_STOPWORDS,
                           threshold: float = THRESHOLD,
                           alpha: float = 1.1) -> DataFrame:
+    from .perdoc import per_doc_rows
     stopset = set(stoplist)
-    toks = tokens_exploded(docs)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _multipartite_doc(pdf, stopset, k, threshold, alpha)
+    def row_fn(doc_id: int, terms: list[str]) -> list[tuple]:
+        return _multipartite_rows(doc_id, terms, stopset, k, threshold,
+                                  alpha)
 
-    return toks.groupBy("doc_id").applyInPandas(
-        fn, "doc_id long, rank int, candidate string, score double")
+    return per_doc_rows(docs, row_fn,
+                        "doc_id long, rank int, candidate string, "
+                        "score double")

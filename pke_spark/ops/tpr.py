@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..tokenizer import TEXT_STOPWORDS, tokens_array, tokens_exploded
+from .perdoc import per_doc_rows
 from .graph import _pagerank_scores_custom
 
 N_TOPICS = 10
@@ -271,15 +272,11 @@ def topical_pagerank_topk(docs: DataFrame, k: int = 5,
     td_col = (F.col("topicDistribution") if td_type.startswith("array")
               else vector_to_array("topicDistribution"))
     docdist = transformed.select("doc_id", td_col.alias("doc_topics"))
-    toks = tokens_exploded(docs).join(docdist, "doc_id")
 
-    def score_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_rows(doc_id: int, terms: list[str], doc_topics) -> list[tuple]:
         word_topic = wt_bc.value
-        pdf = pdf.sort_values("pos")
-        doc_id = int(pdf["doc_id"].iloc[0])
-        terms = pdf["term"].tolist()
-        positions = pdf["pos"].tolist()
-        doc_vec = np.asarray(pdf["doc_topics"].iloc[0], dtype=np.float64)
+        positions = list(range(1, len(terms) + 1))
+        doc_vec = np.asarray(doc_topics, dtype=np.float64)
         dn = np.linalg.norm(doc_vec)
         nodes = sorted({t for t in terms if t not in stopset})
         w_map: dict[str, float] = {}
@@ -317,11 +314,14 @@ def topical_pagerank_topk(docs: DataFrame, k: int = 5,
                 run.append(t)
         flush()
         top = sorted(cands.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
-        return pd.DataFrame({
-            "doc_id": doc_id,
-            "rank": pd.array(range(1, len(top) + 1), dtype="int32"),
-            "candidate": [t for t, _ in top],
-            "score": [round(v, 6) for _, v in top]})
+        return [(doc_id, i + 1, t, round(v, 6))
+                for i, (t, v) in enumerate(top)]
 
-    return toks.groupBy("doc_id").applyInPandas(
-        score_doc, "doc_id long, rank int, candidate string, score double")
+    # join the ONE-row-per-doc topic distribution onto the raw doc rows
+    # and rank in a single tokenized-in-pass map (ops/perdoc.py) — the
+    # old plan shipped every token row through the join + a second
+    # exchange into applyInPandas
+    src = docs.select("doc_id", "text").join(docdist, "doc_id")
+    return per_doc_rows(src, score_rows,
+                        "doc_id long, rank int, candidate string, "
+                        "score double", extra_cols=("doc_topics",))

@@ -321,5 +321,10 @@ def yake_full(docs: DataFrame, k: int = 5,
             yield pd.DataFrame(
                 rows, columns=["doc_id", "rank", "candidate", "weight"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # spread_docs: the Python per-doc work must spread across cores even
+    # when the input scan has few splits (a sub-4MB parquet file packs
+    # into ONE split under the openCost rule, which serialized this
+    # whole pass at ~9s; pinned explicit partitioning runs it in ~1.5s)
+    from .perdoc import spread_docs
+    return spread_docs(docs).mapInPandas(
         fn, "doc_id long, rank int, candidate string, weight double")
