@@ -359,6 +359,17 @@ def _expansion_bm25(s: SparkSession, d: str) -> DataFrame:
     ])
 
 
+def _candidate_variants(s: SparkSession, d: str) -> DataFrame:
+    from pke_spark.ops.core import corpus_tokens
+    docs = _docs(s, d)
+    toks = corpus_tokens(docs)
+    return _union_variants([
+        ("runs", keyphrase.candidate_runs(docs, toks=toks)),
+        ("ngram", keyphrase.ngram_candidates(docs, toks=toks)),
+        ("grammar", grammar.grammar_candidates(docs, toks=toks)),
+    ])
+
+
 def _variants_sql(*members) -> str:
     """DuckDB twin of _variants: UNION ALL BY NAME over the member
     oracles, each tagged with its variant label. Members are
@@ -507,11 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("tfidf_stemmed", lambda s, d: stemmed.tfidf_stemmed_topk(
                 _docs(s, d), 3), {"stem": "candidate"})),
         "tfidf_topk": lambda s, d: keyphrase.tfidf_topk(_docs(s, d), 3),
-        "candidate_variants": _variants(
-            ("runs", lambda s, d: keyphrase.candidate_runs(_docs(s, d))),
-            ("ngram", lambda s, d: keyphrase.ngram_candidates(_docs(s, d))),
-            ("grammar", lambda s, d: grammar.grammar_candidates(
-                _docs(s, d)))),
+        "candidate_variants": _candidate_variants,
         "firstphrases": lambda s, d: keyphrase.firstphrases(_docs(s, d), 5),
     }
 

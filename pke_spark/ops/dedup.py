@@ -63,14 +63,30 @@ FROM documents"""
 # ------------------------------------------------------------ minhash
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, i, sig): sig_i = min over distinct tokens of h64(i:token)."""
-    toks = tokens_exploded(docs).select("doc_id", "term").distinct()
-    hashes = docs.sparkSession.range(n_hashes).select(F.col("id").alias("i"))
-    return (toks.crossJoin(F.broadcast(hashes))
-            .select("doc_id", "i",
-                    _h64(F.concat(F.col("i").cast("string"), F.lit(":"),
-                                  F.col("term"))).alias("h"))
-            .groupBy("doc_id", "i").agg(F.min("h").alias("sig")))
+    """(doc_id, i, sig): sig_i = min over distinct tokens of h64(i:token).
+
+    Computed per document inside one tokenized-in-pass map
+    (ops/perdoc.py): a doc's signature depends only on its own distinct
+    tokens, so the old plan's token-distinct shuffle, the
+    n_hashes-way crossJoin (16x token rows through md5), and the
+    (doc, i) groupBy shuffle were all movement the math never needed.
+    Python's hashlib.md5 over the UTF-8 bytes equals Spark's md5
+    bit-for-bit (asserted in tests), so the values — and the frozen
+    oracle hashes — are unchanged."""
+    import hashlib
+
+    from .perdoc import per_doc_rows
+
+    def row_fn(doc_id: int, terms: list[str]) -> list[tuple]:
+        uniq = set(terms)
+        if not uniq:
+            return []
+        return [(doc_id, i,
+                 min(int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:15],
+                         16) for t in uniq))
+                for i in range(n_hashes)]
+
+    return per_doc_rows(docs, row_fn, "doc_id long, i long, sig long")
 
 
 # the signature DataFrame of the most recent minhash_lsh_pairs call;
@@ -230,7 +246,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         cols.append(F.col(f"t{j}"))
     shingles = (sh.filter(F.col(f"t{n-1}").isNotNull())
                 .select("doc_id", F.concat_ws(" ", *cols).alias("shingle"))
-                .distinct())
+                .distinct()
+                # lazy materialization: three consumers (sizes + both
+                # sides of the shingle-share self-join) would each
+                # re-run the tokenize + window + distinct otherwise
+                .localCheckpoint(eager=False))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (shingles.alias("a").join(
         shingles.alias("b"),

@@ -43,7 +43,8 @@ HEAD_TAGS = ("NOUN", "PROPN")
 # ---------------------------------------------------------------- Spark
 
 def synthetic_tags(docs: DataFrame,
-                   stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+                   stoplist: tuple[str, ...] = TEXT_STOPWORDS,
+                   toks: DataFrame | None = None) -> DataFrame:
     """(doc_id, pos, term, tag) — deterministic fake POS tags for the
     untagged testdata: stopwords -> ADP, then by length mod 4
     (0 -> ADJ, 1 -> VERB, else NOUN). A stand-in tagger, NOT a
@@ -52,7 +53,9 @@ def synthetic_tags(docs: DataFrame,
            .when(F.length("term") % 4 == 0, F.lit("ADJ"))
            .when(F.length("term") % 4 == 1, F.lit("VERB"))
            .otherwise(F.lit("NOUN")))
-    return tokens_exploded(docs).withColumn("tag", tag)
+    if toks is None:
+        toks = tokens_exploded(docs)
+    return toks.withColumn("tag", tag)
 
 
 def grammar_candidates_with_offsets(tagged: DataFrame) -> DataFrame:
@@ -93,10 +96,11 @@ def grammar_candidates_from_tagged(tagged: DataFrame) -> DataFrame:
 
 
 def grammar_candidates(docs: DataFrame,
-                       stoplist: tuple[str, ...] = TEXT_STOPWORDS
-                       ) -> DataFrame:
+                       stoplist: tuple[str, ...] = TEXT_STOPWORDS,
+                       toks: DataFrame | None = None) -> DataFrame:
     """C6 over the synthetic-tagged testdata (the query entry)."""
-    return grammar_candidates_from_tagged(synthetic_tags(docs, stoplist))
+    return grammar_candidates_from_tagged(
+        synthetic_tags(docs, stoplist, toks))
 
 
 def from_pretagged(spark, rows) -> DataFrame:

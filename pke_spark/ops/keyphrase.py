@@ -40,7 +40,8 @@ MIN_WORD_LEN = 2  # F1: any word < 2 chars -> drop
 # ---------------------------------------------------------------- Spark
 
 def candidate_runs(docs: DataFrame,
-                   stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+                   stoplist: tuple[str, ...] = TEXT_STOPWORDS,
+                   toks: DataFrame | None = None) -> DataFrame:
     """(doc_id, candidate, tf, first_offset, n_words) — maximal
     non-stopword runs, grouped by phrase, filtered per F1.
 
@@ -48,7 +49,8 @@ def candidate_runs(docs: DataFrame,
     doc, consecutive non-stop tokens share a run_id. One shuffle
     (doc_id) for the window, then two hash aggs.
     """
-    toks = tokens_exploded(docs)
+    if toks is None:
+        toks = tokens_exploded(docs)
     w = Window.partitionBy("doc_id").orderBy("pos") \
         .rowsBetween(Window.unboundedPreceding, 0)
     runs = (toks
@@ -73,11 +75,13 @@ def candidate_runs(docs: DataFrame,
 
 
 def ngram_candidates(docs: DataFrame, n: int = 3,
-                     stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+                     stoplist: tuple[str, ...] = TEXT_STOPWORDS,
+                     toks: DataFrame | None = None) -> DataFrame:
     """(doc_id, candidate, n_words, tf, first_offset) — all 1..n-grams
     per doc (ngram_selection, pke/base.py:237-264) filtered per F1:
     no stopword member, every word >= 2 chars, >= 3 total chars."""
-    toks = tokens_exploded(docs)
+    if toks is None:
+        toks = tokens_exploded(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     base = toks
     for j in range(1, n):

@@ -39,7 +39,9 @@ def kea_features(docs: DataFrame,
                  stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
     """(doc_id, candidate, tfidf, pos_norm) — Kea's two features over
     run candidates."""
-    c = candidate_runs(docs, stoplist)
+    # lazy checkpoint: cand_df and the feature join both consume the
+    # run-candidate DAG
+    c = candidate_runs(docs, stoplist).localCheckpoint(eager=False)
     nrow = docs.agg(F.count("*").cast("double").alias("n"))
     cand_df = c.groupBy("candidate").agg(F.count("*").alias("df"))
     from ..tokenizer import tokens_exploded

@@ -77,10 +77,16 @@ def wingnus_features(docs: DataFrame,
                      with_sections: bool = True) -> DataFrame:
     """(doc_id, candidate, f1_tfidf, f2_tf, f3_substring_tf,
     f4_rel_first, f5_rel_last, f6_n_words[, f7..f19])."""
-    c = grammar_candidates_with_offsets(synthetic_tags(docs, stoplist))
+    # materialize the candidate table once (lazy localCheckpoint):
+    # cdf, the F3 substring self-join (two sides), the base join, and
+    # the F7-F19 occurrence explode all consume it — unmaterialized,
+    # each re-ran the grammar-candidate DAG (tokenize + tag + windows)
+    c = grammar_candidates_with_offsets(synthetic_tags(docs, stoplist)) \
+        .localCheckpoint(eager=False)
     nrow = docs.agg(F.count("*").cast("double").alias("n"))
     dl = (tokens_exploded(docs).groupBy("doc_id")
-          .agg(F.count("*").cast("double").alias("max_offset")))
+          .agg(F.count("*").cast("double").alias("max_offset"))
+          .localCheckpoint(eager=False))  # consumed by base AND occ
     cdf = c.groupBy("candidate").agg(F.count("*").alias("df"))
 
     # ---- F3: generate strict sub-ngrams as (i, j) slice bounds ----
