@@ -614,11 +614,15 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
+        import pyarrow.compute as pc
+
         writer = None
         tmp = final = None
+        n_task_docs = 0
+        n_task_tokens = 0
 
         def tee(counted):
-            nonlocal writer, tmp, final
+            nonlocal writer, tmp, final, n_task_docs, n_task_tokens
             for cb in counted:
                 if writer is None:
                     ctx = TaskContext.get()
@@ -633,6 +637,13 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
                                         ("term", pa.string()),
                                         ("tf", pa.int64()),
                                         ("dl", pa.int64())]))
+                # each doc is ONE input row of exactly one task, so
+                # per-batch distinct doc_ids sum to the task's distinct
+                # docs, and task counts sum to the corpus's (tokenless
+                # docs yield no rows — the same N semantics phase B
+                # derives from the segments)
+                n_task_docs += len(pc.unique(cb.column("doc_id")))
+                n_task_tokens += int(pc.sum(cb.column("tf")).as_py() or 0)
                 writer.write_batch(pa.record_batch(
                     [cb.column("doc_id"), cb.column("term"),
                      cb.column("tf"), cb.column("dl")],
@@ -647,6 +658,17 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
             if writer is not None:
                 writer.close()
                 os.replace(tmp, final)
+                # sidecar doc count (underscore prefix: invisible to
+                # Spark/Hadoop listings and to the *.parquet globs);
+                # written with the same atomic replace discipline, same
+                # deterministic name under task retry/speculation
+                base = os.path.basename(final)
+                nd_final = os.path.join(os.path.dirname(final),
+                                        f"_{base}.ndocs")
+                nd_tmp = f"{nd_final}.tmp-{uuid.uuid4().hex[:8]}"
+                with open(nd_tmp, "w") as f:
+                    f.write(f"{n_task_docs} {n_task_tokens}")
+                os.replace(nd_tmp, nd_final)
 
     runs = prepared.mapInArrow(pipe, POSTINGS_SCHEMA)
     frag_key = F.xxhash64("term", F.element_at("blocks", 1)["first_doc"])
@@ -657,12 +679,22 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
 
     if driver_stats_max_bytes is None:
         driver_stats_max_bytes = DRIVER_STATS_MAX_BYTES
+    total_tf = None
     if n_docs is None:
-        # same semantics as the batch build's phase B: N = distinct docs
-        # in the teed segments (footer-cheap DuckDB scan when small,
-        # Spark agg over the pruned doc_id column otherwise) — no extra
-        # recompute of the input DataFrame
-        if _dir_bytes(seg_dir) <= driver_stats_max_bytes:
+        # same semantics as the batch build's phase B (N = distinct
+        # docs in the teed segments), but at ZERO extra jobs: each tee
+        # task recorded its own distinct-doc count in a sidecar (docs
+        # are partition-local facts — one input row each — so the task
+        # counts sum exactly). Fallback for sidecar-less segment dirs:
+        # DuckDB scan when small, Spark distinct-count otherwise.
+        nd_files = [os.path.join(root, fn)
+                    for root, _dirs, files in os.walk(seg_dir)
+                    for fn in files if fn.endswith(".ndocs")]
+        if nd_files:
+            pairs = [open(p).read().split() for p in nd_files]
+            n_docs = sum(int(a) for a, _b in pairs)
+            total_tf = sum(int(b) for _a, b in pairs)
+        elif _dir_bytes(seg_dir) <= driver_stats_max_bytes:
             import duckdb
             n_docs = int(duckdb.connect().execute(
                 f"SELECT count(DISTINCT doc_id) FROM "
@@ -670,14 +702,15 @@ def build_index_teed(docs: DataFrame, index_dir: str, *,
         else:
             n_docs = int(spark.read.parquet(seg_dir)
                          .select("doc_id").distinct().count())
-    import duckdb
-    total_tf = duckdb.connect().execute(
-        f"SELECT coalesce(sum(cf), 0) FROM "
-        f"read_parquet('{new_dir}/*.parquet')").fetchone()[0] \
-        if _dir_bytes(new_dir) <= driver_stats_max_bytes \
-        else spark.read.parquet(new_dir)
-    if not isinstance(total_tf, (int, float)):
-        total_tf = int(total_tf.agg(F.sum("cf")).first()[0] or 0)
+    if total_tf is None:
+        import duckdb
+        total_tf = duckdb.connect().execute(
+            f"SELECT coalesce(sum(cf), 0) FROM "
+            f"read_parquet('{new_dir}/*.parquet')").fetchone()[0] \
+            if _dir_bytes(new_dir) <= driver_stats_max_bytes \
+            else spark.read.parquet(new_dir)
+        if not isinstance(total_tf, (int, float)):
+            total_tf = int(total_tf.agg(F.sum("cf")).first()[0] or 0)
     avgdl = float(total_tf) / n_docs if n_docs else 0.0
     if hot_threshold is None:
         hot_threshold = max(2 * codec.BLOCK_SIZE, n_docs // max(n_salts, 1))

@@ -706,6 +706,14 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
     stats_rows = sorted(ix.term_dfs(score_terms).items())
     if not stats_rows:
         return empty
+    if _bucketable(pq):
+        # term-algebra query: the doc-range-bucketed block plan (one
+        # movement of compressed blocks, numpy clause algebra per
+        # bucket) replaces the exhaustive decode-and-aggregate plan
+        rows = _bucketed_batch_topk(ix, {"q": pq}, {"q": exp_lists},
+                                    k, k1, b, min_should_match)
+        return rows_df(spark, [(r, d, s) for _q, r, d, s in rows],
+                       "rank int, doc_id long, score double")
     stats = rows_df(spark, stats_rows, "term string, df long")
     scored_src = _distributed_scored_src(
         ix, pq, score_terms, exp_lists, docs_parquet, min_should_match)
@@ -733,6 +741,279 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
 # serving coordinator; a web-scale union (one 10^9-row mega-term)
 # exceeds it and routes to the distributed plan.
 BATCH_DRIVER_MAX_ROWS = 64_000_000
+
+
+def _bucketable(pq: ParsedQuery) -> bool:
+    """True when every clause of the query is term-SET algebra
+    (score/boost, MUST, groups, MUST_NOT, msm) — no positional clauses
+    and no metadata filters — so the doc-range-bucketed distributed
+    plan can evaluate it from posting blocks alone."""
+    return not (pq.phrases or pq.not_phrases or pq.slop_phrases
+                or pq.filters)
+
+
+def _bucketed_batch_topk(ix: IndexReader, parsed_sub: dict,
+                         exp_by_q: dict, k: int, k1: float, b: float,
+                         min_should_match: int,
+                         n_buckets: int = 64) -> list[tuple]:
+    """Over-budget distributed plan for term-algebra queries: the
+    block-max layout of ``wand_topk`` applied to a whole query SET.
+
+    The score-once-then-constrain plan fanned DECODED posting rows out
+    per query (queries x postings rows through one shuffle + a
+    corpus-sized aggregation). Here the COMPRESSED posting blocks of
+    the union of every query's terms are routed once by doc-range
+    bucket — the only payload that moves is the delta+varint blocks,
+    exactly the index-build's membw discipline — the query set rides a
+    broadcast, and each bucket task runs the driver path's own
+    posting-set algebra (constrain + sorted-term scoring, the
+    ``_querystring_driver``/``_BatchScorer`` discipline, so scores are
+    float-identical to the fast path) on its doc range in numpy.
+    Per-(query, bucket) top-k lists then merge to exact global
+    per-query top-k: every clause is a per-doc predicate and BM25 uses
+    global broadcast stats, so restriction to a doc range commutes
+    with the whole pipeline.
+
+    Returns the final (query_id, rank, doc_id, score) rows (raw doc
+    ids — ords already translated)."""
+    import pandas as pd
+
+    from . import codec
+    from .delete import keep_mask
+
+    specs: dict = {}
+    score_union: set = set()
+    other_union: set = set()
+    for qid, pq in sorted(parsed_sub.items()):
+        w = pq.expansion_weights(exp_by_q[qid])
+        msm_clauses = None
+        if min_should_match:
+            if min_should_match > pq.n_should_clauses:
+                continue  # unsatisfiable (Lucene BooleanQuery semantics)
+            msm_clauses = ([(sorted(set(ts)), need)
+                            for ts, need in pq.should_clauses]
+                           + [(sorted(set(ts)), 1) for ts in exp_by_q[qid]])
+        spec = {"weights": dict(w),
+                "must": sorted(set(pq.must)),
+                "groups": [sorted(set(ts)) for ts, _gb in pq.must_any],
+                "must_not": sorted(set(pq.must_not)),
+                "msm": msm_clauses}
+        specs[qid] = spec
+        score_union |= set(w)
+        other_union |= set(spec["must"]) | set(spec["must_not"])
+        for g in spec["groups"]:
+            other_union |= set(g)
+        if msm_clauses:
+            for ts, _need in msm_clauses:
+                other_union |= set(ts)
+    if not specs:
+        return []
+    dfs_all = {t: d for t, d in
+               ix.term_dfs(sorted(score_union | other_union)).items()
+               if d > 0}
+    live_terms = sorted(dfs_all)
+    if not live_terms:
+        return []
+    n_docs, avgdl = int(ix.n_docs), float(ix.avgdl)
+    idfs = {t: _idf(n_docs, dfs_all[t]) for t in live_terms}
+    score_set = frozenset(score_union) & frozenset(live_terms)
+
+    post = ix.term_postings(live_terms)
+    dense = ix.dense
+    assert n_buckets >= 2 and n_buckets & (n_buckets - 1) == 0
+    shift = 64 - n_buckets.bit_length() + 1
+    if dense:
+        span = max(1, -(-n_docs // n_buckets))
+        b1c = F.floor(F.col("b.first_doc") / span).cast("long").alias("b1")
+        b2c = F.floor(F.col("b.last_doc") / span).cast("long").alias("b2")
+    else:
+        sign = F.lit(-(1 << 63)).cast("long")
+        b1c = F.shiftrightunsigned(
+            F.col("b.first_doc").bitwiseXOR(sign), shift).alias("b1")
+        b2c = F.shiftrightunsigned(
+            F.col("b.last_doc").bitwiseXOR(sign), shift).alias("b2")
+    blocks = post.select("term", F.explode("blocks").alias("b")).select(
+        "term", "b.*", b1c, b2c)
+    bucketed = (blocks
+                .withColumn("bucket", F.explode(F.sequence("b1", "b2")))
+                .drop("b1", "b2"))
+    tombs = ix.tombstones()
+    tb = ix.spark.sparkContext.broadcast(tombs) if tombs.size else None
+    sp = ix.spark.sparkContext.broadcast(
+        (sorted(specs.items()), sorted(score_set), idfs))
+    u64_max = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        spec_items, score_terms, idfs_b = sp.value
+        if dense:
+            bkt = int(pdf["bucket"].iloc[0])
+            lo = bkt * span
+            hi = lo + span - 1
+        else:
+            bkt = np.uint64(pdf["bucket"].iloc[0])
+            lo = codec.from_u64(
+                np.array([bkt << np.uint64(shift)], np.uint64))[0]
+            hi_u = (bkt << np.uint64(shift)) | \
+                (u64_max >> np.uint64(64 - shift))
+            hi = codec.from_u64(np.array([hi_u], np.uint64))[0]
+        # decode every term's blocks within the range once, shared by
+        # all queries (fragments may interleave doc ranges: sort)
+        dset: dict = {}
+        tfs_d: dict = {}
+        dls_d: dict = {}
+        for t, g in pdf.groupby("term", sort=True):
+            parts = []
+            for j in range(len(g)):
+                d, tf, dl = codec.decode_block(g.iloc[j])
+                m = (d >= lo) & (d <= hi)
+                if tb is not None:
+                    m &= keep_mask(d, tb.value)
+                if m.any():
+                    parts.append((d[m], tf[m], dl[m]))
+            if not parts:
+                continue
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            dl = np.concatenate([p[2] for p in parts])
+            order = np.argsort(d, kind="mergesort")
+            dset[t] = d[order]
+            tfs_d[t] = tf[order]
+            dls_d[t] = dl[order]
+        s_live = [t for t in score_terms if t in dset]
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="object"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not s_live:
+            return empty
+        union = np.unique(np.concatenate([dset[t] for t in s_live]))
+        pos: dict = {}
+        A: dict = {}
+        Bv: dict = {}
+        for t in s_live:
+            pos[t] = np.searchsorted(union, dset[t])
+            tff = tfs_d[t].astype(np.float64)
+            dlf = dls_d[t].astype(np.float64)
+            A[t] = tff * (k1 + 1.0)
+            Bv[t] = tff + k1 * (1.0 - b + b * dlf / avgdl)
+        acc = np.zeros(len(union), dtype=np.float64)
+        hit = np.zeros(len(union), dtype=bool)
+        e = np.empty(0, dtype=np.int64)
+        out_q, out_d, out_s = [], [], []
+        for qid, spec in spec_items:
+            cand = None  # None = union of the query's score terms
+
+            def constrain(doc_set):
+                nonlocal cand
+                if cand is None:
+                    return np.sort(np.asarray(doc_set, dtype=np.int64))
+                return np.intersect1d(cand, doc_set, assume_unique=True)
+
+            dead = False
+            if spec["msm"] is not None:
+                clause_sets = []
+                for ts, need in spec["msm"]:
+                    arrs = [dset[t] for t in ts if t in dset]
+                    if len(arrs) < need:
+                        clause_sets.append(e)
+                        continue
+                    if need == 1:
+                        s = np.unique(np.concatenate(arrs)) if arrs else e
+                    else:
+                        s = arrs[0]
+                        for a in arrs[1:]:
+                            s = np.intersect1d(s, a, assume_unique=True)
+                    clause_sets.append(s)
+                hits = np.concatenate(clause_sets) if clause_sets else e
+                docs_u, counts = np.unique(hits, return_counts=True)
+                ok = docs_u[counts >= min_should_match]
+                if not len(ok):
+                    continue
+                cand = constrain(ok)
+            for t in spec["must"]:
+                d = dset.get(t)
+                if d is None or not len(d):
+                    dead = True
+                    break
+                cand = constrain(d)
+                if not len(cand):
+                    dead = True
+                    break
+            if dead:
+                continue
+            for g in spec["groups"]:
+                arrs = [dset[t] for t in g if t in dset]
+                if not arrs:
+                    dead = True
+                    break
+                cand = constrain(np.unique(np.concatenate(arrs)))
+                if not len(cand):
+                    dead = True
+                    break
+            if dead:
+                continue
+            q_live = [t for t in sorted(spec["weights"]) if t in pos]
+            if spec["must_not"]:
+                excl = [dset[t] for t in spec["must_not"] if t in dset]
+                if excl:
+                    if cand is None:
+                        arrs = [dset[t] for t in q_live]
+                        if not arrs:
+                            continue
+                        cand = np.unique(np.concatenate(arrs))
+                    cand = cand[~np.isin(cand,
+                                         np.unique(np.concatenate(excl)),
+                                         assume_unique=True)]
+                    if not len(cand):
+                        continue
+            if not q_live:
+                continue
+            acc.fill(0.0)
+            hit.fill(False)
+            for t in q_live:
+                idfb = idfs_b[t] * float(spec["weights"].get(t, 1.0))
+                p = pos[t]
+                acc[p] += idfb * A[t] / Bv[t]
+                hit[p] = True
+            if cand is None:
+                sel = hit
+            else:
+                cm = np.zeros(len(union), dtype=bool)
+                cp = np.searchsorted(union, cand)
+                cp_ok = cp < len(union)
+                cp = cp[cp_ok]
+                cm[cp[union[cp] == cand[cp_ok]]] = True
+                sel = hit & cm
+            docs = union[sel]
+            if not len(docs):
+                continue
+            scores = np.round(acc[sel], 6)
+            order = _topk_order(docs, scores, k)
+            out_q += [qid] * len(order)
+            out_d += [int(docs[j]) for j in order]
+            out_s += [float(scores[j]) for j in order]
+        if not out_q:
+            return empty
+        return pd.DataFrame({"query_id": out_q,
+                             "doc_id": pd.array(out_d, dtype="int64"),
+                             "score": pd.array(out_s, dtype="float64")})
+
+    local = bucketed.groupBy("bucket").applyInPandas(
+        run_bucket, "query_id string, doc_id long, score double")
+    # per-(query, bucket) lists are tiny (<= n_buckets * |Q| * k rows);
+    # merge on the driver like wand_topk does, then translate ords
+    rows = local.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    out: list[tuple] = []
+    for qid in sorted(by_q):
+        lst = sorted(by_q[qid], key=lambda r: (-r[1], r[0]))[:k]
+        ranked = [(i + 1, int(d), float(s))
+                  for i, (d, s) in enumerate(lst)]
+        if ix.dense:
+            ranked = _translate_rows(ix, ranked)
+        out += [(qid, int(r), int(d), float(s)) for r, d, s in ranked]
+    return out
 
 
 def querystring_topk_batch(ix: IndexReader, queries: dict,
@@ -819,6 +1100,30 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
             return empty
         return rows_df(
             spark, rows, "query_id string, rank int, doc_id long, score double")
+
+    # ---- over-budget distributed routing: term-algebra queries take
+    # the doc-range-BUCKETED plan (compressed blocks move once, the
+    # query set rides a broadcast — see _bucketed_batch_topk); only
+    # queries with positional or metadata clauses stay on the fanned
+    # score-once-then-constrain plan below ----
+    buckq = {qid: pq for qid, pq in parsed.items() if _bucketable(pq)}
+    restq = {qid: pq for qid, pq in parsed.items() if qid not in buckq}
+    bucket_rows = (_bucketed_batch_topk(ix, buckq, exp_by_q, k, k1, b,
+                                        min_should_match)
+                   if buckq else [])
+    bucket_df = rows_df(
+        spark, bucket_rows,
+        "query_id string, rank int, doc_id long, score double")
+    if not restq:
+        return bucket_df
+    parsed = restq
+    weights = {kk: v for kk, v in weights.items() if kk[0] in restq}
+    rest_terms = sorted({t for _q, t in weights})
+    dfs = {t: d for t, d in ix.term_dfs(rest_terms).items() if d > 0}
+    qt_rows = [(qid, t, w) for (qid, t), w in sorted(weights.items())
+               if t in dfs]
+    if not qt_rows:
+        return bucket_df if buckq else empty
 
     qt = F.broadcast(rows_df(
         spark, qt_rows, "query_id string, term string, boost double"))
@@ -1052,9 +1357,10 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
         .withColumn("r", F.row_number().over(w1))
         .where(F.col("r") <= int(k)).drop("salt", "r"))
     w = Window.partitionBy("query_id").orderBy(*order)
-    return (pre.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= int(k))
-            .select("query_id", "rank", "doc_id", "score"))
+    fan_out = (pre.withColumn("rank", F.row_number().over(w).cast("int"))
+               .filter(F.col("rank") <= int(k))
+               .select("query_id", "rank", "doc_id", "score"))
+    return fan_out.unionByName(bucket_df) if buckq else fan_out
 
 
 def querystring_search_indexed(ix: IndexReader, qs: str, k: int = 10,

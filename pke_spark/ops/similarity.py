@@ -246,7 +246,10 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
             yield pd.concat(out, ignore_index=True)
 
     sk = emb.select("vec_id", "embedding").mapInPandas(
-        sketch, "vec_id long, t int, bkt long")
+        sketch, "vec_id long, t int, bkt long") \
+        .localCheckpoint(eager=False)  # both sides of the band-bucket
+    # self-join consume the sketch table; unmaterialized, the matmul
+    # pass ran twice
     cand = (sk.alias("a").join(
         sk.alias("b"),
         (F.col("a.t") == F.col("b.t")) & (F.col("a.bkt") == F.col("b.bkt"))
