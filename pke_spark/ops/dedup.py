@@ -98,16 +98,45 @@ _LAST_SIGS: list = []
 MAX_BAND_GROUP = 64  # star-link guard for mass-duplicate band groups
 
 
+def _band_rows(docs: DataFrame, n_hashes: int = N_MINHASH,
+               n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, key): LSH band keys computed directly in the
+    per-doc pass — the band key is a pure function of the doc's own
+    signature vector, so the clustering path never materializes the
+    (doc, i, sig) table or its (doc, band) groupBy at all. Key text is
+    byte-identical to the groupBy/string_agg formulation (str(int) of
+    each sig in i order, comma-joined)."""
+    import hashlib
+
+    from .perdoc import per_doc_rows
+
+    rows_per = n_hashes // n_bands
+
+    def row_fn(doc_id: int, terms: list[str]) -> list[tuple]:
+        uniq = set(terms)
+        if not uniq:
+            return []
+        sigs = [min(int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:15],
+                        16) for t in uniq)
+                for i in range(n_hashes)]
+        return [(doc_id, bnd,
+                 ",".join(str(s)
+                          for s in sigs[bnd * rows_per:(bnd + 1) * rows_per]))
+                for bnd in range(n_bands)]
+
+    return per_doc_rows(docs, row_fn, "doc_id long, band int, key string")
+
+
 def _lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
                          n_bands: int = N_BANDS,
-                         max_group: int = MAX_BAND_GROUP
-                         ) -> tuple[DataFrame, DataFrame]:
-    """(pairs, sigs): the distinct (doc_a, doc_b) LSH candidate pairs
-    plus the cached signature table they came from. Shared by the
-    pair-scoring surface (``minhash_lsh_pairs``) and the clustering
-    surface (``dedup_clusters``), which needs only the edge SET — the
-    est_jaccard aggregation (two sig joins + groupBy) is computed only
-    where it is returned.
+                         max_group: int = MAX_BAND_GROUP,
+                         bands: DataFrame | None = None) -> DataFrame:
+    """Distinct (doc_a, doc_b) LSH candidate pairs. Shared by the
+    pair-scoring surface (``minhash_lsh_pairs``, which passes bands
+    derived from its cached signature table so est_jaccard can reuse
+    the sigs) and the clustering surface (``dedup_clusters``, which
+    feeds the direct per-doc ``_band_rows`` and never touches sigs —
+    the est_jaccard aggregation was computed and discarded before).
 
     Hot-group guard: a band bucket holding a mass of near-identical
     documents would emit O(g^2) pairs from one reducer. Buckets larger
@@ -115,12 +144,8 @@ def _lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
     with the bucket's min doc_id only (the canonical), which is what a
     dedup pipeline needs (connected components via the canonical) at
     O(g) output. Deterministic, and mirrored exactly in the SQL twin."""
-    sigs = cache_latest(minhash_signatures(docs, n_hashes), _LAST_SIGS)
-    rows = n_hashes // n_bands
-    bands = sigs.groupBy("doc_id", (F.col("i") / rows).cast("int").alias("band")) \
-        .agg(F.array_join(F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "sig"))),
-            lambda s: s.sig.cast("string")), ",").alias("key"))
+    if bands is None:
+        bands = _band_rows(docs, n_hashes, n_bands)
     wg = Window.partitionBy("band", "key")
     sized = (bands.withColumn("gsize", F.count("*").over(wg))
              .withColumn("gmin", F.min("doc_id").over(wg)))
@@ -135,7 +160,7 @@ def _lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
                               & (F.col("doc_id") != F.col("gmin")))
                  .select(F.col("gmin").alias("doc_a"),
                          F.col("doc_id").alias("doc_b")))
-    return small_pairs.unionByName(big_pairs).distinct(), sigs
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
@@ -144,8 +169,16 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
     """(doc_a, doc_b, est_jaccard) for pairs sharing >= 1 LSH band.
     est_jaccard = fraction of matching minhash signatures. Pair
     generation (and its hot-group star-link guard) lives in
-    ``_lsh_candidate_pairs``."""
-    pairs, sigs = _lsh_candidate_pairs(docs, n_hashes, n_bands, max_group)
+    ``_lsh_candidate_pairs``; here bands derive from the CACHED
+    signature table because the est aggregation reuses it."""
+    sigs = cache_latest(minhash_signatures(docs, n_hashes), _LAST_SIGS)
+    rows = n_hashes // n_bands
+    bands = sigs.groupBy("doc_id",
+                         (F.col("i") / rows).cast("int").alias("band"))         .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sig"))),
+            lambda s: s.sig.cast("string")), ",").alias("key"))
+    pairs = _lsh_candidate_pairs(docs, n_hashes, n_bands, max_group,
+                                 bands=bands)
     est = (pairs
            .join(sigs.withColumnRenamed("doc_id", "doc_a")
                      .withColumnRenamed("sig", "sig_a"), ["doc_a"])
@@ -320,14 +353,12 @@ def dedup_clusters(docs: DataFrame, n_hashes: int = N_MINHASH,
     """
     from pyspark.sql import Observation
 
-    pairs, sigs = _lsh_candidate_pairs(docs, n_hashes, n_bands)
+    pairs = _lsh_candidate_pairs(docs, n_hashes, n_bands)
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
                                        F.col("doc_a").alias("dst")))
              .localCheckpoint(eager=True))
-    sigs.unpersist()  # edges are materialized; the signature cache is
-    # only needed again by a later minhash_lsh_pairs call, which re-caches
     labels = docs.select("doc_id",
                          F.col("doc_id").alias("cluster_id"))
     converged = False

@@ -105,12 +105,15 @@ def main() -> None:
             SV.querystring_search_indexed(ix, q, 10)
         dt = time.time() - t0
         out[f"perquery_{n_seq}_sec"] = round(dt, 2)
-        out["perquery_qps"] = round(n_seq / dt, 1)
+        # WARM figure: the batch + forced-distributed passes above have
+        # already filled the postings/doc-set LRUs (ADVICE r5) — the
+        # key says so, not just the protocol note
+        out["perquery_qps_warm"] = round(n_seq / dt, 1)
     finally:
         shutil.rmtree(ix_dir, ignore_errors=True)
     json.dump(out, open("/root/repo/benchmarks/batch_querystring.json",
                         "w"), indent=2)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     spark.stop()
     os._exit(0)
 

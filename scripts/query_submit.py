@@ -100,6 +100,7 @@ def main() -> None:
         from pke_spark.index.serving import querystring_topk_batch
         # one query per line; a line may carry its own id as
         # "id<TAB>query" (the usual eval-set TSV shape)
+        import re as _re
         qset = {}
         with open(args.querystring_file) as f:
             for i, line in enumerate(f):
@@ -107,8 +108,18 @@ def main() -> None:
                 if not line:
                     continue
                 qid, tab, rest = line.partition("\t")
-                if tab and rest.strip():
-                    qset[qid.strip()] = rest.strip()
+                # accept the TSV form only when the first field looks
+                # like an id (no query-grammar metacharacters): a query
+                # that legitimately contains a tab must not have its
+                # first term silently eaten as an id (ADVICE r5)
+                if tab and rest.strip() and _re.fullmatch(
+                        r"[A-Za-z0-9_.:-]+", qid.strip()):
+                    key = qid.strip()
+                    if key in qset:
+                        raise SystemExit(
+                            f"duplicate query id {key!r} in "
+                            f"{args.querystring_file} (line {i + 1})")
+                    qset[key] = rest.strip()
                 else:
                     qset[f"q{i:05d}"] = line
         t0 = time.time()
