@@ -473,6 +473,33 @@ def bm25_topk_batch(ix: IndexReader, queries: dict[str, list[str]],
     if not pairs:
         return rows_df(ix.spark, [],
                        "query_id string, rank int, doc_id long, score double")
+    # batch driver fast path (the serving batch's routing rule): when
+    # the union of all queries' posting rows fits the driver budget,
+    # ONE term-pruned decode warms the LRU and every query is answered
+    # by the shared `_driver_rows` body (identical scores/tie-breaks to
+    # the distributed plan — parity-tested); 21–200 coordinated
+    # queries then cost milliseconds each instead of fanning
+    # queries x postings through a shuffle. Past the budget the
+    # distributed plan below is the honest shape.
+    if sum(dfs.values()) <= _fastpath_bound(ix):
+        from .serving import _BatchScorer  # lazy: serving imports wand
+        old_budget = ix.POSTINGS_CACHE_MAX_ROWS
+        ix.POSTINGS_CACHE_MAX_ROWS = max(old_budget, sum(dfs.values()) + 1)
+        try:
+            bs = _BatchScorer(ix, sorted(dfs), k1, b)
+            rows = []
+            for qid in sorted(queries):
+                qt = sorted({t for t in set(queries[qid]) if t in dfs})
+                if not qt:
+                    continue
+                out = bs.score(qt, None, k)
+                rows += [(qid, int(r), int(d), float(s))
+                         for r, d, s in out]
+        finally:
+            ix.POSTINGS_CACHE_MAX_ROWS = old_budget
+        return rows_df(
+            ix.spark, rows,
+            "query_id string, rank int, doc_id long, score double")
     qt = F.broadcast(rows_df(ix.spark, pairs,
                              "query_id string, term string"))
     stats = F.broadcast(rows_df(ix.spark, sorted(dfs.items()),

@@ -528,3 +528,23 @@ def test_decoded_postings_eviction_never_drops_requested_terms(
     assert search(ix2, ["def", "return", "core", "lib"], 10)
     # cache thrash must not change results
     assert search(ix2, ["def"], 10) == baseline
+
+
+def test_batch_topk_fast_equals_distributed(corpus, spark, index_dir,
+                                            monkeypatch):
+    """bm25_topk_batch's driver fast path must be row-identical to its
+    distributed plan (same queries, bound forced to 0)."""
+    from pke_spark.index import wand as W
+
+    ix = IndexReader(spark, index_dir)
+    qset = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    qset["q_miss"] = ["zz_total_miss"]
+
+    def rows_of(df):
+        return sorted((r.query_id, r.rank, r.doc_id, r.score)
+                      for r in df.collect())
+
+    fast = rows_of(W.bm25_topk_batch(ix, qset, 10))
+    monkeypatch.setattr(W, "_fastpath_bound", lambda ix: 0)
+    dist = rows_of(W.bm25_topk_batch(ix, qset, 10))
+    assert fast == dist and len(fast) > 0
