@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tokenizer import duckdb_toks_cte, sql_str_list, tokens_exploded
+from ..tokenizer import duckdb_toks_cte, sql_str_list
 from ..rows import rows_df
 from .core import B, K1, bm25_topk, corpus_tokens
 

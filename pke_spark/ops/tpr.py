@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..tokenizer import TEXT_STOPWORDS, tokens_array, tokens_exploded
+from ..tokenizer import TEXT_STOPWORDS, tokens_array
 from .perdoc import per_doc_rows
 from .graph import _pagerank_scores_custom
 
