@@ -742,6 +742,16 @@ def querystring_topk_distributed(ix: IndexReader, qs: str, k: int = 10,
 # exceeds it and routes to the distributed plan.
 BATCH_DRIVER_MAX_ROWS = 64_000_000
 
+# Batch driver-path WORK budget: the driver path's per-query cost is
+# O(candidate-union size) of vectorized numpy (accumulator fill + adds
+# + top-k), SERIAL across queries — so a batch's driver cost scales as
+# n_queries x union. Past ~1e8 row-visits (~seconds of single-core
+# numpy) the doc-range-BUCKETED distributed plan wins even in local
+# mode (measured at 2M docs x 200 queries: driver 16.6 s vs bucketed
+# 5.1 s); the crossover is serial-numpy throughput vs one distributed
+# job's latency, not a property of this sandbox's core count.
+BATCH_DRIVER_MAX_WORK = 100_000_000
+
 
 def _bucketable(pq: ParsedQuery) -> bool:
     """True when every clause of the query is term-SET algebra
@@ -1077,7 +1087,9 @@ def querystring_topk_batch(ix: IndexReader, queries: dict,
                         for t in set(pq.must_not)} - set(dfs))
     union_rows = sum(dfs.values()) + \
         sum(ix.term_dfs(not_terms).values() if not_terms else [])
-    if union_rows <= BATCH_DRIVER_MAX_ROWS:
+    driver_work = len(queries) * min(union_rows, int(ix.n_docs))
+    if (union_rows <= BATCH_DRIVER_MAX_ROWS
+            and driver_work <= BATCH_DRIVER_MAX_WORK):
         old_budget = ix.POSTINGS_CACHE_MAX_ROWS
         ix.POSTINGS_CACHE_MAX_ROWS = max(old_budget, union_rows + 1)
         try:

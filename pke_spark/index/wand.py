@@ -481,8 +481,11 @@ def bm25_topk_batch(ix: IndexReader, queries: dict[str, list[str]],
     # queries then cost milliseconds each instead of fanning
     # queries x postings through a shuffle. Past the budget the
     # distributed plan below is the honest shape.
-    if sum(dfs.values()) <= _fastpath_bound(ix):
-        from .serving import _BatchScorer  # lazy: serving imports wand
+    from .serving import (BATCH_DRIVER_MAX_WORK,  # lazy: serving imports wand
+                          _BatchScorer)
+    if (sum(dfs.values()) <= _fastpath_bound(ix)
+            and len(queries) * min(sum(dfs.values()), int(ix.n_docs))
+            <= BATCH_DRIVER_MAX_WORK):
         old_budget = ix.POSTINGS_CACHE_MAX_ROWS
         ix.POSTINGS_CACHE_MAX_ROWS = max(old_budget, sum(dfs.values()) + 1)
         try:
