@@ -794,55 +794,6 @@ def build_index_direct(docs: DataFrame, index_dir: str, *,
         _dir_bytes(new_dir), input_snapshot, time.time())])
 
 
-def _assign_ordinals(doc_ids: DataFrame, n_ranges: int | None = None
-                     ) -> tuple[DataFrame, DataFrame]:
-    """(doc_id) -> (ord, doc_id): dense 0..n-1 ordinals in global
-    doc_id order, assigned WITHOUT a single-partition sort: range-
-    repartition + per-partition sort, collect only the n_ranges
-    partition COUNTS to the driver, broadcast the cumulative offsets,
-    then number rows per partition in one mapInPandas pass.
-    RangePartitioner orders ranges by partition id, so
-    offset[pid] + local position is globally dense and deterministic."""
-    import pandas as pd
-
-    spark = doc_ids.sparkSession
-    if n_ranges is None:
-        # scale the fan-out with the session, not a constant: the sort/
-        # number pass must not bottleneck at 64 tasks on a large corpus
-        n_ranges = max(64, int(spark.conf.get(
-            "spark.sql.shuffle.partitions", "64")))
-    # persisted: the partitioning is consumed TWICE (counts, then the
-    # numbering pass) and RangePartitioner samples its boundaries with
-    # a per-RDD seed — two separate evaluations could place rows in
-    # different partitions and silently corrupt the ordinals (dupes +
-    # gaps). The materialized copy pins one boundary draw for both.
-    # Caller must unpersist (encode_postings does, after the map is
-    # written).
-    ranged = (doc_ids.repartitionByRange(n_ranges, "doc_id")
-              .sortWithinPartitions("doc_id").persist())
-    counts = (ranged.withColumn("pid", F.spark_partition_id())
-              .groupBy("pid").count().collect())
-    sizes = {int(r["pid"]): int(r["count"]) for r in counts}
-    offsets, acc = {}, 0
-    for pid in range(max(sizes, default=-1) + 1):
-        offsets[pid] = acc
-        acc += sizes.get(pid, 0)
-    boff = spark.sparkContext.broadcast(offsets)
-
-    def assign(it):
-        from pyspark import TaskContext
-        pos = None
-        for pdf in it:
-            if pos is None:
-                pos = boff.value.get(TaskContext.get().partitionId(), 0)
-            n = len(pdf)
-            yield pd.DataFrame({"ord": range(pos, pos + n),
-                                "doc_id": pdf["doc_id"]})
-            pos += n
-
-    return ranged.mapInPandas(assign, "ord long, doc_id long"), ranged
-
-
 # B1 chunk bound: fragments are encoded per accumulated chunk, so this
 # caps UDF memory (~rows x 48B -> ~200 MB) while keeping the fragment
 # count per term near the task count (one fragment per term per chunk).
@@ -1028,20 +979,45 @@ def encode_postings(spark: SparkSession, index_dir: str, *,
                 f"dense_doc_ids: {n_docs} docs exceeds the broadcastable "
                 f"ordinal map bound ({DENSE_BROADCAST_MAX_DOCS}); split "
                 "the build or use sparse doc_ids")
-        ids = dl_cached.select("doc_id") if dl_cached is not None else \
-            tc.select("doc_id").distinct()
-        dm, _ranged = _assign_ordinals(ids)
-        dm_dir = docmap_path(f"{index_dir}/{out_name}")
-        dm.write.mode("overwrite").parquet(dm_dir)
-        _ranged.unpersist()
+        # The full (doc_id -> ord) map is a DRIVER-scale object by
+        # construction here (the remap broadcast below holds it whole,
+        # and the bound above enforces that), so assign ordinals on the
+        # driver instead of running a distributed range-sort whose
+        # output the driver would re-read anyway: distinct ids come
+        # from the same DuckDB segment scan that computed the stats
+        # (zero Spark jobs) or, for over-budget segment dirs, from an
+        # Arrow collect of the one-row-per-doc length table — the same
+        # bytes the broadcast ships right after. Sorting the ids IS the
+        # ordinal assignment (ordinals are dense 0..n-1 in doc_id
+        # order), and the map is written ord-sorted in bounded row
+        # groups so resolve_ords' point reads keep their min/max
+        # row-group pruning.
+        import shutil
+
         import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
-        dmt = pq.read_table(dm_dir, columns=["ord", "doc_id"])
-        doc_arr = dmt.column("doc_id").to_numpy()
-        ord_arr = dmt.column("ord").to_numpy()
-        order = np.argsort(doc_arr, kind="mergesort")
-        remap_bc = spark.sparkContext.broadcast(
-            (doc_arr[order], ord_arr[order]))
+        if dl_cached is not None:
+            id_tbl = dl_cached.select("doc_id").toArrow()
+        else:
+            import duckdb
+            id_tbl = duckdb.connect().execute(
+                f"SELECT DISTINCT doc_id FROM "
+                f"read_parquet({glob_sql})").fetch_arrow_table()
+        doc_arr = np.sort(id_tbl.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False))
+        if len(doc_arr) != n_docs:
+            raise RuntimeError(
+                f"dense ordinal assignment: {len(doc_arr)} distinct ids "
+                f"!= n_docs {n_docs} — segments changed under the build")
+        ord_arr = np.arange(len(doc_arr), dtype=np.int64)
+        dm_dir = docmap_path(f"{index_dir}/{out_name}")
+        shutil.rmtree(dm_dir, ignore_errors=True)
+        os.makedirs(dm_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"ord": ord_arr, "doc_id": doc_arr}),
+            f"{dm_dir}/part-00000.parquet", row_group_size=1_000_000)
+        remap_bc = spark.sparkContext.broadcast((doc_arr, ord_arr))
 
     # ---- B1 + B2 as ONE job: segments scan -> per-partition run
     # encode (_encode_runs, shuffle-free) -> fragment-salted shuffle of

@@ -294,22 +294,32 @@ def test_compact_preserves_dense_results(corpus, spark, dense_index_dir,
                 check_exact=False, atol=1e-9, obj=f"q={q} fast={fastpath}")
 
 
-def test_assign_ordinals_dense_at_sampling_scale(spark):
-    """At sizes where RangePartitioner actually SAMPLES its boundaries
-    (rather than seeing all rows), the counts pass and the numbering
-    pass must still agree — the persisted partitioning pins one
-    boundary draw. Regression: two evaluations with different samples
-    produced duplicate/missing ordinals."""
-    from pke_spark.index.build import _assign_ordinals
+def test_dense_ordinals_over_budget_stats_path(corpus, spark, tmp_path):
+    """driver_stats_max_bytes=0 forces the big-corpus stats path, where
+    the driver-side ordinal assignment collects its ids from the
+    one-row-per-doc length table instead of the DuckDB segment scan —
+    the docmap must be identically dense/sorted and queries stay
+    oracle-exact."""
+    from pke_spark.index.build import docmap_path, postings_path
 
-    ids = (spark.range(0, 20_000, 1, 16)
-           .select(F.xxhash64("id").alias("doc_id")))
-    dm, ranged = _assign_ordinals(ids)
-    pdf = dm.toPandas()
-    ranged.unpersist()
-    assert sorted(pdf["ord"]) == list(range(20_000))
-    by_ord = pdf.sort_values("ord")["doc_id"].to_numpy()
+    docs, texts = corpus
+    d = str(tmp_path / "ix_dense_budget0")
+    build_index(docs, d, n_parts=4, n_salts=4, dense_doc_ids=True,
+                hot_threshold=50, block_size=32,
+                driver_stats_max_bytes=0)
+    dm = spark.read.parquet(docmap_path(postings_path(d))).toPandas()
+    n = docs.count()
+    assert sorted(dm["ord"]) == list(range(n))
+    by_ord = dm.sort_values("ord")["doc_id"].to_numpy()
     assert (np.diff(by_ord) > 0).all()
+    ix = IndexReader(spark, d)
+    assert ix.dense
+    for q in QUERIES[:2]:
+        want = oracle.bm25_topk(texts, q, 10)
+        got = wand_topk(ix, q, 10, n_buckets=8).toPandas()
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": "int64"}), want.astype({"rank": "int64"}),
+            check_exact=False, atol=1e-9, obj=f"q={q}")
 
 
 def test_sparse_reencode_clears_stale_docmap(corpus, spark, tmp_path):
