@@ -95,12 +95,73 @@ def grammar_candidates_from_tagged(tagged: DataFrame) -> DataFrame:
         "doc_id", "candidate", "tf", "first_offset", "n_words")
 
 
+def _grammar_synth_row_fn(stoplist: tuple[str, ...]):
+    """Per-doc core of the synthetic-tag grammar chunker: tags are a
+    pure function of the term (stopword -> ADP, else by length mod 4),
+    so the whole NP rule runs inside the per-doc pass — maximal runs of
+    node tags, prefix up to the run's last head, grouped by phrase.
+    Emits (tf, first_offset, last_offset, n_words, offsets), the
+    grammar_candidates_with_offsets schema."""
+    stop = frozenset(stoplist)
+
+    def fn(did: int, terms: list) -> list:
+        length = len(terms)
+        # node = ADJ|NOUN (len%4 != 1, non-stop); head = NOUN (len%4
+        # not in (0, 1), non-stop) — PROPN never occurs synthetically
+        node = [t not in stop and len(t) % 4 != 1 for t in terms]
+        out: dict = {}
+        i = 0
+        while i < length:
+            if not node[i]:
+                i += 1
+                continue
+            j = i
+            last_head = -1
+            while j < length and node[j]:
+                if len(terms[j]) % 4 > 1:
+                    last_head = j
+                j += 1
+            if last_head >= 0:
+                cand = " ".join(terms[i:last_head + 1])
+                e = out.get(cand)
+                if e is None:
+                    out[cand] = [1, i + 1, i + 1, last_head - i + 1,
+                                 [i + 1]]
+                else:
+                    e[0] += 1
+                    e[2] = i + 1          # max start (i ascends)
+                    e[4].append(i + 1)    # ascending -> already sorted
+            i = j
+        return [(did, c, tf, fo, lo, nw, offs)
+                for c, (tf, fo, lo, nw, offs) in out.items()]
+
+    return fn
+
+
+GRAMMAR_OFFSETS_SCHEMA = ("doc_id long, candidate string, tf long, "
+                          "first_offset long, last_offset long, "
+                          "n_words long, offsets array<long>")
+
+
+def grammar_candidates_with_offsets_synth(
+        docs: DataFrame,
+        stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> DataFrame:
+    """grammar_candidates_with_offsets over the synthetic tagger, as a
+    per-doc pass (ops/perdoc.py): no token-row shuffle, no windows.
+    The generic ``_from_tagged`` operator remains for real tagged
+    streams (S2/S3), whose tags are NOT derivable from the term."""
+    from .perdoc import per_doc_rows
+    return per_doc_rows(docs, _grammar_synth_row_fn(stoplist),
+                        GRAMMAR_OFFSETS_SCHEMA)
+
+
 def grammar_candidates(docs: DataFrame,
                        stoplist: tuple[str, ...] = TEXT_STOPWORDS,
                        toks: DataFrame | None = None) -> DataFrame:
     """C6 over the synthetic-tagged testdata (the query entry)."""
-    return grammar_candidates_from_tagged(
-        synthetic_tags(docs, stoplist, toks))
+    del toks  # per-doc pass tokenizes inline (lockstep tokenizer)
+    return grammar_candidates_with_offsets_synth(docs, stoplist).select(
+        "doc_id", "candidate", "tf", "first_offset", "n_words")
 
 
 def from_pretagged(spark, rows) -> DataFrame:

@@ -39,89 +39,112 @@ MIN_WORD_LEN = 2  # F1: any word < 2 chars -> drop
 
 # ---------------------------------------------------------------- Spark
 
+_CAND_SCHEMA = ("doc_id long, candidate string, tf long, "
+                "first_offset long, n_words long")
+
+
+def _runs_row_fn(stoplist: tuple[str, ...]):
+    """Per-doc core of candidate_runs: maximal non-stopword runs over
+    the document's own token list, grouped by phrase with
+    (tf, min start pos, n_words), F1-filtered. Positions are 1-based
+    (the tokens_exploded convention)."""
+    stop = frozenset(stoplist)
+
+    def fn(did: int, terms: list) -> list:
+        out: dict = {}
+        i, length = 0, len(terms)
+        while i < length:
+            if terms[i] in stop:
+                i += 1
+                continue
+            j = i
+            while j < length and terms[j] not in stop:
+                j += 1
+            words = terms[i:j]
+            n_words = j - i
+            # F1 depends only on the phrase string, so filtering before
+            # the group-by equals the DataFrame plan's filter after it
+            if (n_words <= MAX_WORDS
+                    and sum(map(len, words)) >= MIN_CHARS
+                    and min(map(len, words)) >= MIN_WORD_LEN):
+                cand = " ".join(words)
+                e = out.get(cand)
+                if e is None:
+                    # i ascends, so the first sighting IS min(start_pos)
+                    out[cand] = [1, i + 1, n_words]
+                else:
+                    e[0] += 1
+            i = j
+        return [(did, c, tf, fo, nw) for c, (tf, fo, nw) in out.items()]
+
+    return fn
+
+
+def _ngram_row_fn(n: int, stoplist: tuple[str, ...]):
+    """Per-doc core of ngram_candidates: every 1..n-gram whose words
+    all pass the stoplist/length gates, grouped by phrase."""
+    stop = frozenset(stoplist)
+
+    def fn(did: int, terms: list) -> list:
+        length = len(terms)
+        ok = [len(t) >= MIN_WORD_LEN and t not in stop for t in terms]
+        lens = [len(t) for t in terms]
+        out: dict = {}
+        for i in range(length):
+            if not ok[i]:
+                continue
+            chars = 0
+            for size in range(1, n + 1):
+                j = i + size - 1
+                if j >= length or not ok[j]:
+                    # a failing word poisons every longer gram from i
+                    break
+                chars += lens[j]
+                if chars < MIN_CHARS:
+                    continue
+                cand = " ".join(terms[i:j + 1])
+                e = out.get(cand)
+                if e is None:
+                    out[cand] = [1, i + 1, size]
+                else:
+                    e[0] += 1
+        return [(did, c, tf, fo, nw) for c, (tf, fo, nw) in out.items()]
+
+    return fn
+
+
 def candidate_runs(docs: DataFrame,
                    stoplist: tuple[str, ...] = TEXT_STOPWORDS,
                    toks: DataFrame | None = None) -> DataFrame:
     """(doc_id, candidate, tf, first_offset, n_words) — maximal
     non-stopword runs, grouped by phrase, filtered per F1.
 
-    Run-id trick: run_id = running count of *stopword* tokens; within a
-    doc, consecutive non-stop tokens share a run_id. One shuffle
-    (doc_id) for the window, then two hash aggs.
+    Runs are a PER-DOCUMENT fact, so they are built in one per-doc
+    Python pass (ops/perdoc.py, guide §2.3/§4): tokenize + run split +
+    group inside the map — no token-row shuffle, no window, no
+    token-explode exchange. ``toks`` is accepted for API compatibility
+    but unused: the pass reads the doc rows directly.
     """
-    if toks is None:
-        toks = tokens_exploded(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    runs = (toks
-            .withColumn("flag", (~F.col("term").isin(*stoplist)).cast("int"))
-            .withColumn("run_id", F.sum(1 - F.col("flag")).over(w))
-            .filter(F.col("flag") == 1))
-    phrases = runs.groupBy("doc_id", "run_id").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "term"))),
-                        lambda s: s.term), " ").alias("candidate"),
-        F.min("pos").cast("long").alias("start_pos"),
-        F.count("*").alias("n_words"))
-    cands = phrases.groupBy("doc_id", "candidate").agg(
-        F.count("*").alias("tf"),
-        F.min("start_pos").alias("first_offset"),
-        F.max("n_words").alias("n_words"))
-    return cands.filter(
-        (F.col("n_words") <= MAX_WORDS)
-        & (F.length(F.replace(F.col("candidate"), F.lit(" "), F.lit(""))) >= MIN_CHARS)
-        & (F.size(F.filter(F.split("candidate", " "),
-                           lambda x: F.length(x) < MIN_WORD_LEN)) == 0))
+    del toks  # per-doc pass tokenizes inline (lockstep tokenizer)
+    from .perdoc import per_doc_rows
+    return per_doc_rows(docs, _runs_row_fn(stoplist), _CAND_SCHEMA)
 
 
 def ngram_candidates(docs: DataFrame, n: int = 3,
                      stoplist: tuple[str, ...] = TEXT_STOPWORDS,
                      toks: DataFrame | None = None) -> DataFrame:
-    """(doc_id, candidate, n_words, tf, first_offset) — all 1..n-grams
+    """(doc_id, candidate, tf, first_offset, n_words) — all 1..n-grams
     per doc (ngram_selection, pke/base.py:237-264) filtered per F1:
-    no stopword member, every word >= 2 chars, >= 3 total chars."""
-    if toks is None:
-        toks = tokens_exploded(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    base = toks
-    for j in range(1, n):
-        base = base.withColumn(f"t{j}", F.lead("term", j).over(w))
-    # ONE window pass: each token row emits its 1..n-gram structs as an
-    # array, null-filtered, exploded — a union of n per-size branches
-    # would re-evaluate the scan+window once per branch AND per consumer
-    # (Catalyst does not dedup common subplans), observed as 10 file
-    # scans in kpminer_dedup's executed plan before this rewrite
-    # no higher-order functions on this hot path: an ArrayFilter (or
-    # exists/transform) in the tree forces the whole expression onto
-    # the interpreted eval path (see tokenizer.tokens_array). Nulls are
-    # dropped with array_compact, and the "any word too short" test is
-    # pre-folded into a plain boolean over the struct's source columns.
-    grams = []
-    for size in range(1, n + 1):
-        cols = [F.col("term")] + [F.col(f"t{j}") for j in range(1, size)]
-        has_short = cols[0].isNull()  # never true; boolean fold seed
-        for c in cols:
-            has_short = has_short | (F.length(c) < MIN_WORD_LEN)
-        g = F.struct(F.concat_ws(" ", *cols).alias("candidate"),
-                     F.array(*cols).alias("words"),
-                     F.lit(size).cast("long").alias("n_words"),
-                     has_short.alias("has_short"))
-        grams.append(g if size == 1 else
-                     F.when(cols[-1].isNotNull(), g))
-    allg = (base.select(
-        "doc_id", "pos",
-        F.explode(F.array_compact(F.array(*grams))).alias("g"))
-        .select("doc_id", "pos", "g.candidate", "g.words", "g.n_words",
-                "g.has_short"))
-    stop_arr = F.array(*[F.lit(s) for s in stoplist])
-    kept = allg.filter(
-        (~F.arrays_overlap("words", stop_arr))
-        & (~F.col("has_short"))
-        & (F.length(F.replace(F.col("candidate"), F.lit(" "), F.lit(""))) >= MIN_CHARS))
-    return kept.groupBy("doc_id", "candidate").agg(
-        F.count("*").alias("tf"),
-        F.min("pos").cast("long").alias("first_offset"),
-        F.max("n_words").alias("n_words"))
+    no stopword member, every word >= 2 chars, >= 3 total chars.
+
+    Like candidate_runs, a per-doc pass: the previous plan exploded
+    every token row n ways through an Exchange and ran an
+    arrays_overlap per gram (measured 2.2 s warm at sf0.1 vs 0.5 s for
+    this form); grams of a doc never cross documents, so none of that
+    movement was needed."""
+    del toks  # per-doc pass tokenizes inline (lockstep tokenizer)
+    from .perdoc import per_doc_rows
+    return per_doc_rows(docs, _ngram_row_fn(n, stoplist), _CAND_SCHEMA)
 
 
 def _ngrams_cte(n: int = 3, stoplist: tuple[str, ...] = TEXT_STOPWORDS) -> str:

@@ -37,7 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _DTYPES = {"long": "int64", "int": "int32",
-           "double": "float64", "string": "object"}
+           "double": "float64", "string": "object",
+           "array<long>": "object"}
 
 
 def spread_docs(docs: DataFrame, cols=("doc_id", "text")) -> DataFrame:

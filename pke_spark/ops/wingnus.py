@@ -47,8 +47,7 @@ from pyspark.sql import functions as F
 from ._cache import cache_latest
 from ..tokenizer import (TEXT_STOPWORDS, duckdb_toks_cte, sql_str_list,
                          tokens_exploded)
-from .grammar import (grammar_candidates_with_offsets, synthetic_tags,
-                      _tagged_cte)
+from .grammar import grammar_candidates_with_offsets_synth, _tagged_cte
 
 SUB_MAX = 3  # substrings of length 1..3 (wingnus.py:139)
 
@@ -81,7 +80,7 @@ def wingnus_features(docs: DataFrame,
     # cdf, the F3 substring self-join (two sides), the base join, and
     # the F7-F19 occurrence explode all consume it — unmaterialized,
     # each re-ran the grammar-candidate DAG (tokenize + tag + windows)
-    c = grammar_candidates_with_offsets(synthetic_tags(docs, stoplist)) \
+    c = grammar_candidates_with_offsets_synth(docs, stoplist) \
         .localCheckpoint(eager=False)
     nrow = docs.agg(F.count("*").cast("double").alias("n"))
     dl = (tokens_exploded(docs).groupBy("doc_id")
