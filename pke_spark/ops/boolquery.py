@@ -69,7 +69,8 @@ def boolean_bm25_topk(docs: DataFrame, must: list[str],
                     .select("doc_id").distinct())
         cand = cand.join(excluded, "doc_id", "left_anti")
 
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    from .core import corpus_doc_lengths
+    dl = corpus_doc_lengths(toks)
     g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0)

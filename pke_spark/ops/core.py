@@ -84,6 +84,23 @@ def corpus_tokens(docs: DataFrame, profile: str = "code") -> DataFrame:
     return tokens_exploded(docs, profile=profile).localCheckpoint(eager=False)
 
 
+def corpus_doc_lengths(toks: DataFrame) -> DataFrame:
+    """(doc_id, dl) for a (shared) token table, memoized ON the token
+    DataFrame object as a lazy localCheckpoint. Two reasons: inside one
+    scorer the dl subtree has two consumers (the avgdl aggregate and
+    the per-doc join) and Catalyst does not dedup common subplans; and
+    composites whose members share one ``corpus_tokens`` table would
+    otherwise re-run the aggregation once per member. Lifetime equals
+    the query's token table — a per-query intermediate, not a
+    cross-run cache."""
+    dl = getattr(toks, "_pke_dl", None)
+    if dl is None:
+        dl = (toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+              .localCheckpoint(eager=False))
+        toks._pke_dl = dl
+    return dl
+
+
 def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
                    k1: float = K1, b: float = B,
                    constrain=None, profile: str = "code",
@@ -117,7 +134,7 @@ def bm25_rank_over(docs: DataFrame, qdf: DataFrame, k: int = 10,
     # doc-length table (n, avgdl) requires the full corpus pass.
     tc_q = (toks.join(F.broadcast(qdf.select("term")), "term")
             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = corpus_doc_lengths(toks)
     g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
     scored_src = tc_q if constrain is None else constrain(tc_q)

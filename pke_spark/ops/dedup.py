@@ -270,19 +270,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """(doc_a, doc_b, jaccard) over distinct token n-gram shingles,
     exact, via equi-join on shingle (no cross join)."""
-    toks = tokens_exploded(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks
-    cols = [F.col("term")]
-    for j in range(1, n):
-        sh = sh.withColumn(f"t{j}", F.lead("term", j).over(w))
-        cols.append(F.col(f"t{j}"))
-    shingles = (sh.filter(F.col(f"t{n-1}").isNotNull())
-                .select("doc_id", F.concat_ws(" ", *cols).alias("shingle"))
-                .distinct()
+    from .perdoc import per_doc_rows
+
+    def sh_rows(did: int, terms: list) -> list:
+        # a doc's distinct shingle set is a per-doc fact — building it
+        # inside the per-doc pass replaces the old tokenize + window
+        # leads + global distinct (a token-row shuffle) with a local
+        # set per document
+        return [(did, s) for s in
+                {" ".join(terms[i:i + n])
+                 for i in range(len(terms) - n + 1)}]
+
+    shingles = (per_doc_rows(docs, sh_rows,
+                             "doc_id long, shingle string")
                 # lazy materialization: three consumers (sizes + both
                 # sides of the shingle-share self-join) would each
-                # re-run the tokenize + window + distinct otherwise
+                # re-run the per-doc pass otherwise
                 .localCheckpoint(eager=False))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (shingles.alias("a").join(

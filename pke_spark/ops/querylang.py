@@ -727,7 +727,8 @@ def querystring_explain(docs: DataFrame, qs: str, k: int = 10,
                          profile, toks=toks).select("doc_id")
     tc_q = (toks.join(F.broadcast(qdf.select("term")), "term")
             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    from .core import corpus_doc_lengths
+    dl = corpus_doc_lengths(toks)
     g = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
     stats_q = tc_q.groupBy("term").agg(F.count("*").alias("df"))
     idf, tf_part = bm25_exprs(k1, b)
