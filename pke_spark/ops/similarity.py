@@ -256,17 +256,40 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
         & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"))
-        .distinct())
-    ea = _emb_double(emb).select(F.col("vec_id").alias("vec_a"),
-                                 F.col("emb").alias("emb_a"),
-                                 _norm(F.col("emb")).alias("nrm_a"))
-    eb = _emb_double(emb).select(F.col("vec_id").alias("vec_b"),
-                                 F.col("emb").alias("emb_b"),
-                                 _norm(F.col("emb")).alias("nrm_b"))
-    cos = F.round(_dot(F.col("emb_a"), F.col("emb_b"))
-                  / (F.col("nrm_a") * F.col("nrm_b")), 6)
-    return (cand.join(ea, "vec_a").join(eb, "vec_b")
-            .select("vec_a", "vec_b", cos.alias("cos"))
+        .distinct()
+        # three consumers (both id sides + the rerank join) — without
+        # materialization each re-runs the sketch self-join
+        .localCheckpoint(eager=False))
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"))
+    pairs = (cand.join(ea, "vec_a").join(eb, "vec_b")
+             .select("vec_a", "vec_b", "emb_a", "emb_b"))
+
+    # exact cosine per candidate pair in numpy (guide §4.2): the
+    # previous interpreted zip_with/aggregate column math evaluated a
+    # 64-element fold per pair row; raw cos is emitted unrounded and
+    # the HALF_UP round + threshold run in Spark — the same numpy->
+    # round discipline embedding_cosine_pairs' GEMM uses (float32 ->
+    # float64 widening is exact on both paths)
+    def rerank(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            A = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["emb_a"]])
+            Bm = np.array([np.asarray(v, dtype=np.float64)
+                           for v in pdf["emb_b"]])
+            cc = np.einsum("ij,ij->i", A, Bm) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(Bm, axis=1))
+            yield pd.DataFrame({
+                "vec_a": pdf["vec_a"].to_numpy(np.int64),
+                "vec_b": pdf["vec_b"].to_numpy(np.int64),
+                "cos": cc})
+
+    raw = pairs.mapInPandas(rerank, "vec_a long, vec_b long, cos double")
+    return (raw.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
             .filter(F.col("cos") >= threshold))
 
 
