@@ -25,16 +25,24 @@ from pke_spark.session import get_spark
 spark = get_spark("shuffle_guard", cpus=4, shuffle_partitions=8,
                   extra_conf={"spark.ui.enabled": "true"})
 spark.sparkContext.setLogLevel("ERROR")
+ui = spark.sparkContext.uiWebUrl
+app = spark.sparkContext.applicationId
+
+def stages():
+    with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages", timeout=30) as r:
+        return json.load(r)
+
 corpus = with_doc_ids(synth_corpus(spark, 4000, partitions=8))
 docs = corpus.select("doc_id", corpus.content.alias("text"))
 ix = tempfile.mkdtemp(prefix="shuffle_guard_")
+# the budget under test is the BUILD's own: snapshot the stage ids the
+# session bring-up (get_spark warm-up) already ran, count only beyond
+pre = {s["stageId"] for s in stages()}
 build_index(docs, ix, n_parts=8, n_salts=4)
-ui = spark.sparkContext.uiWebUrl
-app = spark.sparkContext.applicationId
-with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages",
-                            timeout=30) as r:
-    stages = json.load(r)
-shuffling = [s for s in stages if s.get("shuffleWriteBytes", 0) > 0]
+shuffling = [s for s in stages()
+             if s["stageId"] not in pre
+             and s.get("shuffleWriteBytes", 0) > 0]
 print(json.dumps({
     "n_shuffle_stages": len(shuffling),
     "shuffle_write_bytes": sum(s["shuffleWriteBytes"] for s in shuffling),
