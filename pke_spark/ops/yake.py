@@ -27,33 +27,69 @@ import math
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
-from ..tokenizer import TEXT_STOPWORDS, duckdb_toks_cte, tokens_exploded
+from ..tokenizer import TEXT_STOPWORDS, duckdb_toks_cte
+
+
+def _round6_half_up(x: float) -> float:
+    """Bit-exact replica of Spark's ``F.round(x, 6)``: Spark rounds via
+    ``BigDecimal.valueOf(double)`` (the double's SHORTEST round-trip
+    decimal — the same digits CPython's ``repr`` produces) then
+    ``setScale(6, HALF_UP)``."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _yake_lite_doc(k: int):
+    """Per-document YAKE-lite core for the per-doc executor. Every
+    feature is a fact of the document's own token sequence, so the
+    token-row groupBy/join/window plan (3 exchanges of token-scale
+    rows) collapses into one Python pass (guide §2.3/§4). Float path
+    mirrors the SQL twin: exact integer sums, two-pass sample stddev,
+    ln/ln position, HALF_UP 6-decimal round BEFORE ranking (ties on the
+    rounded weight break by term ASC, exactly the old window's order)."""
+    import math as _m
+
+    def row_fn(doc_id: int, terms: list) -> list:
+        if not terms:
+            return []
+        pos: dict = {}
+        for i, t in enumerate(terms, start=1):
+            pos.setdefault(t, []).append(i)
+        n_words = len(pos)
+        doc_len = len(terms)
+        mean_tf = doc_len / n_words
+        if n_words > 1:
+            var = sum((len(p) - mean_tf) ** 2 for p in pos.values()) \
+                / (n_words - 1)
+            std_tf = _m.sqrt(var)
+        else:
+            std_tf = 0.0
+        denom_tf = mean_tf + std_tf
+        out = []
+        for t, p in pos.items():
+            tf = len(p)
+            mid = tf // 2
+            med = float(p[mid]) if tf % 2 else (p[mid - 1] + p[mid]) / 2.0
+            position = _m.log(_m.log(3.0 + med))
+            frequency = tf / denom_tf
+            spread = (p[-1] - p[0] + 1.0) / doc_len
+            out.append((t, tf, _round6_half_up(position
+                                               / (frequency + spread))))
+        out.sort(key=lambda r: (r[2], r[0]))
+        return [(doc_id, rank, t, tf, wt)
+                for rank, (t, tf, wt) in enumerate(out[:k], start=1)]
+
+    return row_fn
 
 
 def yake_lite(docs: DataFrame, k: int = 5) -> DataFrame:
-    toks = tokens_exploded(docs)
-    per_word = toks.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"),
-        F.median("pos").alias("med_pos"),
-        F.min("pos").alias("min_pos"),
-        F.max("pos").alias("max_pos"))
-    per_doc = per_word.groupBy("doc_id").agg(
-        F.avg("tf").alias("mean_tf"),
-        F.coalesce(F.stddev("tf"), F.lit(0.0)).alias("std_tf"),
-        F.sum("tf").alias("doc_len"))
-    position = F.log(F.log(F.lit(3.0) + F.col("med_pos")))
-    frequency = F.col("tf") / (F.col("mean_tf") + F.col("std_tf"))
-    spread = (F.col("max_pos") - F.col("min_pos") + 1.0) / F.col("doc_len")
-    weight = F.round(position / (frequency + spread), 6)
-    w = Window.partitionBy("doc_id").orderBy(F.asc("weight"), F.asc("term"))
-    return (per_word.join(per_doc, "doc_id")
-            .withColumn("weight", weight)
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k)
-            .select("doc_id", "rank", "term", "tf", "weight"))
+    from .perdoc import per_doc_rows
+    return per_doc_rows(
+        docs, _yake_lite_doc(k),
+        "doc_id long, rank int, term string, tf long, weight double")
 
 
 def yake_lite_sql(k: int = 5) -> str:
